@@ -1,0 +1,321 @@
+"""HTML main-content extraction: tokenizer + DOM-density boilerplate strip.
+
+Pure-Python core (stdlib ``html.parser``) executed inside Arrow-batched
+pandas UDFs — the from-scratch replacement for the reference's HTTP hop
+to Apache Tika (enhance_extract_text_tika_server.py:33-262) and its
+XPath-based enhance_html (enhance_html.py:10-38). The boilerplate
+heuristic is the public link-density + text-block-length scoring family
+(boilerpipe / Arc90 readability lineage).
+
+THE BYTE-EXACT CONTRACT (the per-url invariant BASELINE.json demands —
+tests pin it, the synthetic pages generator reproduces it independently):
+
+1. Decode: BOM → ``<meta charset>`` / ``http-equiv content-type`` within
+   the first 2048 bytes → strict UTF-8 → Latin-1 fallback.
+2. Segment into text blocks at every open/close of a block-level tag
+   (``_BLOCK_TAGS``); ``<br>`` also breaks. Text inside
+   ``script/style/noscript/template/svg/head`` never reaches a block.
+3. Normalize each block: concatenate raw text fragments, then collapse
+   all whitespace runs to single spaces and strip ends.
+4. Drop a block as boilerplate when ANY of:
+   a. an ancestor is ``nav/footer/aside/header/form`` (DOM heuristic);
+   b. link density  (chars inside <a> / total chars)  > 1/3;
+   c. fewer than MIN_BLOCK_CHARS (25) characters.
+   If nothing survives but non-ancestor-boilerplate blocks with link
+   density ≤ 1/3 exist, keep the single longest (short-page fallback).
+5. ``content`` = surviving blocks joined by ``"\n"`` in document order.
+
+Title/description/headings/links/meta-date are captured on the side
+(title ← <title>, description ← <meta name=description>, reference
+field mapping at enhance_extract_text_tika_server.py:25-31).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from html.parser import HTMLParser
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 1.0 / 3.0
+
+_BLOCK_TAGS = frozenset(
+    """p div section article li td th blockquote pre h1 h2 h3 h4 h5 h6
+    ul ol table tr thead tbody header footer nav aside main figure
+    figcaption dd dt dl form fieldset address center body""".split()
+)
+_SKIP_TAGS = frozenset("script style noscript template svg iframe object".split())
+_BOILER_ANCESTORS = frozenset("nav footer aside header form".split())
+_VOID_BREAKS = frozenset(("br", "hr"))
+
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([-\w]+)""", re.IGNORECASE
+)
+_META_DATE_KEYS = frozenset(
+    ("last-modified", "article:published_time", "article:modified_time", "date")
+)
+_ISO_TS_RE = re.compile(
+    r"(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})"
+)
+
+
+# Magic-byte content sniffing — the libmagic replacement
+# (enhance_mimetype.py:27-35). Checked before any HTML decode so binary
+# payloads never become latin-1 garbage "content".
+_MAGIC = (
+    (b"%PDF-", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"WARC/", "application/warc"),
+)
+
+
+def sniff_content_type(data: bytes) -> str | None:
+    """Magic-byte + NUL-ratio sniff; None means 'treat as text/html'."""
+    for magic, ctype in _MAGIC:
+        if data.startswith(magic):
+            return ctype
+    if data.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf")):
+        return None  # UTF BOM — text, even though UTF-16 bytes contain NULs
+    head = data[:4096]
+    if b"\x00" in head:
+        return "application/octet-stream"
+    return None
+
+
+def decode_html(data: bytes) -> tuple[str, str]:
+    """Decode page bytes per the contract; returns (text, encoding_name)."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8", "replace"), "utf-8-sig"
+    if data.startswith(b"\xff\xfe"):
+        return data[2:].decode("utf-16-le", "replace"), "utf-16-le"
+    if data.startswith(b"\xfe\xff"):
+        return data[2:].decode("utf-16-be", "replace"), "utf-16-be"
+    m = _CHARSET_RE.search(data[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "replace").lower()
+        try:
+            return data.decode(enc), enc
+        except (LookupError, UnicodeDecodeError):
+            pass
+    try:
+        return data.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return data.decode("latin-1"), "latin-1"
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _Block:
+    __slots__ = ("frags", "link_chars", "boiler")
+
+    def __init__(self, boiler: bool) -> None:
+        self.frags: list[str] = []
+        self.link_chars = 0
+        self.boiler = boiler
+
+
+class _ContentParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, float, bool]] = []  # (text, linkdens, boiler)
+        self._cur: _Block | None = None
+        self._boiler_depth = 0
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._in_title = False
+        self.title: str | None = None
+        self._title_frags: list[str] = []
+        self.description: str | None = None
+        self.headings: list[str] = []
+        self._heading_stack = 0
+        self._heading_frags: list[str] = []
+        self.links: list[str] = []
+        self.meta_ts: datetime | None = None
+        self.n_images = 0
+
+    # -- block lifecycle ---------------------------------------------------
+    def _flush(self) -> None:
+        if self._cur is None:
+            return
+        raw = "".join(self._cur.frags)
+        text = _norm(raw)
+        if text:
+            dens = self._cur.link_chars / max(len(text), 1)
+            self.blocks.append((text, dens, self._cur.boiler))
+        self._cur = None
+
+    def _ensure_block(self) -> None:
+        if self._cur is None:
+            self._cur = _Block(self._boiler_depth > 0)
+
+    # -- parser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if tag == "meta":
+            amap = {k.lower(): (v or "") for k, v in attrs}
+            key = (amap.get("name") or amap.get("property") or amap.get("http-equiv") or "").lower()
+            if key == "description" and amap.get("content"):
+                self.description = _norm(amap["content"])
+            elif key in _META_DATE_KEYS and amap.get("content") and self.meta_ts is None:
+                m = _ISO_TS_RE.search(amap["content"])
+                if m:
+                    self.meta_ts = datetime(
+                        *(int(g) for g in m.groups()), tzinfo=timezone.utc
+                    )
+            return
+        if tag == "img":
+            self.n_images += 1
+            return
+        if tag == "a":
+            self._link_depth += 1
+            for k, v in attrs:
+                if k.lower() == "href" and v:
+                    self.links.append(v)
+                    break
+            return
+        if tag == "title":
+            self._in_title = True
+            return
+        if tag in _VOID_BREAKS:
+            self._flush()
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILER_ANCESTORS:
+                self._boiler_depth += 1
+            if tag[0] == "h" and len(tag) == 2 and tag[1].isdigit():
+                self._heading_stack += 1
+                self._heading_frags = []
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if tag == "title":
+            self._in_title = False
+            if self.title is None:
+                self.title = _norm("".join(self._title_frags)) or None
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+            if tag in _BOILER_ANCESTORS:
+                self._boiler_depth = max(0, self._boiler_depth - 1)
+            if tag[0] == "h" and len(tag) == 2 and tag[1].isdigit() and self._heading_stack:
+                self._heading_stack -= 1
+                h = _norm("".join(self._heading_frags))
+                if h:
+                    self.headings.append(h)
+                self._heading_frags = []
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self._title_frags.append(data)
+            return
+        if self._heading_stack:
+            self._heading_frags.append(data)
+        self._ensure_block()
+        self._cur.frags.append(data)
+        if self._link_depth:
+            self._cur.link_chars += len(_norm(data))
+
+    def close(self) -> None:  # final flush
+        super().close()
+        self._flush()
+
+
+def extract_html(data: bytes | None) -> dict:
+    """Run the full contract over raw page bytes.
+
+    Returns a dict matching schema.EXTRACT_RESULT_TYPE field names.
+    PDF payloads are detected by magic bytes and routed to the PDF
+    parser (content-type sniffing ≈ enhance_mimetype.py:27-35).
+    """
+    res = {
+        "content": "",
+        "title": None,
+        "description": None,
+        "content_type": "text/html",
+        "encoding": None,
+        "links": [],
+        "headings": [],
+        "meta_ts": None,
+        "n_blocks": 0,
+        "n_kept_blocks": 0,
+        "needs_ocr": False,
+        "n_images": 0,
+        "ok": True,
+        "err": None,
+    }
+    try:
+        if not data:
+            res["content_type"] = None
+            return res
+        sniffed = sniff_content_type(data)
+        if sniffed and sniffed != "application/pdf":
+            res["content_type"] = sniffed
+            return res
+        if sniffed == "application/pdf":
+            from open_semantic_etl_spark.operators.pdfio import parse_pdf
+
+            pr = parse_pdf(data)
+            res["content_type"] = "application/pdf"
+            res["content"] = "\n".join(_norm(p) for p in (pr["pages"] or []))
+            res["title"] = pr["title"]
+            res["n_blocks"] = pr["npages"] or 0
+            res["n_kept_blocks"] = len(pr["pages"] or [])
+            res["n_images"] = pr["n_images"]
+            res["needs_ocr"] = pr["n_images"] > 0
+            res["ok"] = pr["ok"]
+            res["err"] = pr["err"]
+            return res
+        text, enc = decode_html(data)
+        res["encoding"] = enc
+        head = text[:512].lstrip().lower()
+        if head.startswith("<?xml") and "xhtml" in text[:2048].lower():
+            res["content_type"] = "application/xhtml+xml"
+        parser = _ContentParser()
+        parser.feed(text)
+        parser.close()
+        res["title"] = parser.title
+        res["description"] = parser.description
+        res["headings"] = parser.headings
+        res["links"] = parser.links
+        res["meta_ts"] = parser.meta_ts
+        res["n_images"] = parser.n_images
+        res["needs_ocr"] = parser.n_images > 0
+        res["n_blocks"] = len(parser.blocks)
+        kept = [
+            t
+            for (t, dens, boiler) in parser.blocks
+            if not boiler and dens <= MAX_LINK_DENSITY and len(t) >= MIN_BLOCK_CHARS
+        ]
+        if not kept:
+            candidates = [
+                t
+                for (t, dens, boiler) in parser.blocks
+                if not boiler and dens <= MAX_LINK_DENSITY
+            ]
+            if candidates:
+                kept = [max(candidates, key=len)]
+        res["n_kept_blocks"] = len(kept)
+        res["content"] = "\n".join(kept)
+        return res
+    except Exception as e:  # noqa: BLE001 — per-row error column, keep going
+        res["ok"] = False
+        res["err"] = f"{type(e).__name__}: {e}"
+        return res

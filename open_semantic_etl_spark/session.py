@@ -1,0 +1,63 @@
+"""SparkSession factory with the engine's recommended configuration.
+
+Replaces the reference's Celery worker bootstrap (tasks.py:24-43): the
+Spark scheduler provides parallelism, retry (``spark.task.maxFailures``)
+and at-least-once semantics (deterministic task re-execution), so there
+is no broker and no per-document fork.
+
+Scale notes (targets a 1000-executor cluster; tested on local[N]):
+- AQE on: runtime coalescing + skew-join splitting.
+- Arrow batches capped so large ``html`` payloads don't blow executor
+  memory (the reference's one-doc-at-a-time memory model, SURVEY.md §4).
+- UTC session timezone so parquet timestamps compare cleanly against
+  the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rows per Arrow batch crossing the JVM<->Python boundary. html payloads
+# average tens of KB (real crawls: up to MBs) — 256 rows keeps a batch
+# in the tens-of-MB range even at the 95th percentile of page size.
+ARROW_BATCH_ROWS = 256
+
+
+def get_spark(
+    app_name: str = "open_semantic_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the extraction workload."""
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            spec = master[len("local[") : -1]
+            shuffle_partitions = cores if spec == "*" else max(int(spec), 1)
+        else:
+            shuffle_partitions = 2 * cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
