@@ -1,0 +1,169 @@
+"""URL/path/title/content-type scalar enrichments (pure Column exprs).
+
+Reimplements the reference's per-row path/id plugins as vectorized
+expressions:
+
+- enhance_path.py:16-66 — protocol strip, separator normalization,
+  path-level facets, basename, lowercased extension
+- enhance_mapping_id.py:25-77 — longest-prefix id mapping + reverse
+- clean_title.py:18-47 — title fallback cascade
+- enhance_contenttype_group.py:13-76 — content-type → group mapping
+- enhance_file_mtime.py:26-36 — `yyyy-MM-dd'T'HH:mm:ss'Z'` formatting
+- enhance_file_size.py:25-31 — byte size
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_PATH_LEVELS = 6  # fixed-width typed model for path<i>_s facets
+
+STRIP_PREFIXES = ("file://", "http://", "https://")
+
+
+def _normalized_path(docid: Column, strip_prefixes: tuple[str, ...]) -> Column:
+    """protocol strip (first match only), backslash/#→'/', '//'→'/'."""
+    # anchored alternation: only a leading prefix is stripped, first
+    # (i.e. any one) match only — reference: startswith + replace(count=1)
+    pat = "^(" + "|".join(strip_prefixes) + ")"
+    c = F.regexp_replace(docid, pat, "")
+    c = F.translate(c, "\\#", "//")
+    c = F.regexp_replace(c, "//+", "/")  # reference collapses '//'
+    return c
+
+
+def with_path_facets(
+    df: DataFrame,
+    id_col: str = "url",
+    strip_prefixes: tuple[str, ...] = STRIP_PREFIXES,
+    levels: int = MAX_PATH_LEVELS,
+) -> DataFrame:
+    """filename_extension_s, path0_s..pathN_s, path_basename_s.
+
+    The reference emits a dynamic number of path<i>_s fields; the typed
+    model uses a fixed budget of ``levels`` columns plus the full
+    ``path_ss`` array (no information loss, schema is stable).
+    """
+    docid = F.col(id_col)
+    # os.path.splitext: extension after the last dot of the basename,
+    # empty when the basename has no dot or starts with its only dot.
+    ext = F.lower(F.regexp_extract(docid, r"[^/\\]*\.([^./\\]+)$", 1))
+    df = df.withColumn(
+        "filename_extension_s", F.when(ext != "", ext)
+    )
+
+    norm = _normalized_path(docid, strip_prefixes)
+    parts = F.split(norm, "/")
+    # drop empty leading element from absolute unix paths
+    parts = F.when(
+        F.element_at(parts, 1) == "", F.slice(parts, 2, F.size(parts) - 1)
+    ).otherwise(parts)
+    n = F.size(parts)
+    domain_only = (n == 1) | ((n == 2) & norm.endswith("/"))
+
+    df = df.withColumn(
+        "path_ss",
+        F.when(domain_only, F.slice(parts, 1, 1)).otherwise(
+            F.slice(parts, 1, n - 1)
+        ),
+    )
+    df = df.withColumn(
+        "path_basename_s",
+        F.when(
+            ~domain_only & (F.element_at(parts, -1) != ""), F.element_at(parts, -1)
+        ),
+    )
+    for i in range(levels):
+        df = df.withColumn(
+            f"path{i}_s", F.try_element_at(F.col("path_ss"), F.lit(i + 1))
+        )
+    return df
+
+
+def mapping_id(docid: Column, mappings: dict[str, str]) -> Column:
+    """longest-prefix rewrite (enhance_mapping_id.py:25-49): the deepest
+    matching ``map_from`` wins; replace its first occurrence."""
+    expr = docid
+    # wrap shortest-first so the OUTERMOST (first-evaluated) WHEN is the
+    # longest prefix — equivalent to the reference's max-len scan
+    for map_from, map_to in sorted(mappings.items(), key=lambda kv: len(kv[0])):
+        expr = F.when(
+            docid.startswith(map_from),
+            F.concat(F.lit(map_to), docid.substr(F.lit(len(map_from) + 1), F.length(docid))),
+        ).otherwise(expr)
+    return expr
+
+
+def mapping_id_reverse(docid: Column, mappings: dict[str, str]) -> Column:
+    """reverse mapping (enhance_mapping_id.py:53-77)."""
+    return mapping_id(docid, {v: k for k, v in mappings.items()})
+
+
+def clean_title(
+    title: Column, subject: Column | None, docid: Column
+) -> Column:
+    """title → subject → last path segment of id (clean_title.py:18-47)."""
+    cands = [F.when(title != "", title)]
+    if subject is not None:
+        cands.append(F.when(subject != "", subject))
+    cands.append(F.element_at(F.split(docid, "/"), -1))
+    return F.coalesce(*cands)
+
+
+# content-type prefix → group (mirrors the reference's public mapping
+# table, enhance_contenttype_group.py:16-47 — behavioral config data)
+CONTENTTYPE_GROUPS: tuple[tuple[str, str], ...] = (
+    ("application/vnd.ms-excel", "Spreadsheet"),
+    ("application/vnd.oasis.opendocument.spreadsheet-template", "Spreadseheet template"),
+    ("application/vnd.oasis.opendocument.spreadsheet", "Spreadsheet"),
+    ("application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", "Spreadsheet"),
+    ("application/vnd.openxmlformats-officedocument.spreadsheetml.template", "Spreadsheet template"),
+    ("text", "Text document"),
+    ("application/gzip text", "Text document"),
+    ("application/pdf", "Text document"),
+    ("application/msword", "Text document"),
+    ("application/vnd.openxmlformats-officedocument.wordprocessingml.document", "Text document"),
+    ("application/vnd.openxmlformats-officedocument.wordprocessingml.template", "Text document template"),
+    ("application/vnd.oasis.opendocument.text-template", "Text document template"),
+    ("application/vnd.oasis.opendocument.text", "Text document"),
+    ("application/rtf", "Text document"),
+    ("application/vnd.ms-powerpoint", "Presentation"),
+    ("application/vnd.oasis.opendocument.presentation-template", "Presentation template"),
+    ("application/vnd.oasis.opendocument.presentation", "Presentation"),
+    ("application/vnd.openxmlformats-officedocument.presentationml.presentation", "Presentation"),
+    ("application/vnd.openxmlformats-officedocument.presentationml.template", "Presentation template"),
+    ("image", "Image"),
+    ("audio", "Audio"),
+    ("video", "Video"),
+    ("application/mp4", "Video"),
+    ("application/x-matroska", "Video"),
+    ("application/vnd.etsi.asic-e+zip", "Electronic Signature Container"),
+    ("Knowledge graph", "Knowledge graph"),
+)
+
+SUFFIX_GROUPS: tuple[tuple[str, str], ...] = ((".csv", "Spreadsheet"),)
+
+
+def content_type_group(content_type: Column, docid: Column) -> Column:
+    """array of matching groups: every prefix match + suffix match,
+    first-match order, deduped (enhance_contenttype_group.py:56-76)."""
+    matches = [
+        F.when(content_type.startswith(prefix), F.lit(group))
+        for prefix, group in CONTENTTYPE_GROUPS
+    ]
+    matches += [
+        F.when(F.upper(docid).endswith(suffix.upper()), F.lit(group))
+        for suffix, group in SUFFIX_GROUPS
+    ]
+    arr = F.filter(F.array(*matches), lambda v: v.isNotNull())
+    return F.when(F.size(arr) > 0, F.array_distinct(arr))
+
+
+def file_modified_dt(ts: Column) -> Column:
+    """enhance_file_mtime.py:29-36 `%Y-%m-%dT%H:%M:%SZ` string."""
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+
+
+def file_size_i(binary: Column) -> Column:
+    return F.length(binary).cast("long")

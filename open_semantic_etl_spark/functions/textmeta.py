@@ -1,0 +1,64 @@
+"""Analysis-text assembly + multilingual fan-out (pure Column exprs).
+
+``analysis_text`` reproduces the reference's ``get_text`` contract
+(etl_plugin_core.py:85-162): concatenate all non-blacklisted field
+values in field order, newline-joined, with a trailing newline. In the
+typed-column model the blacklist (etc/opensemanticsearch/blacklist/
+textanalysis/*: prefixes ``etl_``, suffixes ``_b``/``_i``/``_dt``…) is
+resolved STATICALLY at plan time to an explicit column list — the
+Catalyst equivalent of skipping technical fields per dict key.
+
+``with_multilingual`` reproduces enhance_multilingual.py:86-161: copy
+the analysis text into the default-search field ``_text_`` and into
+``text_txt_<lang>`` for the detected language.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default analysis-field order for the pages pipeline = plugin execution
+# order in the reference's default chain (title before content, cf.
+# enhance_detect_language_tika_server.py:32-38 concat order).
+DEFAULT_TEXT_FIELDS = ("title_txt", "description_txt", "content_txt")
+
+# Blacklist semantics of etc/opensemanticsearch/blacklist/textanalysis/*
+# expressed as name predicates — used by helpers that select columns.
+TECH_PREFIXES = ("etl_", "extract", "needs_", "n_")
+TECH_SUFFIXES = ("_b", "_i", "_dt", "_f", "_hash")
+
+
+def is_analysis_field(name: str) -> bool:
+    return not (
+        name.startswith(TECH_PREFIXES) or name.endswith(TECH_SUFFIXES)
+    )
+
+
+def analysis_text(*cols: str | Column) -> Column:
+    """get_text: '\n'.join(non-empty values) + trailing '\n'."""
+    arr = F.array(*[F.col(c) if isinstance(c, str) else c for c in cols])
+    non_empty = F.filter(arr, lambda v: v.isNotNull() & (v != F.lit("")))
+    return F.concat(F.array_join(non_empty, "\n"), F.lit("\n"))
+
+
+def with_analysis_text(
+    df: DataFrame, fields: tuple[str, ...] = DEFAULT_TEXT_FIELDS, out: str = "text_analysis"
+) -> DataFrame:
+    return df.withColumn(out, analysis_text(*[f for f in fields if f in df.columns]))
+
+
+def with_multilingual(
+    df: DataFrame,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    text_col: str = "text_analysis",
+    lang_col: str = "language_s",
+) -> DataFrame:
+    """_text_ default-search copy + per-language shadow columns."""
+    df = df.withColumn("text_all", F.col(text_col))
+    for lg in langs:
+        df = df.withColumn(
+            f"text_txt_{lg}",
+            F.when(F.col(lang_col) == lg, F.col(text_col)),
+        )
+    return df

@@ -1,0 +1,134 @@
+"""Contract tests for the HTML/PDF extraction core and byte-identity.
+
+Mirrors the reference's fixture style (test_etl_file.py:34-41,
+test_enhance_extract_text_tika_server.py:28-161): golden assertions on
+titles, content sentinels, and error capture — plus the BASELINE.json
+per-url invariant: extracted text byte-identical to the expected text
+carried by the synthetic pages table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.operators.htmlx import extract_html, sniff_content_type
+from open_semantic_etl_spark.operators.pdfio import build_pdf, parse_pdf
+from open_semantic_etl_spark.sources.pages import page_record, pages_df
+
+_FIXTURE = b"""<!DOCTYPE html><html><head><title>Example  Domain</title>
+<meta name="description" content="A test   page">
+<meta property="article:published_time" content="2024-03-05T10:11:12Z">
+<meta charset="utf-8"></head><body>
+<header><div>SiteName brand tagline goes here okay</div></header>
+<nav><ul><li><a href="/a">Home</a></li><li><a href="/b">About us page</a></li></ul></nav>
+<main><h2>Some head</h2>
+<p>This is the first main paragraph with enough characters to be kept by the extractor heuristic.</p>
+<p>Second paragraph also long enough, with an inline <a href="http://x">link word</a> inside the flow of text here.</p>
+<ul><li><a href="/r1">Related one</a></li><li><a href="/r2">Related two</a></li></ul>
+</main>
+<aside>We use cookies to improve your experience on this site</aside>
+<footer>Copyright 2024 SiteName. All rights reserved worldwide.</footer>
+<script>var x = 'should never appear';</script>
+</body></html>"""
+
+
+def test_boilerplate_strip_golden():
+    r = extract_html(_FIXTURE)
+    assert r["ok"] and r["err"] is None
+    assert r["content"] == (
+        "This is the first main paragraph with enough characters to be kept by the extractor heuristic.\n"
+        "Second paragraph also long enough, with an inline link word inside the flow of text here."
+    )
+    assert r["title"] == "Example Domain"  # whitespace-normalized
+    assert r["description"] == "A test page"
+    assert r["headings"] == ["Some head"]
+    assert str(r["meta_ts"]) == "2024-03-05 10:11:12+00:00"
+    assert "should never appear" not in r["content"]
+    assert "Copyright" not in r["content"]
+    assert "cookies" not in r["content"]
+
+
+def test_short_page_fallback():
+    r = extract_html(b"<html><body><p>tiny page</p></body></html>")
+    assert r["content"] == "tiny page"
+
+
+def test_encodings():
+    l1 = (
+        '<html><head><meta charset="iso-8859-1"></head><body>'
+        "<p>Die Größe der Übung war außerordentlich gut für alle Beteiligten.</p>"
+        "</body></html>"
+    ).encode("latin-1")
+    r = extract_html(l1)
+    assert r["encoding"] == "iso-8859-1"
+    assert "Größe" in r["content"]
+
+    u16 = "<html><body><p>UTF sixteen page with enough characters here surely</p></body></html>"
+    r = extract_html(b"\xff\xfe" + u16.encode("utf-16-le"))
+    assert r["encoding"] == "utf-16-le"
+    assert not r["content"].startswith("﻿")
+
+
+def test_malformed_markup():
+    r = extract_html(
+        b"<body><p>First unclosed paragraph block with plenty of characters here"
+        b"<p>Second unclosed paragraph also has plenty of characters here</div>"
+    )
+    assert r["content"].count("\n") == 1 and r["ok"]
+
+
+def test_binary_sniffing():
+    assert extract_html(b"\x89PNG\r\nnoise\x00" * 4)["content_type"] == "image/png"
+    assert extract_html(bytes([0, 1, 2, 255]) * 100)["content_type"] == "application/octet-stream"
+    assert extract_html(b"")["content"] == ""
+    assert extract_html(None)["ok"]
+    assert sniff_content_type(b"PK\x03\x04zipdata") == "application/zip"
+
+
+def test_pdf_roundtrip():
+    pdf = build_pdf(
+        ["TestPDFContent1 on TestPDFPage1", "TestPDFContent2 on TestPDFPage2"],
+        title="TestPDFtitle",
+        author="Test Author",
+        n_images=2,
+    )
+    r = parse_pdf(pdf)
+    assert r["ok"]
+    assert r["pages"] == [
+        "TestPDFContent1 on TestPDFPage1",
+        "TestPDFContent2 on TestPDFPage2",
+    ]
+    assert r["title"] == "TestPDFtitle" and r["author"] == "Test Author"
+    assert r["npages"] == 2 and r["n_images"] == 2
+
+    via_html = extract_html(pdf)
+    assert via_html["content_type"] == "application/pdf"
+    assert "TestPDFContent1 on TestPDFPage1" in via_html["content"]
+    assert via_html["needs_ocr"] is True  # embedded images → OCR tier
+
+    assert parse_pdf(b"not a pdf")["ok"] is False
+
+
+def test_pdf_escapes_and_plain():
+    r = parse_pdf(build_pdf(["Hello (world)\nline \\two"], compress=False))
+    assert r["pages"] == ["Hello (world)\nline \\two"]
+
+
+def test_generator_closed_loop_pure():
+    """Every generator variant byte-matches the extractor (no Spark)."""
+    for i in range(300):
+        rec = page_record(i)
+        got = extract_html(rec["html"])
+        assert got["content"] == rec["text"], f"row {i} variant {i % 10}"
+
+
+def test_byte_identity_spark(spark):
+    """BASELINE.json invariant end-to-end through the DataFrame stage."""
+    from open_semantic_etl_spark.operators.html_extract import with_extraction
+
+    ext = with_extraction(pages_df(spark, 400, partitions=4))
+    assert ext.filter(F.col("content_txt") != F.col("text")).count() == 0
+    assert ext.filter(~F.col("extract_ok")).count() == 0
+    # hot host present for skew exercises
+    hot = ext.filter(F.col("url").contains("big.example.com")).count()
+    assert hot == 100  # 25% of 400
