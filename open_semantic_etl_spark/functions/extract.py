@@ -100,7 +100,9 @@ _NUMBER_RE = r"\d+(?:[.,]\d+)*"
 def money(text: Column, currency_labels: tuple[str, ...] = ()) -> Column:
     import re as _re
 
-    cur = "|".join([_re.escape("$"), _re.escape("€")] + [_re.escape(c) for c in currency_labels])
+    # longest-first so 'dollars' wins over its prefix 'dollar'
+    labels = sorted(currency_labels, key=len, reverse=True)
+    cur = "|".join([_re.escape("$"), _re.escape("€")] + [_re.escape(c) for c in labels])
     rule1 = rf"(?i){_NUMBER_RE}\s?(?:{cur})"
     rule2 = rf"(?i)(?:{cur})\s?{_NUMBER_RE}"
     return F.array_distinct(
