@@ -1,0 +1,335 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracles.
+
+Each entry exercises one operator family from SURVEY.md §2 (or a
+training-data op from the build brief) over the driver's parquet tables
+(`documents`, `embeddings`, `events`, TPC-H star schema). For
+SQL-expressible operators the DuckDB oracle computes the same result
+independently; UDF-backed operators (extraction, language id,
+minhash/simhash) get rows-only checks.
+
+Dialect notes (Spark Catalyst regex = Java; DuckDB = RE2):
+- no lookahead in RE2 → normalizations use capture groups instead;
+- case-insensitivity via '(?i)' (Java) vs the 'i' option arg (DuckDB);
+- float aggregates rounded to tolerate summation-order differences.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.functions import extract as X
+from open_semantic_etl_spark.functions import path as P
+from open_semantic_etl_spark.schema import PAGES_SCHEMA
+
+# ---------------------------------------------------------------------------
+# pages-from-documents: deterministic HTML wrapping of the documents
+# corpus, so the extraction pipeline runs on driver-provided data and the
+# oracle is simply `SELECT …, text FROM documents` (byte identity).
+# ---------------------------------------------------------------------------
+
+_DOC_TEMPLATE = (
+    "<html><head><title>doc {doc_id}</title><meta charset=\"utf-8\"></head><body>"
+    "<header><div>Corpus viewer</div></header>"
+    '<nav><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li></ul></nav>'
+    "<main><p>{text}</p></main>"
+    '<aside>We use cookies <a href="#">Accept</a></aside>'
+    "<footer>Copyright 2024 Corpus.</footer></body></html>"
+)
+
+
+def doc_url(doc_id: int) -> str:
+    return f"https://host{doc_id % 13}.example.org/doc/{doc_id}.html"
+
+
+DOC_URL_SQL = "'https://host' || (doc_id % 13) || '.example.org/doc/' || doc_id || '.html'"
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from datetime import datetime, timedelta, timezone
+
+        epoch = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                html = _DOC_TEMPLATE.format(doc_id=doc_id, text=text or "").encode()
+                rows.append(
+                    {
+                        "url": doc_url(int(doc_id)),
+                        "warc_ts": epoch + timedelta(seconds=int(doc_id)),
+                        "html": html,
+                        "text": text,
+                        "lang": lang,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(wrap, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# helper: deterministic extraction-rich derived text over documents —
+# both engines build the same string, then extract from it.
+# ---------------------------------------------------------------------------
+
+_RICH_SPARK = (
+    "concat(text, ' From: user', doc_id % 50, '@mail', doc_id % 7, '.example.org ',"
+    " 'call +49 30 ', cast(1000000 + doc_id % 899999 as string), ' now ',"
+    " '#tag', doc_id % 40, 'topic ',"
+    " 'IBAN DE75512108001245', lpad(cast(doc_id % 999 as string), 6, '0'), ' ',"
+    " 'Strafgesetzbuch § ', cast(12 + doc_id % 300 as string), ' Abs. ', cast(1 + doc_id % 4 as string), ' ',"
+    " cast(100 + doc_id % 9000 as string), ' $ fin')"
+)
+_RICH_DUCK = (
+    "text || ' From: user' || (doc_id % 50) || '@mail' || (doc_id % 7) || '.example.org ' || "
+    "'call +49 30 ' || (1000000 + doc_id % 899999) || ' now ' || "
+    "'#tag' || (doc_id % 40) || 'topic ' || "
+    "'IBAN DE75512108001245' || lpad((doc_id % 999)::varchar, 6, '0') || ' ' || "
+    "'Strafgesetzbuch § ' || (12 + doc_id % 300) || ' Abs. ' || (1 + doc_id % 4) || ' ' || "
+    "(100 + doc_id % 9000) || ' $ fin'"
+)
+
+
+def _docs_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.expr(_RICH_SPARK).alias("rich"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+
+def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: HTML-wrap documents → boilerplate-strip → byte identity."""
+    from open_semantic_etl_spark.operators.html_extract import with_extraction
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = with_extraction(pages)
+    return out.select(
+        "url",
+        F.col("content_txt"),
+        F.col("title_txt"),
+    ).orderBy("url")
+
+
+SQL_EXTRACT_PAGES = f"""
+SELECT {DOC_URL_SQL} AS url,
+       text AS content_txt,
+       'doc ' || doc_id AS title_txt
+FROM documents
+ORDER BY url
+"""
+
+
+def q_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rich(spark, sf_dir)
+    em = X.emails(F.col("rich"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(em), ",").alias("email_ss"),
+        F.array_join(F.array_sort(X.email_domains(em)), ",").alias("email_domain_ss"),
+        F.array_join(F.array_sort(X.message_from(F.col("rich"))), ",").alias("message_from_ss"),
+    )
+
+
+def q_phones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rich(spark, sf_dir)
+    ph = X.phones(F.col("rich"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(ph), ",").alias("phone_ss"),
+        F.array_join(F.array_sort(X.phones_normalized(ph)), ",").alias("phone_normalized_ss"),
+    )
+
+
+def q_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rich(spark, sf_dir)
+    return d.select(
+        "doc_id", F.array_join(X.hashtags(F.col("rich")), ",").alias("hashtag_ss")
+    )
+
+
+def q_iban(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rich(spark, sf_dir)
+    return d.select("doc_id", F.array_join(F.array_sort(X.iban(F.col("rich"))), ",").alias("iban_ss"))
+
+
+def q_law_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rich(spark, sf_dir)
+    return d.select(
+        "doc_id", F.array_join(F.array_sort(X.law_clauses(F.col("rich"))), ",").alias("law_clause_ss")
+    )
+
+
+def q_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_rich(spark, sf_dir)
+    return d.select(
+        "doc_id", F.array_join(F.array_sort(X.money(F.col("rich"))), ",").alias("money_ss")
+    )
+
+
+def q_path_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('https://www.example.org/', source, '/sub', doc_id % 3, '/file', doc_id, '.PdF')"
+        ).alias("url"),
+    )
+    out = P.with_path_facets(d, id_col="url")
+    return out.select(
+        "doc_id", "path0_s", "path1_s", "path2_s", "path_basename_s", "filename_extension_s"
+    )
+
+
+def q_clean_title(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("T"), F.col("doc_id"))).otherwise(F.lit("")).alias("title"),
+        F.when(F.col("doc_id") % 3 == 1, F.concat(F.lit("S"), F.col("doc_id"))).alias("subject"),
+        F.concat(F.lit("http://h/x/f"), F.col("doc_id"), F.lit(".pdf")).alias("url"),
+    )
+    return d.select(
+        "doc_id",
+        P.clean_title(F.col("title"), F.col("subject"), F.col("url")).alias("title_txt"),
+    )
+
+
+def q_content_type_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ct = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("application/pdf"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("image/png"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("text/plain"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("application/vnd.ms-excel"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    url = F.concat(
+        F.lit("http://h/f"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".csv")).otherwise(F.lit(".bin")),
+    )
+    d = docs.select("doc_id", ct.alias("ct"), url.alias("url"))
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.coalesce(P.content_type_group(F.col("ct"), F.col("url")), F.array())), ","
+        ).alias("content_type_group_ss"),
+    )
+
+
+def q_analysis_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.functions.textmeta import analysis_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "doc_id",
+        F.concat(F.lit("title "), F.col("doc_id")).alias("title_txt"),
+        F.lit("").alias("description_txt"),
+        F.col("text").alias("content_txt"),
+    )
+    return d.select(
+        "doc_id",
+        analysis_text("title_txt", "description_txt", "content_txt").alias("text_analysis"),
+    )
+
+
+def q_file_modified_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", P.file_modified_dt(F.col("ts")).alias("file_modified_dt")
+    )
+
+
+def q_mapping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mappings = {
+        "/": "file:///",
+        "/src0/": "file:///mapped-src0/",
+        "/src0/deep/": "file:///mapped-deep/",
+    }
+    d = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("/"),
+            F.col("source"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/deep")).otherwise(F.lit("")),
+            F.lit("/f"),
+            F.col("doc_id"),
+        ).alias("path"),
+    )
+    return d.select("doc_id", P.mapping_id(F.col("path"), mappings).alias("mapped_id"))
+
+
+# --- relational layer (inherited from Spark SQL — SURVEY.md §2.9) ----------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # decimal accumulation: associative → bit-identical across engines
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+                2,
+            ).cast("decimal(18,2)").cast("string").alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("spend")
+    )
+    j = c.join(spend, c.c_custkey == spend.o_custkey, "inner").join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    w = W.partitionBy("n_name").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "spend", "rk")
+    )
+
+
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gap>30min sessionization via lag + cumulative sum (public pattern)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → LTZ(UTC) → epoch
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("session_value"),
+    )
