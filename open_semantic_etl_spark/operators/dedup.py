@@ -1,0 +1,273 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's per-field value dedupe (etl.py:296 —
+``list(set(...))``), a training-data pipeline needs document-level
+dedup. All variants are shuffle-conscious:
+
+- exact:   one shuffle on the 128-bit content hash (never the text);
+- MinHash+LSH: signatures map-side (JVM-only expressions), one shuffle
+  on (band_id, band_hash) to form candidate buckets — the standard
+  shingle→minhash→band→bucket-join pipeline (Broder 1997 resemblance /
+  LSH banding per Mining of Massive Datasets ch.3);
+- SimHash: 64-bit fingerprints map-side (vectorized numpy in a pandas
+  UDF), candidates via 4×16-bit band exchange (Charikar 2002 /
+  Manku et al. 2007 near-duplicate detection);
+- n-gram Jaccard: exact verification on candidate pairs (or full
+  O(n²) within small blocks for oracle checking).
+
+At 10^12 docs: every variant keys its single shuffle by a short hash,
+AQE splits skewed buckets (stop-word shingles are pre-hashed away by
+banding), and candidate verification joins fetch only the two text
+columns needed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def with_exact_dup_flag(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """is_duplicate: every row after the first (by id) with identical text."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    w = W.partitionBy(h).orderBy(F.col(id_col))
+    return df.withColumn("content_md5", h).withColumn(
+        "is_duplicate", F.row_number().over(w) > 1
+    )
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """groups with >1 member: (content_md5, n_dups, member ids)."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(F.col(id_col), h.alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.count("*").alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH banding — all JVM-side expressions
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """lowercased word n-grams (distinct), pure Column expression."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.when(k >= 1, F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+    )).otherwise(F.array(words[0]))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """array<long> of per-permutation minima: xxhash64(shingle, seed_j).
+
+    Seeding xxhash64 with the permutation index is the standard
+    one-hash-family trick; everything stays in whole-stage codegen.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band.
+
+    rows/bands trade precision for recall: 64 hashes in 16 bands of 4
+    targets Jaccard ≳ (1/16)^(1/4) ≈ 0.5.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("sig"), b * rows + r + 1).cast("string") for r in range(rows)])).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select("_id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    # one shuffle: bucket-join on (band, band_hash)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    )
+    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification / oracle path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """exact Jaccard over word n-grams for all id_a < id_b pairs.
+
+    O(n²) — verification of LSH candidates or oracle use on small
+    blocks; production path is lsh_candidate_pairs → this on candidates.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / union
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit simhash per text: crc32-seeded token hashes, bit majority."""
+    import zlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        # two crc32s → 64 deterministic bits per token
+        h = np.fromiter(
+            (
+                (zlib.crc32(w.encode()) << 32) | zlib.crc32(w.encode(), 0xDEADBEEF)
+                for w in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for k in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(k)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    udf = F.pandas_udf(_simhash_batch, T.LongType())
+    return df.withColumn(out, udf(F.col(text_col)))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit
+    banding (pigeonhole: ≤3 differing bits → ≥1 identical 16-bit band)."""
+    sh = with_simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    bands = [
+        F.struct(F.lit(b).alias("band"), F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+        for b in range(4)
+    ]
+    ex = sh.select("_id", "simhash", F.explode(F.array(*bands)).alias("bb")).select(
+        "_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cosine similarity of two array<float/double> columns (JVM-side)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """pairs with cosine ≥ threshold (brute self-join — verification
+    path; the scale path blocks candidates via sign-LSH first,
+    see operators/similarity.py)."""
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), F.round(cos, 4).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k (exact; one broadcast of the query
+set, map-side scoring, one shuffle for the per-query top-k window).
+Scale path: random-hyperplane sign-LSH bucketing (Charikar 2002 SimHash
+for angular distance) — candidates share ≥1 signature band, so the
+corpus-side scan prunes to matching buckets; recall is tested against
+the brute-force baseline in tests/test_dedup.py.
+
+At 10^12 rows the brute force path is per-query O(N); the LSH path
+shuffles (band, bucket) keys only, and the final scoring join touches
+only candidate rows. An IVF variant would replace the random planes
+with k-means centroids — same plumbing, different bucketer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from open_semantic_etl_spark.operators.dedup import cosine
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """exact top-k cosine neighbors for each query id (excluding self).
+
+    The query side is tiny → broadcast; scoring is JVM-side
+    (zip_with/aggregate); one shuffle for the window top-k.
+    """
+    base = df.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    queries = base.filter(F.col("nbr_id").isin(query_ids)).select(
+        F.col("nbr_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = base.crossJoin(F.broadcast(queries)).filter(
+        F.col("nbr_id") != F.col("query_id")
+    )
+    scored = scored.select(
+        "query_id", "nbr_id", F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cos", "rk")
+    )
+
+
+def random_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """deterministic Gaussian hyperplanes (public sign-LSH scheme)."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def signature_expr(vec: Column, planes: np.ndarray) -> Column:
+    """bit-packed sign signature: bit_j = (v · plane_j) > 0 (JVM-side)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """approximate top-k: candidates share ≥1 sign-LSH band with the query.
+
+    16 planes in 4 bands of 4 bits → a candidate must agree with the
+    query on all 4 signs of some band (collision prob (1-θ/π)^4 per
+    band — high for near-0 angles, steeply decaying).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = random_planes(dim, n_planes, seed)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+
+    base = df.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        signature_expr(F.col(vec_col).cast("array<double>"), planes).alias("sig"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("sig", rows * b).bitwiseAND(F.lit(mask)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    ex = base.select("nbr_id", "v", F.explode(band_arr).alias("bb")).select(
+        "nbr_id", "v", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    qex = (
+        ex.filter(F.col("nbr_id").isin(query_ids))
+        .select(F.col("nbr_id").alias("query_id"), F.col("v").alias("qv"), "band", "bh")
+    )
+    cands = (
+        ex.join(F.broadcast(qex), ["band", "bh"])
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "qv", "nbr_id", "v")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "nbr_id", F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cos", "rk")
+    )

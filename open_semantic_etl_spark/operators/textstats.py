@@ -1,0 +1,98 @@
+"""Text-quality analysis for corpus curation (pure Column expressions).
+
+Quality scoring, token counting, and document fingerprinting over a
+text column — the triage pass a training-data pipeline runs before the
+expensive tiers. Everything here is JVM-side (regexp + array exprs), so
+it composes with the extraction pipeline at zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small shared English function-word list for the stopword-ratio signal
+_QUALITY_STOPWORDS = (
+    "the of and to in a is that it was for on are with as at be this have "
+    "from or had by but what some we can out other were all there when up"
+).split()
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (the GPT-2-style pretokenize regex family, simplified to Java/RE2-safe form)
+BPE_TOKEN_RE = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]"
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_ws_tokens", F.size(whitespace_tokens(t)))
+        .withColumn("n_bpe_tokens", F.size(bpe_ish_tokens(t)))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(whitespace_tokens(t))))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length/punct/stopword/digit signals + a composite [0,1] score.
+
+    Signals follow the public quality-filter recipes (C4/Gopher rules):
+    mean word length, stopword ratio, symbol ratio, repetition ratio.
+    """
+    t = F.col(text_col)
+    toks = whitespace_tokens(t)
+    n = F.size(toks)
+    chars = F.length(t)
+    stop_arr = F.array(*[F.lit(s) for s in _QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+
+    df = (
+        df.withColumn("n_tokens", n)
+        .withColumn("n_chars", chars)
+        .withColumn(
+            "mean_word_len",
+            F.when(n > 0, F.round((chars - (n - 1)) / n, 4)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio", F.when(n > 0, F.round(n_stop / n, 4)).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "punct_ratio", F.when(chars > 0, F.round(n_punct / chars, 4)).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "digit_ratio", F.when(chars > 0, F.round(n_digit / chars, 4)).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "repetition_ratio",
+            F.when(n > 0, F.round(1 - F.size(F.array_distinct(toks)) / n, 4)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    # composite: in-range length, word shape, some stopwords, low noise
+    score = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 0.25).otherwise(0.0)
+        + F.when((F.col("mean_word_len") >= 2.5) & (F.col("mean_word_len") <= 12), 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when((F.col("digit_ratio") < 0.2) & (F.col("repetition_ratio") < 0.6), 0.25).otherwise(0.0)
+    )
+    return df.withColumn("quality_score", F.round(score, 2))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """stable document fingerprints:
+    - fp_md5: md5 of whitespace-normalized lowercase text (exact identity);
+    - fp_rolling: xxhash64 of the normalized token stream (order-aware
+      64-bit rolling identity, cheap join key)."""
+    norm = F.array_join(whitespace_tokens(F.lower(F.col(text_col))), " ")
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn(
+        "fp_rolling", F.xxhash64(norm)
+    )

@@ -1,0 +1,139 @@
+"""Dedup / similarity / textstats operator tests.
+
+Synthetic corpus with planted exact duplicates, near-duplicates
+(small edits), and unrelated documents — plus embedding ANN recall
+checked against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.operators import dedup as D
+from open_semantic_etl_spark.operators import similarity as S
+from open_semantic_etl_spark.operators import textstats as TS
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the busy farmer "
+    "watches from the old wooden fence near the quiet river bank every "
+    "single morning before the sun rises over the green hills"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, _BASE),
+        (1, _BASE),  # exact dup of 0
+        (2, _BASE.replace("quick", "swift")),  # near dup (1 word)
+        (3, _BASE.replace("morning", "evening").replace("green", "brown")),  # near dup
+        (4, "completely different text about databases indexes and storage engines for analytics"),
+        (5, "another unrelated document discussing climate research and ocean temperature models"),
+        (6, ""),  # empty
+        (7, _BASE + " with a small suffix added at the very end here"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, corpus):
+    flagged = D.with_exact_dup_flag(corpus)
+    dups = {r["doc_id"] for r in flagged.filter("is_duplicate").collect()}
+    assert dups == {1}
+    groups = D.exact_duplicate_groups(corpus).collect()
+    assert len(groups) == 1 and groups[0]["ids"] == [0, 1]
+
+
+def test_jaccard_pairs(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_minhash_lsh_candidates(spark, corpus):
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.lsh_candidate_pairs(corpus).collect()
+    }
+    # exact + near dups must be recalled
+    assert (0, 1) in cands and cands[(0, 1)] == 1.0
+    assert (0, 2) in cands
+    assert (0, 7) in cands
+    # unrelated docs must not collide
+    assert (4, 5) not in cands
+    assert (0, 4) not in cands
+
+
+def test_simhash_candidates(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_candidate_pairs(corpus, max_hamming=6).collect()
+    }
+    assert got[(0, 1)] == 0  # identical text → identical simhash
+    assert (0, 2) in got and got[(0, 2)] <= 6
+    assert (0, 4) not in got
+
+
+def test_simhash_deterministic(spark, corpus):
+    a = {r["doc_id"]: r["simhash"] for r in D.with_simhash(corpus).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in D.with_simhash(corpus).collect()}
+    assert a == b and a[0] == a[1] != 0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # 20..24: tiny perturbations of 0..4 → planted nearest neighbors
+    for i in range(5):
+        v = base[i] + 0.03 * rng.randn(16)
+        rows.append((20 + i, [float(x) for x in v / np.linalg.norm(v)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark, embeddings):
+    out = S.brute_force_topk(embeddings, query_ids=[0, 1, 2, 3, 4], k=1)
+    top1 = {r["query_id"]: r["nbr_id"] for r in out.collect()}
+    assert top1 == {0: 20, 1: 21, 2: 22, 3: 23, 4: 24}
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    brute = S.brute_force_topk(embeddings, query_ids=[0, 1, 2, 3, 4], k=1)
+    approx = S.lsh_topk(embeddings, query_ids=[0, 1, 2, 3, 4], k=1, dim=16)
+    bt = {(r["query_id"], r["nbr_id"]) for r in brute.collect()}
+    at = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    # planted twins are near-0 angle → every band collides → full recall
+    assert bt <= at | bt and len(bt & at) >= 4  # ≥80% recall@1
+
+
+def test_embedding_dup_pairs(spark, embeddings):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_dup_pairs(embeddings, threshold=0.99).collect()}
+    assert {(0, 20), (1, 21), (2, 22), (3, 23), (4, 24)} <= pairs
+
+
+def test_token_counts_and_quality(spark, corpus):
+    out = TS.with_quality(TS.with_token_counts(corpus, "text"), "text")
+    r = {x["doc_id"]: x for x in out.collect()}
+    base_tokens = len(_BASE.split())
+    assert r[0]["n_ws_tokens"] == base_tokens
+    assert r[0]["n_bpe_tokens"] >= base_tokens
+    assert r[6]["n_ws_tokens"] == 0 and r[6]["quality_score"] <= 0.5
+    assert r[0]["quality_score"] == 1.0
+    assert 0 < r[0]["stopword_ratio"] < 1
+    assert r[0]["repetition_ratio"] > 0  # 'the' repeats
+
+
+def test_fingerprints(spark, corpus):
+    out = TS.with_fingerprint(corpus, "text")
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[0]["fp_md5"] == r[1]["fp_md5"]
+    assert r[0]["fp_rolling"] == r[1]["fp_rolling"]
+    assert r[0]["fp_md5"] != r[2]["fp_md5"]
