@@ -1,0 +1,88 @@
+"""Fused single-pass Python stage: extract + langid + NER + numerize.
+
+Why: each pandas UDF in a plan is its own ArrowEvalPython node with its
+own Python-worker pool, so a chain of four UDFs ships the (large) text
+columns JVM→Python→JVM four times and runs 4× task-count Python
+processes at peak — the measured scaling collapse at local[32]
+(BENCH history: 0.37 efficiency unfused). This operator does all
+per-byte Python work in ONE ``mapInPandas`` pass: html bytes cross the
+boundary once, everything downstream is JVM-only column algebra.
+
+The fused stage reproduces the exact same observable columns as the
+modular operators (tests assert equality), including the ``get_text``
+analysis-text contract (title\\ndescription\\ncontent + trailing
+newline — etl_plugin_core.py:146-162).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from open_semantic_etl_spark.operators.entity_linking import Gazetteer
+from open_semantic_etl_spark.operators.htmlx import extract_html
+from open_semantic_etl_spark.operators.langdetect import detect_language
+from open_semantic_etl_spark.operators.numerize import numerize_en
+from open_semantic_etl_spark.schema import ENTITY_TYPE, EXTRACT_RESULT_TYPE
+
+_EXTRA_FIELDS = [
+    T.StructField("text_analysis", T.StringType(), True),
+    T.StructField("language_s", T.StringType(), True),
+    T.StructField("entities", ENTITY_TYPE, True),
+    T.StructField("text_numerized", T.StringType(), True),
+]
+
+
+def analysis_text_py(title: str | None, description: str | None, content: str | None) -> str:
+    """Python twin of functions.textmeta.analysis_text (same contract)."""
+    vals = [v for v in (title, description, content) if v]
+    return "\n".join(vals) + "\n"
+
+
+def fused_schema(input_schema: T.StructType) -> T.StructType:
+    fields = list(input_schema.fields)
+    taken = {f.name for f in fields}
+    for f in list(EXTRACT_RESULT_TYPE.fields) + _EXTRA_FIELDS:
+        if f.name not in taken:
+            fields.append(f)
+    return T.StructType(fields)
+
+
+def with_fused_extraction(
+    df: DataFrame,
+    gazetteer: Gazetteer | None = None,
+    html_col: str = "html",
+) -> DataFrame:
+    """One Python pass: html → extract struct fields + text_analysis +
+    language_s + entities + text_numerized (flattened columns)."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(gazetteer) if gazetteer is not None else None
+    out_schema = fused_schema(df.schema)
+    out_cols = [f.name for f in out_schema.fields]
+    extract_cols = [f.name for f in EXTRACT_RESULT_TYPE.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gz = bc.value if bc is not None else None
+        for pdf in batches:
+            recs = [extract_html(h) for h in pdf[html_col]]
+            for name in extract_cols:
+                pdf[name] = [r[name] for r in recs]
+            analysis = [
+                analysis_text_py(r["title"], r["description"], r["content"])
+                for r in recs
+            ]
+            pdf["text_analysis"] = analysis
+            pdf["language_s"] = [detect_language(t) for t in analysis]
+            pdf["entities"] = (
+                [gz.tag(t) for t in analysis] if gz is not None else [[] for _ in analysis]
+            )
+            pdf["text_numerized"] = [
+                numerize_en(t) if lang == "en" else t
+                for t, lang in zip(analysis, pdf["language_s"])
+            ]
+            yield pdf[out_cols]
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -66,13 +66,28 @@ def enrich_pages(
     currency_labels: tuple[str, ...] = DEFAULT_CURRENCY_LABELS,
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),
     repartition: int | None = None,
+    fused: bool = True,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, …) → fully enriched rows."""
+    """pages(url, warc_ts, html, …) → fully enriched rows.
+
+    ``fused=True`` (default, the scale path) runs ALL per-byte Python
+    work — extraction, language id, gazetteer NER, numerization — in a
+    single ``mapInPandas`` pass (operators/fused.py): html crosses the
+    JVM↔Python boundary once, and only one Python worker pool runs per
+    task. ``fused=False`` keeps the modular one-UDF-per-operator chain
+    (same observable columns; tests assert equivalence).
+    """
     if repartition:
         # explicit hash partitioning on url: even spread under sorted/
         # hot-host inputs (north rule; SURVEY.md §4 item 1)
         df = df.repartition(repartition, F.xxhash64("url"))
 
+    if fused:
+        return _enrich_after_python(
+            _fused_python_stage(df, gazetteer), currency_labels, langs
+        )
+
+    # --- modular path -------------------------------------------------
     # 1. extraction
     df = with_extraction(df)
     df = df.withColumn("content_hash", content_hash())
@@ -125,4 +140,54 @@ def enrich_pages(
     # 7. multilingual fan-out
     df = M.with_multilingual(df, langs=langs)
 
+    return df
+
+
+def _fused_python_stage(df: DataFrame, gazetteer) -> DataFrame:
+    """single-pass Python stage + hot-column aliases (fused path)."""
+    from open_semantic_etl_spark.operators.fused import with_fused_extraction
+
+    df = with_fused_extraction(df, gazetteer)
+    return (
+        df.withColumn("content_txt", F.col("content"))
+        .withColumn("title_txt", F.col("title"))
+        .withColumn("description_txt", F.col("description"))
+        .withColumn("extract_ok", F.col("ok"))
+        .withColumn("extract_err", F.col("err"))
+        .withColumn("content_hash", content_hash())
+    )
+
+
+def _enrich_after_python(
+    df: DataFrame,
+    currency_labels: tuple[str, ...],
+    langs: tuple[str, ...],
+) -> DataFrame:
+    """all remaining stages — pure JVM column algebra, no Python."""
+    df = P.with_path_facets(df, id_col="url")
+    df = df.withColumn(
+        "title_txt", P.clean_title(F.col("title_txt"), None, F.col("url"))
+    )
+    df = df.withColumn(
+        "content_type_group_ss",
+        P.content_type_group(F.col("content_type"), F.col("url")),
+    )
+    df = df.withColumn("file_modified_dt", P.file_modified_dt(F.col("warc_ts")))
+    df = df.withColumn("file_size_i", P.file_size_i(F.col("html")))
+
+    text = F.col("text_analysis")
+    df = (
+        df.withColumn("email_ss", X.emails(text))
+        .withColumn("email_domain_ss", X.email_domains(X.emails(text)))
+        .withColumn("message_from_ss", X.message_from(text))
+        .withColumn("message_to_ss", X.message_to(text))
+        .withColumn("phone_ss", X.phones(text))
+        .withColumn("phone_normalized_ss", X.phones_normalized(X.phones(text)))
+        .withColumn("hashtag_ss", X.hashtags(text))
+        .withColumn("iban_ss", X.iban(text))
+    )
+    df = with_law(df)
+    df = with_money(df, currency_labels, numerized_col="text_numerized")
+    df = df.drop("text_numerized")
+    df = M.with_multilingual(df, langs=langs)
     return df

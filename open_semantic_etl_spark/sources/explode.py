@@ -1,0 +1,345 @@
+"""Container explodes: one parent doc → many child rows.
+
+The reference's only table-generating operators (SURVEY.md §2.2) —
+each re-enters the full ETL per child (enhance_zip.py:31-116,
+enhance_warc.py:64-106, enhance_csv.py:205-253, enhance_pdf_page.py:
+62-147, enhance_sentence_segmentation.py:89-129). Here each becomes a
+pandas-UDF stage producing ``array<struct<…>>`` followed by
+``posexplode`` — the child rows then flow through the same enrichment
+pipeline (plans/pipeline.py) as any page.
+
+Child-id schemes preserved exactly:
+  zip member   → ``<id>/<member path>``, ``container_s`` = outermost zip
+  warc record  → ``<target_uri>/<record_id>``
+  csv row      → ``<id>#<rownum>`` with ``page_i`` = rownum
+  pdf page     → ``<id>#page=<n>`` (1-based), parent title/author copied
+  sentence     → ``<id>#sentence<n>`` (1-based)
+
+All parsers are stdlib (zipfile / csv / minimal WARC reader) running on
+binary columns inside Arrow batches — no temp files, no subprocesses.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# ZIP — enhance_zip semantics (recursive, outermost container wins)
+# ---------------------------------------------------------------------------
+
+ZIP_CHILD_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("child_id", T.StringType(), False),
+            T.StructField("container_s", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+        ]
+    )
+)
+
+
+def _zip_members(data: bytes, base_id: str, container: str) -> list[dict]:
+    out: list[dict] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            payload = zf.read(info)
+            child_id = f"{base_id}/{info.filename}"
+            if payload[:4] == b"PK\x03\x04" and info.filename.lower().endswith(".zip"):
+                # zip-in-zip: recurse, keep the OUTERMOST container id
+                out.extend(_zip_members(payload, child_id, container))
+            else:
+                out.append(
+                    {"child_id": child_id, "container_s": container, "bytes": payload}
+                )
+    return out
+
+
+def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """zip rows → one row per (recursively reached) member file."""
+
+    def run(series: pd.Series, ids: pd.Series) -> pd.Series:
+        res = []
+        for data, base in zip(series, ids):
+            try:
+                res.append(_zip_members(data, base, base))
+            except Exception:  # noqa: BLE001 — bad archive → no children
+                res.append([])
+        return pd.Series(res)
+
+    udf = F.pandas_udf(run, ZIP_CHILD_TYPE)
+    ex = df.withColumn("_children", udf(F.col(bytes_col), F.col(id_col)))
+    ex = ex.select(
+        F.col(id_col).alias("parent_id"), F.explode("_children").alias("c")
+    )
+    return ex.select(
+        F.col("c.child_id").alias("url"),
+        F.col("c.container_s").alias("container_s"),
+        F.col("c.bytes").alias("html"),
+        "parent_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# WARC — minimal WARC/1.x reader (enhance_warc semantics: response records)
+# ---------------------------------------------------------------------------
+
+WARC_CHILD_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("child_id", T.StringType(), False),
+            T.StructField("target_uri", T.StringType(), True),
+            T.StructField("warc_date", T.StringType(), True),
+            T.StructField("bytes", T.BinaryType(), True),
+        ]
+    )
+)
+
+_HTTP_HDR_END = re.compile(rb"\r?\n\r?\n")
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """yield response records: (child_id, target_uri, warc_date, payload).
+
+    Reads WARC/1.0/1.1 record headers (Content-Length framing); for
+    ``response`` records strips the HTTP envelope to the body, matching
+    warcio's content_stream behavior used by enhance_warc.py:80-92.
+    """
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if not data[pos:].lstrip().startswith(b"WARC/"):
+            break
+        start = pos + len(data[pos:]) - len(data[pos:].lstrip())
+        m = _HTTP_HDR_END.search(data, start)
+        if not m:
+            break
+        header_blob = data[start : m.start()].decode("utf-8", "replace")
+        body_start = m.end()
+        headers: dict[str, str] = {}
+        for line in header_blob.split("\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        payload = data[body_start : body_start + length]
+        pos = body_start + length
+        if headers.get("warc-type") == "response":
+            http_m = _HTTP_HDR_END.search(payload)
+            body = payload[http_m.end() :] if http_m else payload
+            uri = headers.get("warc-target-uri")
+            rid = headers.get("warc-record-id", "").strip("<>")
+            out.append(
+                {
+                    "child_id": f"{uri}/{rid}",
+                    "target_uri": uri,
+                    "warc_date": headers.get("warc-date"),
+                    "bytes": body,
+                }
+            )
+    return out
+
+
+def explode_warc(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    def run(series: pd.Series) -> pd.Series:
+        res = []
+        for data in series:
+            try:
+                res.append(parse_warc(data))
+            except Exception:  # noqa: BLE001
+                res.append([])
+        return pd.Series(res)
+
+    udf = F.pandas_udf(run, WARC_CHILD_TYPE)
+    ex = df.withColumn("_children", udf(F.col(bytes_col)))
+    ex = ex.select(F.col(id_col).alias("parent_id"), F.explode("_children").alias("c"))
+    return ex.select(
+        F.col("c.child_id").alias("url"),
+        F.col("c.target_uri").alias("target_uri"),
+        F.to_timestamp(F.col("c.warc_date")).alias("warc_ts"),
+        F.col("c.bytes").alias("html"),
+        "parent_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV — enhance_csv semantics (sniffed dialect, title row, typed shadows)
+# ---------------------------------------------------------------------------
+
+CSV_SNIFF_BYTES = 32 * 1024 * 1024  # reference cap: enhance_csv.py:127-129
+
+CSV_CHILD_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("child_id", T.StringType(), False),
+            T.StructField("page_i", T.IntegerType(), False),
+            T.StructField("container_s", T.StringType(), False),
+            T.StructField("fields", T.MapType(T.StringType(), T.StringType()), False),
+            T.StructField("numbers", T.MapType(T.StringType(), T.DoubleType()), False),
+        ]
+    )
+)
+
+
+def _csv_rows(data: bytes, base_id: str, title_row: int | None = 0) -> list[dict]:
+    """dialect sniffed on a capped sample (enhance_csv.py:127-129);
+    ``title_row`` mirrors the reference's default row-0 titles
+    (enhance_csv.py:28, 328); None → synthetic column_NN names."""
+    text = data.decode("utf-8", "replace")
+    sample = text[: min(len(text), CSV_SNIFF_BYTES)]
+    try:
+        dialect = _csv.Sniffer().sniff(sample[:65536])
+    except _csv.Error:
+        dialect = _csv.excel
+    reader = _csv.reader(io.StringIO(text), dialect)
+    rows = list(reader)
+    if not rows:
+        return []
+    if title_row is not None and title_row < len(rows):
+        titles = rows[title_row]
+        body = rows[:title_row] + rows[title_row + 1 :]
+    else:
+        titles = [f"column_{i:02d}" for i in range(len(rows[0]))]
+        body = rows
+    out = []
+    for rn, row in enumerate(body, start=1):
+        fields: dict[str, str] = {}
+        numbers: dict[str, float] = {}
+        for title, val in zip(titles, row):
+            fields[f"{title}_t"] = val
+            try:
+                numbers[f"{title}_f"] = float(val.replace(",", "."))
+            except ValueError:
+                pass
+        out.append(
+            {
+                "child_id": f"{base_id}#{rn}",
+                "page_i": rn,
+                "container_s": base_id,
+                "fields": fields,
+                "numbers": numbers,
+            }
+        )
+    return out
+
+
+def explode_csv(
+    df: DataFrame, id_col: str = "url", bytes_col: str = "html", title_row: int | None = 0
+) -> DataFrame:
+    def run(series: pd.Series, ids: pd.Series) -> pd.Series:
+        res = []
+        for data, base in zip(series, ids):
+            try:
+                res.append(_csv_rows(data, base, title_row))
+            except Exception:  # noqa: BLE001
+                res.append([])
+        return pd.Series(res)
+
+    udf = F.pandas_udf(run, CSV_CHILD_TYPE)
+    ex = df.withColumn("_children", udf(F.col(bytes_col), F.col(id_col)))
+    ex = ex.select(F.col(id_col).alias("parent_id"), F.explode("_children").alias("c"))
+    return ex.select(
+        F.col("c.child_id").alias("url"),
+        F.col("c.page_i").alias("page_i"),
+        F.col("c.container_s").alias("container_s"),
+        F.col("c.fields").alias("fields"),
+        F.col("c.numbers").alias("numbers"),
+        "parent_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PDF pages — enhance_pdf_page semantics
+# ---------------------------------------------------------------------------
+
+PDF_PAGES_TYPE = T.StructType(
+    [
+        T.StructField("pages", T.ArrayType(T.StringType()), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("npages", T.IntegerType(), True),
+    ]
+)
+
+
+def explode_pdf_pages(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """pdf rows → one row per page: id#page=N, parent title/author copied
+    onto every page doc (enhance_pdf_page.py:123-147)."""
+    from open_semantic_etl_spark.operators.pdfio import parse_pdf
+
+    def run(series: pd.Series) -> pd.DataFrame:
+        recs = []
+        for data in series:
+            r = parse_pdf(data)
+            recs.append(
+                {
+                    "pages": r["pages"] or [],
+                    "title": r["title"],
+                    "author": r["author"],
+                    "npages": r["npages"],
+                }
+            )
+        return pd.DataFrame(recs)
+
+    udf = F.pandas_udf(run, PDF_PAGES_TYPE)
+    ex = df.withColumn("_pdf", udf(F.col(bytes_col)))
+    ex = ex.select(
+        F.col(id_col).alias("parent_id"),
+        F.col("_pdf.title").alias("title_txt"),
+        F.col("_pdf.author").alias("author_ss"),
+        F.col("_pdf.npages").alias("pages_i"),
+        F.posexplode(F.col("_pdf.pages")).alias("_pos", "content_txt"),
+    )
+    return ex.select(
+        F.concat("parent_id", F.lit("#page="), (F.col("_pos") + 1)).alias("url"),
+        (F.col("_pos") + 1).alias("page_i"),
+        "content_txt",
+        "title_txt",
+        "author_ss",
+        "pages_i",
+        "parent_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sentences — enhance_sentence_segmentation semantics (deterministic
+# rule-based splitter replacing the spaCy REST hop)
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(§])")
+
+
+def split_sentences(text: str | None) -> list[str]:
+    if not text:
+        return []
+    parts = [p.strip() for chunk in text.split("\n") for p in _SENT_SPLIT_RE.split(chunk)]
+    return [p for p in parts if p]
+
+
+def explode_sentences(df: DataFrame, id_col: str = "url", text_col: str = "content_txt") -> DataFrame:
+    def run(series: pd.Series) -> pd.Series:
+        return series.map(split_sentences)
+
+    udf = F.pandas_udf(run, T.ArrayType(T.StringType()))
+    ex = df.withColumn("_sents", udf(F.col(text_col)))
+    ex = ex.select(
+        F.col(id_col).alias("parent_id"),
+        F.posexplode("_sents").alias("_pos", "sentence_txt"),
+    )
+    return ex.select(
+        F.concat("parent_id", F.lit("#sentence"), (F.col("_pos") + 1)).alias("url"),
+        (F.col("_pos") + 1).alias("sentence_i"),
+        "sentence_txt",
+        "parent_id",
+    )

@@ -1,0 +1,112 @@
+"""Container-explode tests mirroring the reference fixtures
+(test_enhance_warc.py:24-38 'Example Domain' golden, enhance_zip
+nested-zip outermost-container rule, enhance_csv typed shadows,
+enhance_pdf_page #page=N ids)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.operators.pdfio import build_pdf
+from open_semantic_etl_spark.sources import explode as E
+
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_explode_zip_nested(spark):
+    inner = _zip_bytes({"deep/file2.txt": b"inner content two"})
+    outer = _zip_bytes({"a/file1.txt": b"outer content one", "nested.zip": inner})
+    df = spark.createDataFrame([("http://x/archive.zip", outer)], "url string, html binary")
+    rows = {r["url"]: r for r in E.explode_zip(df).collect()}
+    assert set(rows) == {
+        "http://x/archive.zip/a/file1.txt",
+        "http://x/archive.zip/nested.zip/deep/file2.txt",
+    }
+    # outermost container id on nested members (enhance_zip.py:26-28)
+    assert all(r["container_s"] == "http://x/archive.zip" for r in rows.values())
+    assert bytes(rows["http://x/archive.zip/a/file1.txt"]["html"]) == b"outer content one"
+
+
+_WARC = (
+    b"WARC/1.0\r\n"
+    b"WARC-Type: response\r\n"
+    b"WARC-Record-ID: <urn:uuid:abc-123>\r\n"
+    b"WARC-Target-URI: http://example.com/\r\n"
+    b"WARC-Date: 2024-02-03T04:05:06Z\r\n"
+    b"Content-Length: 130\r\n"
+    b"\r\n"
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"
+    b"<html><head><title>Example Domain</title></head><body><p>x</p></body></html>"
+    b"\r\n\r\n"
+    b"WARC/1.0\r\n"
+    b"WARC-Type: request\r\n"
+    b"WARC-Record-ID: <urn:uuid:req-1>\r\n"
+    b"Content-Length: 4\r\n"
+    b"\r\n"
+    b"GET /"
+)
+
+
+def test_explode_warc(spark):
+    df = spark.createDataFrame([("file:///example.warc", _WARC)], "url string, html binary")
+    rows = E.explode_warc(df).collect()
+    assert len(rows) == 1  # request records are skipped
+    r = rows[0]
+    assert r["url"] == "http://example.com//urn:uuid:abc-123"
+    assert r["target_uri"] == "http://example.com/"
+    assert r["warc_ts"] == datetime(2024, 2, 3, 4, 5, 6)
+    # the payload is the HTTP body → extraction finds the golden title
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+
+    assert extract_html(bytes(r["html"]))["title"] == "Example Domain"
+
+
+def test_explode_csv(spark):
+    data = "name;amount;note\nalpha;1,5;first row\nbeta;2;second row\n".encode()
+    df = spark.createDataFrame([("http://x/t.csv", data)], "url string, html binary")
+    rows = {r["page_i"]: r for r in E.explode_csv(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["url"] == "http://x/t.csv#1"
+    assert rows[1]["container_s"] == "http://x/t.csv"
+    assert rows[1]["fields"]["name_t"] == "alpha"
+    assert rows[1]["numbers"]["amount_f"] == 1.5  # ',' decimal shadow
+    assert "note_f" not in rows[1]["numbers"]
+    assert rows[2]["fields"]["note_t"] == "second row"
+
+
+def test_explode_pdf_pages(spark):
+    pdf = build_pdf(
+        ["TestPDFContent1 on TestPDFPage1", "TestPDFContent2 on TestPDFPage2"],
+        title="TestPDFtitle",
+        author="A. Author",
+    )
+    df = spark.createDataFrame([("http://x/test.pdf", pdf)], "url string, html binary")
+    rows = {r["page_i"]: r for r in E.explode_pdf_pages(df).collect()}
+    assert rows[1]["url"] == "http://x/test.pdf#page=1"
+    assert rows[1]["content_txt"] == "TestPDFContent1 on TestPDFPage1"
+    assert rows[2]["content_txt"] == "TestPDFContent2 on TestPDFPage2"
+    # parent metadata copied onto every page (enhance_pdf_page.py:123-147)
+    assert all(r["title_txt"] == "TestPDFtitle" and r["pages_i"] == 2 for r in rows.values())
+
+
+def test_explode_sentences(spark):
+    df = spark.createDataFrame(
+        [("d1", "First sentence here. Second one! Third? yes lower stays attached.")],
+        "url string, content_txt string",
+    )
+    rows = E.explode_sentences(df).collect()
+    texts = [r["sentence_txt"] for r in rows]
+    assert texts[0] == "First sentence here."
+    assert texts[1] == "Second one!"
+    assert rows[0]["url"] == "d1#sentence1"
+    assert E.split_sentences(None) == []
