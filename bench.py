@@ -130,14 +130,15 @@ def _hw_ceiling(low: int, high: int) -> dict:
 
     _HW_HTML = [page_record(i)["html"] for i in range(_HW_N)]
     res = {}
-    for procs in (low, high):
+    for procs in (low, high, low, high):
         chunk = _HW_N // procs
         jobs = [(i * chunk, (i + 1) * chunk) for i in range(procs)]
         with mp.Pool(procs) as p:  # fork → corpus shared copy-on-write
             p.map(_hw_work, jobs)  # warm
             t0 = time.time()
             p.map(_hw_work, jobs)
-            res[procs] = time.time() - t0
+            dt = time.time() - t0
+        res[procs] = min(res.get(procs, dt), dt)
     _HW_HTML = []
     eff = (res[low] / res[high]) / (high / low)
     return {"procs": [low, high], "sec": [round(res[low], 3), round(res[high], 3)],
@@ -171,6 +172,19 @@ def main() -> None:
     qtimes = _bench_queries(spark, sf_dir)
     spark.stop()
 
+    if do_scaling:
+        # alternate low/high sessions so ambient VM noise hits both
+        # levels symmetrically; keep the best (steady-state) per level
+        t_low = None
+        for cores in (low_cores, cpus, low_cores):
+            spark = _session(cores)
+            t, _ = _steady_state(spark, pages_path, cores, warmups=1, reps=2)
+            spark.stop()
+            if cores == cpus:
+                t_high = min(t_high, t)
+            else:
+                t_low = t if t_low is None else min(t_low, t)
+
     result = {
         "metric": "extraction_docs_per_sec",
         "value": round(docs / t_high, 2),
@@ -183,9 +197,6 @@ def main() -> None:
     }
 
     if do_scaling:
-        spark = _session(low_cores)
-        t_low, _ = _steady_state(spark, pages_path, low_cores)
-        spark.stop()
         ratio = cpus / low_cores
         eff = (t_low / t_high) / ratio
         hw = _hw_ceiling(low_cores, cpus)

@@ -1,0 +1,135 @@
+"""Two-phase deferred OCR with a content-hash memo table.
+
+Mirrors the reference's most elaborate optimization (SURVEY.md §4): the
+expensive OCR pass is DEFERRED — the cheap extraction pass only marks
+``needs_ocr``/``n_images`` (the '[Image (no OCR yet)]' fake-tesseract
+cache dance, enhance_extract_text_tika_server.py:101-115, 200-254, and
+the Celery priority-1 requeue, export_queue_files.py:29-38) — and OCR
+results are MEMOIZED by image content hash (the tesseract-cache /
+md5-keyed JSON cache, enhance_pdf_ocr.py:71-83).
+
+Spark shape:
+  phase 1: pipeline marks needs_ocr (already in extraction output);
+  phase 2: ``run_ocr_phase`` filters flagged rows, extracts embedded
+  images, LEFT-JOINS the memo table on xxhash64(image) so cache hits
+  never reach the engine, OCRs only misses, appends new memo rows, and
+  merges ``ocr_t`` back by url.
+
+Engines: the container has no tesseract, so the real engine raises
+NotImplementedError behind a clearly-marked seam; the deterministic
+FAKE engine decodes the test image format ``FAKEIMG:<text>`` (the
+Spark-side plumbing — schema, joins, memo, batching — is real and
+tested either way).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FAKE_IMG_PREFIX = b"FAKEIMG:"
+OCR_PENDING_MARKER = "[Image (no OCR yet)]"  # reference sentinel (:235-236)
+
+
+def fake_ocr(image_bytes: bytes) -> str:
+    """deterministic test engine: FAKEIMG:<text> → <text>."""
+    if image_bytes.startswith(FAKE_IMG_PREFIX):
+        return image_bytes[len(FAKE_IMG_PREFIX):].decode("utf-8", "replace")
+    return ""
+
+
+def tesseract_ocr(image_bytes: bytes) -> str:  # pragma: no cover - env seam
+    """real engine seam — tesseract is not installed in this container."""
+    raise NotImplementedError(
+        "tesseract is not available in this environment; plug a real "
+        "engine here (enhance_ocr.py:42-50 equivalent) or use fake_ocr"
+    )
+
+
+ENGINES: dict[str, Callable[[bytes], str]] = {
+    "fake": fake_ocr,
+    "tesseract": tesseract_ocr,
+}
+
+# embedded images inside html payloads carry data URIs in the fixture
+# format; PDFs would go through pdfimages-equivalent extraction (seam).
+_FAKE_IMG_RE = re.compile(rb"FAKEIMG:[^\"'<>\s]*")
+
+IMAGES_TYPE = T.ArrayType(T.BinaryType())
+
+
+def extract_images_expr(html_col: str = "html"):
+    """pull embedded image payloads out of the raw document bytes."""
+
+    def run(series: pd.Series) -> pd.Series:
+        return series.map(
+            lambda b: [bytes(m) for m in _FAKE_IMG_RE.findall(b)] if b else []
+        )
+
+    return F.pandas_udf(run, IMAGES_TYPE)(F.col(html_col))
+
+
+def run_ocr_phase(
+    spark: SparkSession,
+    enriched: DataFrame,
+    memo_path: str,
+    engine: str = "fake",
+    id_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """phase-2 job: OCR flagged rows with memoization.
+
+    Returns (url, ocr_t) for every needs_ocr row; appends new memo
+    entries (img_hash, ocr_text) to ``memo_path``.
+    """
+    ocr_fn = ENGINES[engine]
+
+    flagged = enriched.filter(F.col("needs_ocr")).select(id_col, html_col)
+    imgs = flagged.select(
+        id_col, F.posexplode(extract_images_expr(html_col)).alias("pos", "img")
+    )
+    imgs = imgs.withColumn("img_hash", F.xxhash64("img"))
+
+    memo_exists = os.path.isdir(memo_path) and any(
+        f.endswith(".parquet") for f in os.listdir(memo_path)
+    )
+    if memo_exists:
+        memo = spark.read.parquet(memo_path)
+        hits = imgs.join(memo, "img_hash", "inner").select(id_col, "pos", "ocr_text")
+        misses = imgs.join(memo.select("img_hash"), "img_hash", "left_anti")
+    else:
+        hits = None
+        misses = imgs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf["ocr_text"] = [ocr_fn(bytes(b)) for b in pdf["img"]]
+            yield pdf[[id_col, "pos", "img_hash", "ocr_text"]]
+
+    fresh = misses.mapInPandas(
+        run, schema=f"{id_col} string, pos int, img_hash long, ocr_text string"
+    )
+    # memoize distinct new results (dedupe per hash — cache semantics)
+    fresh_memo = fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"])
+    fresh_memo.write.mode("append").parquet(memo_path)
+    fresh = spark.read.parquet(memo_path).join(  # reread → consistent source
+        misses.select(id_col, "pos", "img_hash"), "img_hash"
+    ).select(id_col, "pos", "ocr_text")
+
+    all_rows = fresh if hits is None else hits.unionByName(fresh)
+    # stable page-order concat (reference joins per-image texts in order)
+    return all_rows.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ocr_text"))),
+                lambda x: x["ocr_text"],
+            ),
+            "\n",
+        ).alias("ocr_t")
+    )

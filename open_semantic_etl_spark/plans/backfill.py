@@ -1,0 +1,80 @@
+"""Query-driven backfill: run missing stages over the existing output.
+
+The Spark equivalent of ``etl-enrich`` (etl_enrich.py:19-370): the
+reference pages Solr with ``NOT etl_<plugin>_b:true``, fetches only the
+fields each plugin declares (etl_enrich.py:68-86 — literal column
+pruning), re-runs the plugin, and commits per page. Here:
+
+  1. rows missing a stage = checkpoint rows whose ``stages_done`` lacks
+     it (plus rows absent from the checkpoint entirely);
+  2. the stage function receives ONLY its declared columns (Catalyst
+     prunes the parquet scan to them);
+  3. results MERGE back by url and the checkpoint's ``stages_done``
+     gains the stage (array_union = Solr 'add-distinct',
+     export_solr.py:110).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.plans.checkpoint import Tables, _atomic_overwrite, merge_by_url
+
+
+def missing_stage(spark: SparkSession, tables: Tables, stage: str) -> DataFrame:
+    """urls whose checkpoint lacks ``stage`` in stages_done."""
+    enriched = spark.read.parquet(tables.enriched).select("url")
+    if not tables.exists(tables.checkpoint):
+        return enriched
+    cp = spark.read.parquet(tables.checkpoint)
+    done = cp.filter(F.array_contains(F.col("stages_done"), stage)).select("url")
+    return enriched.join(done, "url", "left_anti")
+
+
+def run_backfill(
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    stage_fn: Callable[[SparkSession, DataFrame], DataFrame],
+    fields: tuple[str, ...],
+) -> int:
+    """run ``stage_fn`` over rows missing ``stage``; merge + mark done.
+
+    ``fields`` mirrors the reference's plugin ``fields`` attribute
+    (etl_enrich.py:68-86): the backfill scan reads only these columns.
+    ``stage_fn(spark, pruned_rows) -> DataFrame[url, ...new columns]``.
+    """
+    tables = Tables(root)
+    todo_urls = missing_stage(spark, tables, stage)
+    n = todo_urls.count()
+    if n == 0:
+        return 0
+    pruned = (
+        spark.read.parquet(tables.enriched)
+        .select(*dict.fromkeys(("url",) + fields))
+        .join(todo_urls, "url", "left_semi")
+    )
+    # materialize BEFORE the merge swap: the lazy plan reads the enriched
+    # files the swap is about to replace (Iceberg snapshots make this a
+    # non-issue on a real cluster; locally localCheckpoint pins the rows)
+    result = stage_fn(spark, pruned).localCheckpoint(eager=True)
+    merge_by_url(spark, result, tables.enriched)
+
+    cp = spark.read.parquet(tables.checkpoint)
+    done_urls = result.select("url").withColumn("_did", F.lit(True))
+    new_cp = (
+        cp.join(done_urls, "url", "left")
+        .withColumn(
+            "stages_done",
+            F.when(
+                F.col("_did"),
+                F.array_union(F.col("stages_done"), F.array(F.lit(stage))),
+            ).otherwise(F.col("stages_done")),
+        )
+        .drop("_did")
+    )
+    _atomic_overwrite(new_cp, tables.checkpoint)
+    return n
