@@ -40,6 +40,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": Q.q_pricing_summary,
         "top_customers_per_nation": Q.q_top_customers_per_nation,
         "event_sessionize": Q.q_event_sessionize,
+        # --- corpus-curation tier ---
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_jaccard": Q.q_dedup_jaccard,
+        "minhash_lsh": Q.q_minhash_lsh,
+        "simhash": Q.q_simhash,
+        "ann_topk": Q.q_ann_topk,
+        "ann_lsh": Q.q_ann_lsh,
+        "text_quality": Q.q_text_quality,
+        "token_count": Q.q_token_count,
+        "fingerprint": Q.q_fingerprint,
+        "language_detect": Q.q_language_detect,
+        "multilingual": Q.q_multilingual,
+        "sentences": Q.q_sentences,
     }
 
 
@@ -174,4 +187,91 @@ WITH g AS (
 SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
        round(sum((value)::decimal(18,6)), 2)::decimal(18,2)::varchar AS session_value
 FROM s GROUP BY user_id, session_id""",
+        "dedup_exact": """
+SELECT doc_id, md5(coalesce(text, '')) AS content_md5,
+       CASE WHEN row_number() OVER (PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id) > 1
+            THEN 1 ELSE 0 END AS is_dup
+FROM documents""",
+        "dedup_jaccard": """
+WITH sh AS (
+  SELECT doc_id,
+         (CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               ELSE [w[1]] END) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE doc_id < 60)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::double /
+             len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND round(len(list_intersect(a.sh, b.sh))::double / len(list_distinct(a.sh || b.sh)), 4) >= 0.10""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, nbr_id, cos, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 5""",
+        "text_quality": """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
+         length(text) AS chars
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, chars, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains(
+           ['the','of','and','to','in','a','is','that','it','was','for','on','are','with','as','at','be','this','have','from','or','had','by','but','what','some','we','can','out','other','were','all','there','when','up'],
+           lower(x)))) AS n_stop,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         len(list_distinct(toks)) AS n_dist
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       CASE WHEN n > 0 THEN round((chars - (n - 1))::double / n, 4) ELSE 0.0 END AS mean_word_len,
+       CASE WHEN n > 0 THEN round(n_stop::double / n, 4) ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN chars > 0 THEN round(n_punct::double / chars, 4) ELSE 0.0 END AS punct_ratio,
+       CASE WHEN chars > 0 THEN round(n_digit::double / chars, 4) ELSE 0.0 END AS digit_ratio,
+       CASE WHEN n > 0 THEN round(1 - n_dist::double / n, 4) ELSE 0.0 END AS repetition_ratio,
+       round(
+         (CASE WHEN n BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN n > 0 AND (chars - (n - 1))::double / n BETWEEN 2.5 AND 12 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN n > 0 AND n_stop::double / n >= 0.05 THEN 0.25 ELSE 0 END) +
+         (CASE WHEN (CASE WHEN chars > 0 THEN n_digit::double / chars ELSE 0 END) < 0.2
+                AND (CASE WHEN n > 0 THEN 1 - n_dist::double / n ELSE 0 END) < 0.6 THEN 0.25 ELSE 0 END)
+       , 2) AS quality_score
+FROM s""",
+        "token_count": """
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\\s]')) AS n_bpe_tokens,
+       len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS n_distinct_tokens
+FROM documents""",
+        "fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp_md5
+FROM documents""",
+        "multilingual": """
+SELECT doc_id,
+       text AS text_all,
+       CASE WHEN lang = 'en' THEN text END AS text_txt_en,
+       CASE WHEN lang = 'de' THEN text END AS text_txt_de
+FROM documents""",
+        "sentences": """
+WITH d AS (
+  SELECT 'd' || doc_id AS parent_id,
+         ['First part ' || doc_id || '.', 'Second part ' || doc_id || '!', 'Third part ' || doc_id || '?'] AS sents
+  FROM documents
+)
+SELECT parent_id || '#sentence' || i AS url, i::int AS sentence_i,
+       sents[i] AS sentence_txt, parent_id
+FROM d, unnest(range(1, 4)) AS t(i)""",
     }

@@ -333,3 +333,117 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data / curation ops (dedup, similarity, quality) — the
+# corpus-curation tier over documents + embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.dedup import with_exact_dup_flag
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_exact_dup_flag(docs, text_col="text", id_col="doc_id")
+    return out.select("doc_id", "content_md5", F.col("is_duplicate").cast("int").alias("is_dup"))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact 3-gram Jaccard pairs on a small id block (verification path)."""
+    from open_semantic_etl_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 60)
+    return jaccard_pairs(docs, threshold=0.10)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (xxhash64 family — rows-only vs oracle;
+    recall proven against exact Jaccard in tests/test_dedup.py)."""
+    from open_semantic_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_candidate_pairs(docs, text_col="text", id_col="doc_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-doc 64-bit SimHash (numpy UDF — rows-only vs oracle)."""
+    from open_semantic_etl_spark.operators.dedup import with_simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_simhash(docs, text_col="text").select("doc_id", "simhash")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, query_ids=list(range(10)), k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sign-LSH bucketed ANN (rows-only; recall vs brute force in tests)."""
+    from open_semantic_etl_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.textstats import with_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
+        "punct_ratio", "digit_ratio", "repetition_ratio", "quality_score",
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.textstats import with_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_counts(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.textstats import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_fingerprint(docs.select("doc_id", "text"), "text").select("doc_id", "fp_md5")
+
+
+def q_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stopword-profile language id (UDF — rows-only vs oracle; exactness
+    pinned on the synthetic pages corpus in tests)."""
+    from open_semantic_etl_spark.operators.langdetect import language_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", language_expr(F.col("text")).alias("language_s"))
+
+
+def q_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.functions.textmeta import with_multilingual
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id", F.col("text").alias("text_analysis"), F.col("lang").alias("language_s"))
+    out = with_multilingual(d, langs=("en", "de"))
+    return out.select("doc_id", "text_all", "text_txt_en", "text_txt_de")
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentence explode (#sentenceN child ids) over a derived punctuated
+    text — SQL-expressible because the derived text has single-space
+    separators and terminal punctuation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("url"),
+        F.expr(
+            "concat('First part ', doc_id, '. Second part ', doc_id, '! Third part ', doc_id, '?')"
+        ).alias("content_txt"),
+    )
+    from open_semantic_etl_spark.sources.explode import explode_sentences
+
+    return explode_sentences(d).select("url", "sentence_i", "sentence_txt", "parent_id")
