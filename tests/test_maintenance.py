@@ -1,0 +1,72 @@
+"""delete / move / annotation-join / sidecar-join tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.plans.checkpoint import Tables, run_incremental
+from open_semantic_etl_spark.plans.maintenance import (
+    delete_by_url,
+    delete_where,
+    join_annotations,
+    join_sidecar,
+    move_url,
+)
+from open_semantic_etl_spark.sources.pages import pages_df
+
+
+def _dataset(spark, tmp_path, n=40):
+    root = str(tmp_path / "ds")
+    run_incremental(spark, pages_df(spark, n, partitions=2), root)
+    return root
+
+
+def test_delete(spark, tmp_path):
+    root = _dataset(spark, tmp_path)
+    t = Tables(root)
+    victims = [r["url"] for r in spark.read.parquet(t.enriched).limit(3).collect()]
+    assert delete_by_url(spark, root, victims) == 3
+    left = spark.read.parquet(t.enriched)
+    assert left.count() == 37
+    assert left.filter(F.col("url").isin(victims)).count() == 0
+    # deleted urls also leave the checkpoint → a rerun re-indexes them
+    s = run_incremental(spark, pages_df(spark, 40, partitions=2), root)
+    assert s["processed"] == 3
+
+    assert delete_where(spark, root, F.col("url").contains("big.example.com")) == 10
+
+
+def test_move(spark, tmp_path):
+    root = _dataset(spark, tmp_path)
+    t = Tables(root)
+    src = spark.read.parquet(t.enriched).first()["url"]
+    dst = "https://moved.example.net/new/home.html"
+    move_url(spark, root, src, dst)
+    df = spark.read.parquet(t.enriched)
+    assert df.filter(F.col("url") == src).count() == 0
+    moved = df.filter(F.col("url") == dst).first()
+    assert moved["path0_s"] == "moved.example.net"  # facets recomputed
+    assert moved["path_basename_s"] == "home.html"
+
+
+def test_join_annotations(spark):
+    df = spark.createDataFrame(
+        [("u1", ["a"]), ("u2", ["b"])], "url string, tag_ss array<string>"
+    )
+    ann = spark.createDataFrame(
+        [("u1", ["a", "x"], "note one")], "url string, tag_ss array<string>, note string"
+    )
+    out = {r["url"]: r for r in join_annotations(df, ann, merge_cols=("tag_ss",)).collect()}
+    assert sorted(out["u1"]["tag_ss"]) == ["a", "x"]  # add-distinct merge
+    assert out["u1"]["note"] == "note one"
+    assert out["u2"]["tag_ss"] == ["b"] and out["u2"]["note"] is None
+
+
+def test_join_sidecar(spark):
+    df = spark.createDataFrame([("file:///a/img.jpg",), ("file:///a/other.jpg",)], "url string")
+    sidecar = spark.createDataFrame(
+        [("file:///a/img.jpg.xmp", "Photographer X")], "url string, author_s string"
+    )
+    out = {r["url"]: r["author_s"] for r in join_sidecar(df, sidecar).collect()}
+    assert out["file:///a/img.jpg"] == "Photographer X"
+    assert out["file:///a/other.jpg"] is None
