@@ -73,18 +73,59 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """array<long> of per-permutation minima: xxhash64(shingle, seed_j).
+def _minhash_batch_factory(num_hashes: int, shingle_n: int):
+    """numpy MinHash: one shingle pass per row, then all permutations as
+    a single uint64 matrix op (affine family h_j = a_j*h + b_j, wrap
+    arithmetic — the classic Broder construction).
 
-    Seeding xxhash64 with the permutation index is the standard
-    one-hash-family trick; everything stays in whole-stage codegen.
+    Why a UDF and not Column HOFs: a nested ``transform(sequence(j),
+    transform(shingles, …))`` re-evaluates the shingle-building
+    expression once per permutation (Catalyst inlines the argument),
+    turning O(|doc|) into O(64·|doc|) with interpreted lambdas — 500
+    docs took minutes. Here the shingle set is built once and the 64
+    minima are one vectorized ``(A[:,None]*H+B).min(axis=1)``.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
+    import zlib
+
+    rng = np.random.RandomState(42)
+    A = (rng.randint(1, 2**62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    def batch(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append([0] * num_hashes)
+                continue
+            if len(toks) >= shingle_n:
+                grams = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            else:
+                grams = {toks[0]}
+            H = np.fromiter(
+                (
+                    (zlib.crc32(g.encode()) << 32) | zlib.crc32(g.encode(), 0x9E3779B9)
+                    for g in grams
+                ),
+                dtype=np.uint64,
+                count=len(grams),
+            )
+            sig = (A[:, None] * H[None, :] + B[:, None]).min(axis=1)
+            out.append([int(x) for x in sig.view(np.int64)])
+        return pd.Series(out)
+
+    return batch
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """array<long> MinHash signature column (Arrow-batched numpy UDF)."""
+    udf = F.pandas_udf(
+        _minhash_batch_factory(num_hashes, shingle_n), T.ArrayType(T.LongType())
     )
+    return udf(text)
 
 
 def lsh_candidate_pairs(
@@ -103,16 +144,22 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("sig"), b * rows + r + 1).cast("string") for r in range(rows)])).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    exploded = sig.select("_id", "sig", F.explode(F.array(*band_cols)).alias("bb")).select(
+    # one nested expression: band b → hash of its signature slice
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda v: v.cast("string")),
+                    ",",
+                )
+            ).alias("bh"),
+        ),
+    )
+    exploded = sig.select("_id", "sig", F.explode(band_arr).alias("bb")).select(
         "_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     # one shuffle: bucket-join on (band, band_hash)
