@@ -106,9 +106,17 @@ def pending_rows(
         (F.col("pipeline_version") == PIPELINE_VERSION)
         & (F.size(F.array_except(F.array(*[F.lit(s) for s in stages]), F.col("stages_done"))) == 0)
     ).select("url", "content_hash")
-    slim = pages.withColumn("content_hash", content_hash())
-    todo = slim.join(done, ["url", "content_hash"], "left_anti").drop("content_hash")
-    return todo
+    # two-step join so html NEVER rides a shuffle:
+    #  1. anti-join on the KEY PROJECTION only (url + 8-byte hash) — the
+    #     wide html column is not in this plan at all;
+    #  2. semi-join pages against the (usually tiny) todo key set — in
+    #     the steady incremental state AQE broadcasts it, so the full
+    #     pages scan is never exchanged. At 10^12 rows with both tables
+    #     bucketed by url (Iceberg storage-partitioned join) step 2 is
+    #     shuffle-free even for large deltas.
+    keys = pages.select("url", content_hash().alias("content_hash"))
+    todo_keys = keys.join(done, ["url", "content_hash"], "left_anti").select("url")
+    return pages.join(todo_keys, "url", "left_semi")
 
 
 def _with_partition_metrics(df: DataFrame, run_id: str, stage: str) -> DataFrame:

@@ -70,3 +70,24 @@ def test_join_sidecar(spark):
     out = {r["url"]: r["author_s"] for r in join_sidecar(df, sidecar).collect()}
     assert out["file:///a/img.jpg"] == "Photographer X"
     assert out["file:///a/other.jpg"] is None
+
+
+def test_salted_agg_matches_plain(spark):
+    from open_semantic_etl_spark.functions.skew import host_of, salted_agg
+    from pyspark.sql import functions as F
+
+    df = pages_df(spark, 200, partitions=4).withColumn("host", host_of(F.col("url")))
+    plain = {
+        r["host"]: (r["n"], r["bytes"])
+        for r in df.groupBy("host")
+        .agg(F.count("*").alias("n"), F.sum(F.length("html")).alias("bytes"))
+        .collect()
+    }
+    salted = {
+        r["host"]: (r["n"], r["bytes"])
+        for r in salted_agg(
+            df, "host", {"n": F.count("*"), "bytes": F.sum(F.length("html"))}
+        ).collect()
+    }
+    assert salted == plain
+    assert plain["big.example.com"][0] == 50  # the planted hot host

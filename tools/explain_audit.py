@@ -1,0 +1,152 @@
+"""Physical-plan audit: prove the optimizer behaviors we claim.
+
+Dumps `.explain("formatted")` excerpts for the load-bearing plans and
+CHECKS the properties (exit 1 on regression):
+
+  1. extraction stage: parquet scan pruned to the UDF's input columns;
+  2. enrichment chain: NO Exchange except the one explicit
+     repartition(xxhash64(url));
+  3. checkpoint pending-rows: the anti-join exchanges carry only
+     (url, content_hash) — html never rides a shuffle — and the final
+     pages semi-join is a broadcast;
+  4. pricing summary: the shipdate filter is pushed into the scan;
+  5. top-customers: the nation dim joins as BroadcastHashJoin.
+
+Writes the annotated output to BENCH/PLANS.md.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+OUT = []
+FAILS = []
+
+
+def section(title: str, df, checks):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    OUT.append(f"\n## {title}\n")
+    results = []
+    for name, fn in checks:
+        ok = fn(plan)
+        results.append(f"- {'PASS' if ok else 'FAIL'}: {name}")
+        if not ok:
+            FAILS.append(f"{title}: {name}")
+    OUT.append("\n".join(results))
+    head = "\n".join(plan.splitlines()[:40])
+    OUT.append(f"\n```\n{head}\n```\n")
+    print("\n".join(results))
+
+
+def main() -> int:
+    import bench
+    from open_semantic_etl_spark.operators.html_extract import with_extraction
+    from open_semantic_etl_spark.plans import queries as Q
+    from open_semantic_etl_spark.plans.checkpoint import Tables, pending_rows, run_incremental
+    from open_semantic_etl_spark.plans.pipeline import enrich_pages
+    from open_semantic_etl_spark.session import get_spark
+    from open_semantic_etl_spark.sources.pages import pages_df
+    import tempfile
+
+    spark = get_spark(app_name="explain_audit", master="local[4]")
+    sf = "/root/testdata/sf0.001"
+
+    pages_path = "/tmp/spark_graft_audit_pages"
+    pages_df(spark, 200, partitions=4).write.mode("overwrite").parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    # 1. extraction column pruning
+    ext = with_extraction(pages).select("url", "content_txt")
+    section(
+        "extraction stage — scan pruned to url+html",
+        ext,
+        [
+            (
+                "ReadSchema limited to url,html",
+                lambda p: bool(re.search(r"ReadSchema: struct<url:string,html:binary>", p)),
+            ),
+            ("ArrowEvalPython present", lambda p: "ArrowEvalPython" in p),
+        ],
+    )
+
+    # 2. enrichment chain shuffle count
+    full = enrich_pages(pages, gazetteer=bench._gazetteer(), repartition=4)
+    section(
+        "full enrichment chain — single explicit exchange",
+        full,
+        [
+            (
+                "exactly one Exchange (the explicit repartition)",
+                lambda p: len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 1,
+            ),
+            (
+                "exchange is hashpartitioning(xxhash64(url))",
+                lambda p: bool(re.search(r"hashpartitioning\(xxhash64\(url", p)),
+            ),
+        ],
+    )
+
+    # 3. checkpoint pending-rows join shape
+    with tempfile.TemporaryDirectory() as root:
+        run_incremental(spark, pages, root)
+        todo = pending_rows(spark, pages, Tables(root))
+
+        def no_html_in_exchange(p: str) -> bool:
+            for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", p):
+                if "html" in m.group(1):
+                    return False
+            return True
+
+        section(
+            "checkpoint pending-rows — html never shuffles; semi-join broadcasts",
+            todo,
+            [
+                ("no html column in any hashpartitioning", no_html_in_exchange),
+                ("BroadcastHashJoin for the pages semi-join", lambda p: "BroadcastHashJoin" in p),
+            ],
+        )
+
+    # 4. predicate pushdown
+    pricing = Q.q_pricing_summary(spark, sf)
+    section(
+        "pricing summary — shipdate filter pushed to parquet",
+        pricing,
+        [
+            (
+                "PushedFilters contains l_shipdate LessThanOrEqual",
+                lambda p: bool(re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", p)),
+            )
+        ],
+    )
+
+    # 5. broadcast dim join
+    topc = Q.q_top_customers_per_nation(spark, sf)
+    section(
+        "top customers per nation — nation dim broadcast",
+        topc,
+        [("BroadcastHashJoin present", lambda p: "BroadcastHashJoin" in p)],
+    )
+
+    spark.stop()
+
+    with open("BENCH/PLANS.md", "w") as f:
+        f.write(
+            "# Physical-plan audit (tools/explain_audit.py)\n\n"
+            "Checked properties + first 40 lines of each formatted plan.\n"
+            "Regenerate: `python3 tools/explain_audit.py`.\n"
+            + "\n".join(OUT)
+        )
+    print("\nfailures:", len(FAILS), FAILS)
+    return 1 if FAILS else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
