@@ -132,3 +132,32 @@ def test_byte_identity_spark(spark):
     # hot host present for skew exercises
     hot = ext.filter(F.col("url").contains("big.example.com")).count()
     assert hot == 100  # 25% of 400
+
+
+def test_fast_scanner_equals_htmlparser():
+    """the regex scanner must match html.parser on every variant +
+    adversarial fixtures (entities, rawtext script/style, stray '<',
+    comments, self-closing tags)."""
+    from open_semantic_etl_spark.operators import htmlx as H
+
+    fixtures = [
+        '<html><head><title>T &amp; A</title></head><body><p>Long enough paragraph '
+        'with &quot;entities&quot; &amp; more textual content here ok.</p>'
+        '<script>var x = "<p>not a tag</p>";</script><br/>'
+        '<p>Another long paragraph follows the self closing break element fine.</p></body></html>',
+        "<body><p>stray < 5 bracket in a long paragraph of text that stays</p></body>",
+        "<body><!-- comment <p>no</p> --><p>Paragraph after an html comment with enough characters kept.</p>",
+        "<body><style>p { c: red; }</style><p>Styled paragraph content long enough to be kept by extractor.</p></body>",
+    ]
+    texts = fixtures + [
+        H.decode_html(page_record(i)["html"])[0]
+        for i in range(300)
+        if not page_record(i)["html"].startswith(b"%PDF")
+    ]
+    for t in texts:
+        slow = H._ContentParser(); slow.feed(t); slow.close()
+        fast = H._ContentParser(); H._fast_feed(fast, t); fast.close()
+        assert (slow.blocks, slow.title, slow.description, slow.headings,
+                slow.links, slow.meta_ts, slow.n_images) == (
+               fast.blocks, fast.title, fast.description, fast.headings,
+               fast.links, fast.meta_ts, fast.n_images), t[:120]
