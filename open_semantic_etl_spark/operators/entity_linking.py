@@ -109,39 +109,91 @@ class AhoCorasick:
         return hits
 
 
+# above this pattern count the compiled-alternation regex outgrows the
+# regex engine's sweet spot; fall back to the Aho-Corasick automaton
+REGEX_ENGINE_MAX_PATTERNS = 4096
+
+
 @dataclass
 class Gazetteer:
     entries: list[GazetteerEntry]
     case_insensitive: bool = False
     _automaton: AhoCorasick | None = field(default=None, repr=False, compare=False)
     _pattern_owner: list[int] = field(default_factory=list, repr=False, compare=False)
+    _regex = None
+    _regex_owner: dict[str, int] | None = field(default=None, repr=False, compare=False)
+
+    def _patterns(self) -> tuple[list[str], list[int]]:
+        patterns: list[str] = []
+        owner: list[int] = []
+        for ei, e in enumerate(self.entries):
+            for lbl in e.labels:
+                patterns.append(lbl)
+                owner.append(ei)
+        return patterns, owner
 
     def automaton(self) -> AhoCorasick:
         """Compile lazily — once per executor after broadcast pickling."""
         if self._automaton is None:
-            patterns: list[str] = []
-            owner: list[int] = []
-            for ei, e in enumerate(self.entries):
-                for lbl in e.labels:
-                    patterns.append(lbl)
-                    owner.append(ei)
+            patterns, owner = self._patterns()
             self._automaton = AhoCorasick(patterns, self.case_insensitive)
             self._pattern_owner = owner
         return self._automaton
+
+    def _compiled_regex(self):
+        """C-speed alternation matcher (small/medium dictionaries).
+
+        Longest-first alternation + \\w lookarounds reproduces the
+        word-bounded, longest-match-per-position behavior of Solr Text
+        Tagger's default overlap handling; stepping the search position
+        by match.start()+1 also recovers nested matches at later starts
+        (e.g. 'Obama' inside 'Barack Obama').
+        """
+        import re
+
+        if self._regex is None:
+            patterns, owner = self._patterns()
+            order = sorted(range(len(patterns)), key=lambda i: -len(patterns[i]))
+            alt = "|".join(re.escape(patterns[i]) for i in order)
+            flags = re.IGNORECASE if self.case_insensitive else 0
+            self._regex = re.compile(rf"(?<!\w)(?:{alt})(?!\w)", flags)
+            key = (lambda s: s.lower()) if self.case_insensitive else (lambda s: s)
+            self._regex_owner = {}
+            for i, p in enumerate(patterns):
+                self._regex_owner.setdefault(key(p), (i, owner[i], p))
+        return self._regex
+
+    def scan(self, text: str):
+        """yields (pattern_idx, entity_idx, matchtext) for word-bounded hits."""
+        patterns, owner = self._patterns()
+        if len(patterns) > REGEX_ENGINE_MAX_PATTERNS:
+            ac = self.automaton()
+            for idx, s, e in ac.scan(text):
+                yield idx, self._pattern_owner[idx], ac.patterns[idx]
+            return
+        rx = self._compiled_regex()
+        key = (lambda s: s.lower()) if self.case_insensitive else (lambda s: s)
+        pos = 0
+        while True:
+            m = rx.search(text, pos)
+            if not m:
+                return
+            hit = self._regex_owner.get(key(m.group(0)))
+            if hit is not None:
+                idx, ei, canonical = hit
+                yield idx, ei, canonical
+            pos = m.start() + 1  # recover nested matches at later starts
 
     def tag(self, text: str | None) -> list[dict]:
         """text → entity structs (grouped per entity, matchtexts deduped)."""
         if not text:
             return []
-        ac = self.automaton()
         per_entity: dict[int, list[str]] = {}
         order: list[int] = []
-        for idx, s, e in ac.scan(text):
-            ei = self._pattern_owner[idx]
+        for _idx, ei, mt in self.scan(text):
             if ei not in per_entity:
                 per_entity[ei] = []
                 order.append(ei)
-            mt = ac.patterns[idx]
             if mt not in per_entity[ei]:
                 per_entity[ei].append(mt)
         out = []

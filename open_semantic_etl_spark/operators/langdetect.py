@@ -65,6 +65,14 @@ LANG_ORDER = ("en", "de", "fr", "es", "it", "nl")
 MIN_SCORE = 0.05
 _TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
+# single-pass scoring: token → per-language hit vector (one dict lookup
+# per token instead of one membership test per token per language)
+_WORD_LANGS: dict[str, tuple[int, ...]] = {}
+for _li, _lang in enumerate(LANG_ORDER):
+    for _w in STOPWORDS[_lang]:
+        _WORD_LANGS.setdefault(_w, ())
+        _WORD_LANGS[_w] = _WORD_LANGS[_w] + (_li,)
+
 
 def detect_language(text: str | None) -> str:
     if not text:
@@ -72,10 +80,17 @@ def detect_language(text: str | None) -> str:
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < 3:
         return "und"
+    counts = [0] * len(LANG_ORDER)
+    get = _WORD_LANGS.get
+    for t in toks:
+        hit = get(t)
+        if hit:
+            for li in hit:
+                counts[li] += 1
     best_lang, best_score = "und", MIN_SCORE
-    for lang in LANG_ORDER:
-        sw = STOPWORDS[lang]
-        score = sum(1 for t in toks if t in sw) / len(toks)
+    n = len(toks)
+    for li, lang in enumerate(LANG_ORDER):
+        score = counts[li] / n
         if score > best_score:
             best_lang, best_score = lang, score
     return best_lang

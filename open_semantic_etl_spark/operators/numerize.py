@@ -28,10 +28,22 @@ _SCALES = {"hundred": 100, "thousand": 1_000, "million": 1_000_000,
            "billion": 1_000_000_000, "trillion": 1_000_000_000_000}
 _NUM_WORDS = set(_UNITS) | set(_TENS) | set(_SCALES)
 
-_PHRASE_RE = re.compile(
-    r"\b(?:(?:" + "|".join(sorted(_NUM_WORDS)) + r")(?:[\s-]+(?:and[\s-]+)?)?)+\b",
-    re.IGNORECASE,
-)
+# token scan + set membership (a 30-alternative regex costs ~O(30·n) in
+# Python's backtracking engine; alpha-token finditer + dict lookup is
+# O(n)); word-char guards reproduce the \b semantics around digits/_
+_ALPHA_RE = re.compile(r"[A-Za-z]+")
+_SEP_RE = re.compile(r"(?:[\s-]+(?:and[\s-]+)?)\Z")
+_WORDCHARS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+
+def _find_number_words(text: str):
+    for m in _ALPHA_RE.finditer(text):
+        if m.group(0).lower() in _NUM_WORDS:
+            s, e = m.start(), m.end()
+            if (s == 0 or text[s - 1] not in _WORDCHARS) and (
+                e >= len(text) or text[e] not in _WORDCHARS
+            ):
+                yield m
 
 
 def _parse(words: list[str]) -> int:
@@ -53,16 +65,23 @@ def numerize_en(text: str | None) -> str | None:
     """Replace each written-number phrase with its integer rendering."""
     if not text:
         return text
-
-    def repl(m: re.Match) -> str:
-        phrase = m.group(0)
-        words = [
-            w for w in re.split(r"[\s-]+", phrase.lower().strip()) if w in _NUM_WORDS
-        ]
-        if not words:
-            return phrase
-        # keep any trailing whitespace the greedy match swallowed
-        trailing = phrase[len(phrase.rstrip()):]
-        return str(_parse(words)) + trailing
-
-    return _PHRASE_RE.sub(repl, text)
+    matches = list(_find_number_words(text))
+    if not matches:
+        return text
+    # group adjacent number words separated by whitespace/hyphens/'and'
+    groups: list[list[re.Match]] = [[matches[0]]]
+    for m in matches[1:]:
+        gap = text[groups[-1][-1].end() : m.start()]
+        if gap == "" or _SEP_RE.fullmatch(gap):
+            groups[-1].append(m)
+        else:
+            groups.append([m])
+    out: list[str] = []
+    pos = 0
+    for grp in groups:
+        start, end = grp[0].start(), grp[-1].end()
+        out.append(text[pos:start])
+        out.append(str(_parse([m.group(0).lower() for m in grp])))
+        pos = end
+    out.append(text[pos:])
+    return "".join(out)
