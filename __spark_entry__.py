@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from open_semantic_etl_spark.plans import queries as Q
+from open_semantic_etl_spark.plans import queries_ext as QX
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -53,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_detect": Q.q_language_detect,
         "multilingual": Q.q_multilingual,
         "sentences": Q.q_sentences,
+        # --- container explodes, filters, joins, NER, RDF, OCR ---
+        **QX.EXT_QUERIES,
     }
 
 
@@ -274,4 +277,5 @@ WITH d AS (
 SELECT parent_id || '#sentence' || i AS url, i::int AS sentence_i,
        sents[i] AS sentence_txt, parent_id
 FROM d, unnest(range(1, 4)) AS t(i)""",
+        **QX.EXT_ORACLES,
     }

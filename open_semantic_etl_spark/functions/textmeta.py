@@ -48,6 +48,39 @@ def with_analysis_text(
     return df.withColumn(out, analysis_text(*[f for f in fields if f in df.columns]))
 
 
+# magic-byte signatures for content sniffing (enhance_mimetype.py:27-35
+# calls libmagic; at scale the sniff is a JVM when-chain over the binary
+# prefix — no Python, fully codegen'd).
+_MAGIC = (
+    ("%PDF-", "application/pdf"),
+    ("\x89PNG\r\n\x1a\n", "image/png"),
+    ("\xff\xd8\xff", "image/jpeg"),
+    ("GIF8", "image/gif"),
+    ("PK\x03\x04", "application/zip"),
+    ("\x1f\x8b", "application/gzip"),
+    ("WARC/", "application/warc"),
+)
+
+
+def sniff_mimetype(data: Column) -> Column:
+    """binary column → content_type_magic_s (enhance_mimetype semantics).
+
+    HTML detection mirrors libmagic's token scan: a '<html'/'<!doctype'
+    token near the start; otherwise signature prefixes; fallback
+    text/plain (libmagic's default for printable bytes).
+    """
+    head = F.decode(F.substring(data, 1, 256), "ISO-8859-1")
+    expr = F.lit("text/plain")
+    lowered = F.lower(head)
+    expr = F.when(
+        lowered.contains("<html") | lowered.contains("<!doctype html"),
+        F.lit("text/html"),
+    ).otherwise(expr)
+    for sig, mime in reversed(_MAGIC):
+        expr = F.when(head.startswith(sig), F.lit(mime)).otherwise(expr)
+    return F.when(data.isNull() | (F.length(data) == 0), F.lit("application/x-empty")).otherwise(expr)
+
+
 def with_multilingual(
     df: DataFrame,
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),

@@ -1,0 +1,85 @@
+"""RDF ingest: N-Triples lines → per-subject facet rows.
+
+Reimplements enhance_rdf semantics (enhance_rdf.py:130-266): the
+reference loads a graph file with rdflib, then emits ONE document per
+DISTINCT subject (SPARQL ``SELECT DISTINCT ?s`` — enhance_rdf.py:159-163),
+maps each predicate to a facet named after its last path/# segment
+(enhance_rdf.py:222-224), and resolves URI objects to their
+skos:prefLabel / rdfs:label where the graph defines one
+(enhance_rdf.py:176-210), falling back to the raw URI.
+
+Spark-first: the parse is a JVM-side ``regexp_extract`` over text lines
+(no Python), label resolution is a broadcast self-join on the label
+triples, and the per-subject fold is ``groupBy(subject)`` — i.e. the
+reference's rdflib graph walk becomes two narrow joins + one shuffle
+on subject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: predicates whose objects name their subject (enhance_rdf.py:176-189)
+LABEL_PREDICATES = (
+    "http://www.w3.org/2004/02/skos/core#prefLabel",
+    "http://www.w3.org/2000/01/rdf-schema#label",
+)
+
+# N-Triples line: <s> <p> (<uri>|"literal") .
+_NT_RE = r'^\s*<([^>]*)>\s+<([^>]*)>\s+(<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z-]+)?)\s*\.\s*$'
+
+
+def triples_from_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """text lines → (s, p, o, o_is_uri) — whole-stage-codegen parse."""
+    line = F.col(line_col)
+    s = F.regexp_extract(line, _NT_RE, 1)
+    p = F.regexp_extract(line, _NT_RE, 2)
+    o_raw = F.regexp_extract(line, _NT_RE, 3)
+    is_uri = o_raw.startswith("<")
+    o = F.when(is_uri, F.regexp_extract(o_raw, r"^<([^>]*)>$", 1)).otherwise(
+        # strip quotes + optional @lang tag; unescape \" and \\
+        F.regexp_replace(
+            F.regexp_extract(o_raw, r'^"((?:[^"\\]|\\.)*)"', 1),
+            r'\\(["\\])',
+            r"$1",
+        )
+    )
+    return (
+        df.select(s.alias("s"), p.alias("p"), o.alias("o"), is_uri.alias("o_is_uri"))
+        .filter((F.col("s") != "") & (F.col("p") != ""))
+    )
+
+
+def facet_name(p: F.Column) -> F.Column:
+    """predicate URI → facet field name (enhance_rdf.py:222-224:
+    last '/'- or '#'-segment, suffixed ``_ss``)."""
+    return F.concat(F.regexp_extract(p, r"([^/#]+)$", 1), F.lit("_ss"))
+
+
+def subject_facets(
+    triples: DataFrame,
+    label_predicates: tuple[str, ...] = LABEL_PREDICATES,
+) -> DataFrame:
+    """triples → (subject, facet, values: array<string> sorted distinct).
+
+    URI objects resolve to their label where the graph defines one
+    (broadcast self-join — label sets are small dimension data), else
+    stay as the raw URI (enhance_rdf.py:203-210 fallback).
+    """
+    labels = (
+        triples.filter(F.col("p").isin(list(label_predicates)))
+        .groupBy(F.col("s").alias("_uri"))
+        .agg(F.min("o").alias("_label"))
+    )
+    resolved = triples.join(
+        F.broadcast(labels), triples["o"] == labels["_uri"], "left"
+    ).select(
+        "s",
+        facet_name(F.col("p")).alias("facet"),
+        F.when(F.col("o_is_uri"), F.coalesce("_label", "o")).otherwise(F.col("o")).alias("v"),
+    )
+    return (
+        resolved.groupBy(F.col("s").alias("subject"), "facet")
+        .agg(F.sort_array(F.collect_set("v")).alias("values"))
+    )

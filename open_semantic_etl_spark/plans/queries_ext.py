@@ -1,0 +1,575 @@
+"""Driver-contract catalog, part 2: container explodes, filters,
+metadata joins, gazetteer NER, RDF, mimetype, deferred OCR.
+
+Same contract as plans/queries.py: every query builds its input
+DETERMINISTICALLY from the driver's parquet tables (documents /
+embeddings) so an independent DuckDB oracle can reconstruct the
+expected output from ``doc_id`` alone. Binary payloads (zip/warc/csv/
+pdf) are synthesized inside Arrow-batched ``mapInPandas`` stages —
+the oracle never parses them; it recomputes what the explode must
+yield.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared: small deterministic slices of the documents table
+# ---------------------------------------------------------------------------
+
+
+def _doc_ids(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < cap)
+    )
+
+
+def _binary_source(
+    spark: SparkSession, sf_dir: str, cap: int, build, url_fmt: str
+) -> DataFrame:
+    """(doc_id) → (url, html:binary) rows with payload = build(doc_id)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [url_fmt.format(d=d) for d in ids],
+                    "html": [build(d) for d in ids],
+                }
+            )
+
+    return _doc_ids(spark, sf_dir, cap).mapInPandas(run, schema="url string, html binary")
+
+
+# ---------------------------------------------------------------------------
+# ZIP explode (enhance_zip.py:31-116 semantics incl. zip-in-zip)
+# ---------------------------------------------------------------------------
+
+_ZIP_DT = (2024, 1, 1, 0, 0, 0)
+
+
+def _build_zip(d: int) -> bytes:
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w", zipfile.ZIP_STORED) as zi:
+        zi.writestr(zipfile.ZipInfo(f"b{d}.txt", _ZIP_DT), f"beta {d}")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zo:
+        zo.writestr(zipfile.ZipInfo(f"notes/a{d}.txt", _ZIP_DT), f"alpha {d}")
+        zo.writestr(zipfile.ZipInfo("inner.zip", _ZIP_DT), inner.getvalue())
+    return buf.getvalue()
+
+
+def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.explode import explode_zip
+
+    src = _binary_source(
+        spark, sf_dir, 150, _build_zip, "https://archive.example.org/{d}.zip"
+    )
+    out = explode_zip(src)
+    return out.select(
+        "url",
+        "container_s",
+        F.decode("html", "UTF-8").alias("member_text"),
+        "parent_id",
+    )
+
+
+SQL_ZIP_EXPLODE = """
+WITH m AS (
+  SELECT doc_id, 'https://archive.example.org/' || doc_id || '.zip' AS base
+  FROM documents WHERE doc_id < 150
+)
+SELECT base || '/notes/a' || doc_id || '.txt' AS url, base AS container_s,
+       'alpha ' || doc_id AS member_text, base AS parent_id FROM m
+UNION ALL
+SELECT base || '/inner.zip/b' || doc_id || '.txt', base,
+       'beta ' || doc_id, base FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# WARC explode (enhance_warc.py:64-106: response records only,
+# child id = Target-URI + '/' + Record-ID)
+# ---------------------------------------------------------------------------
+
+
+def _build_warc(d: int) -> bytes:
+    body = f"<html><body>Example Domain {d}</body></html>".encode()
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    resp = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: http://site{d}.example.com/\r\n"
+        f"WARC-Record-ID: <urn:uuid:rec{d}>\r\n"
+        f"WARC-Date: 2024-03-01T00:00:{d % 60:02d}Z\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode() + http
+    req = b"\r\n\r\nWARC/1.0\r\nWARC-Type: request\r\nContent-Length: 2\r\n\r\nXX"
+    return resp + req
+
+
+def q_warc_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.explode import explode_warc
+
+    src = _binary_source(spark, sf_dir, 150, _build_warc, "file:///warc/{d}.warc")
+    out = explode_warc(src)
+    return out.select(
+        "url",
+        "target_uri",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_dt"),
+        F.decode("html", "UTF-8").alias("body_text"),
+        "parent_id",
+    )
+
+
+SQL_WARC_EXPLODE = """
+SELECT 'http://site' || doc_id || '.example.com//urn:uuid:rec' || doc_id AS url,
+       'http://site' || doc_id || '.example.com/' AS target_uri,
+       '2024-03-01T00:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z' AS warc_dt,
+       '<html><body>Example Domain ' || doc_id || '</body></html>' AS body_text,
+       'file:///warc/' || doc_id || '.warc' AS parent_id
+FROM documents WHERE doc_id < 150
+"""
+
+
+# ---------------------------------------------------------------------------
+# CSV explode (enhance_csv.py:205-253: title row → field names,
+# numeric shadow _f, child id #rownum)
+# ---------------------------------------------------------------------------
+
+
+def _build_csv(d: int) -> bytes:
+    return f"name,value\r\nitem{d},{d}.5\r\nthing{d},x{d}\r\n".encode()
+
+
+def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.explode import explode_csv
+
+    src = _binary_source(spark, sf_dir, 150, _build_csv, "file:///tab/{d}.csv")
+    out = explode_csv(src)
+    return out.select(
+        "url",
+        "page_i",
+        "container_s",
+        F.col("fields")["name_t"].alias("name_t"),
+        F.col("fields")["value_t"].alias("value_t"),
+        F.col("numbers")["value_f"].alias("value_f"),
+    )
+
+
+SQL_CSV_EXPLODE = """
+WITH m AS (SELECT doc_id, 'file:///tab/' || doc_id || '.csv' AS base
+           FROM documents WHERE doc_id < 150)
+SELECT base || '#1' AS url, 1 AS page_i, base AS container_s,
+       'item' || doc_id AS name_t, doc_id || '.5' AS value_t,
+       doc_id + 0.5 AS value_f FROM m
+UNION ALL
+SELECT base || '#2', 2, base, 'thing' || doc_id, 'x' || doc_id, NULL FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# PDF page explode (enhance_pdf_page.py:62-147: #page=N children with
+# parent title/author copied)
+# ---------------------------------------------------------------------------
+
+
+def _build_pdf_doc(d: int) -> bytes:
+    from open_semantic_etl_spark.operators.pdfio import build_pdf
+
+    return build_pdf(
+        pages=[f"PageOne of {d}", f"PageTwo of {d}"],
+        title=f"T{d}",
+        author=f"A{d % 5}",
+    )
+
+
+def q_pdf_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.explode import explode_pdf_pages
+
+    src = _binary_source(spark, sf_dir, 120, _build_pdf_doc, "file:///docs/{d}.pdf")
+    return explode_pdf_pages(src).select(
+        "url", "page_i", "content_txt", "title_txt", "author_ss", "pages_i", "parent_id"
+    )
+
+
+SQL_PDF_PAGES = """
+WITH m AS (SELECT doc_id, 'file:///docs/' || doc_id || '.pdf' AS base
+           FROM documents WHERE doc_id < 120),
+p AS (SELECT doc_id, base, i FROM m, unnest([1, 2]) AS t(i))
+SELECT base || '#page=' || i AS url, i::int AS page_i,
+       'Page' || (CASE WHEN i = 1 THEN 'One' ELSE 'Two' END) || ' of ' || doc_id AS content_txt,
+       'T' || doc_id AS title_txt, 'A' || (doc_id % 5) AS author_ss,
+       2 AS pages_i, base AS parent_id
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# mimetype sniff + file size (enhance_mimetype.py:27-35,
+# enhance_file_size.py:25-31) — fully JVM-side
+# ---------------------------------------------------------------------------
+
+
+def q_mimetype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.functions.textmeta import sniff_mimetype
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    payload = (
+        F.when(m == 0, F.concat(F.lit("<html><body>M"), did, F.lit("</body></html>")))
+        .when(m == 1, F.concat(F.lit("%PDF-1.4 M"), did))
+        .when(m == 2, F.concat(F.lit("\x89PNG\r\n\x1a\nM"), did))
+        .otherwise(F.concat(F.lit("PK\x03\x04M"), did))
+    )
+    data = F.encode(payload, "ISO-8859-1")
+    return d.select(
+        "doc_id",
+        sniff_mimetype(data).alias("content_type_magic_s"),
+        F.length(data).alias("file_size_i"),
+    )
+
+
+SQL_MIMETYPE = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf'
+       WHEN 2 THEN 'image/png' ELSE 'application/zip' END AS content_type_magic_s,
+  (CASE doc_id % 4
+       WHEN 0 THEN 27 WHEN 1 THEN 10
+       WHEN 2 THEN 9 ELSE 5 END + length(doc_id::varchar))::int AS file_size_i
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# blacklist / whitelist filter (filter_blacklist.py:28-129)
+# ---------------------------------------------------------------------------
+
+
+def q_blacklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.functions.filters import blacklist_predicate
+    from open_semantic_etl_spark.plans.queries import DOC_URL_SQL  # noqa: F401
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"), F.lit(".html"),
+    )
+    kept = blacklist_predicate(
+        url,
+        blacklist={
+            "exact": ("https://host0.example.org/doc/0.html",),
+            "prefix": ("https://host3.",),
+            "suffix": ("7.html",),
+            "regex": (r"doc/4[0-9]\.html",),
+        },
+        whitelist={"exact": ("https://host3.example.org/doc/3.html",)},
+    )
+    return d.select("doc_id", url.alias("url"), kept.alias("kept"))
+
+
+SQL_BLACKLIST = """
+WITH d AS (
+  SELECT doc_id,
+         'https://host' || (doc_id % 13) || '.example.org/doc/' || doc_id || '.html' AS url
+  FROM documents
+)
+SELECT doc_id, url,
+  (NOT (url = 'https://host0.example.org/doc/0.html'
+        OR url LIKE 'https://host3.%'
+        OR url LIKE '%7.html'
+        OR regexp_matches(url, 'doc/4[0-9]\\.html')))
+  OR url = 'https://host3.example.org/doc/3.html' AS kept
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# gazetteer entity linking (enhance_entity_linking.py:50-216: per-facet
+# name/uri/'name <uri>'/'uri\tmatchtext'/taxonomy projections)
+# ---------------------------------------------------------------------------
+
+
+def _linking_gazetteer():
+    from open_semantic_etl_spark.operators.entity_linking import (
+        Gazetteer,
+        GazetteerEntry,
+    )
+
+    return Gazetteer(
+        entries=[
+            GazetteerEntry(
+                "urn:stgb", "Strafgesetzbuch", "law_code_ss",
+                ("Strafgesetzbuch", "StGB"), ("Law\tDE\tCriminal",),
+            ),
+            GazetteerEntry(
+                "urn:bgb", "Bürgerliches Gesetzbuch", "law_code_ss",
+                ("Bürgerliches Gesetzbuch", "BGB"), ("Law\tDE\tCivil",),
+            ),
+            GazetteerEntry("urn:usd", "US Dollar", "currency_ss", ("USD", "dollar")),
+        ]
+    )
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators import entity_linking as EL
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    txt = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("Das Strafgesetzbuch gilt. Preis 100 USD fuer "), did))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("Laut BGB Paragraph. Preis 100 USD fuer "), did))
+        .otherwise(F.concat(F.lit("Nichts relevantes. Preis 100 USD fuer "), did))
+    )
+    tagged = EL.with_entities(d.withColumn("txt", txt), _linking_gazetteer(), text_col="txt")
+    e = F.col("entities")
+    return tagged.select(
+        "doc_id",
+        F.array_join(EL.facet_names(e, "law_code_ss"), ",").alias("law_names"),
+        F.array_join(EL.facet_uris(e, "law_code_ss"), ",").alias("law_uris"),
+        F.array_join(EL.facet_preflabel_and_uri(e, "law_code_ss"), ",").alias("law_pref"),
+        F.array_join(EL.facet_matchtexts(e, "law_code_ss"), ",").alias("law_match"),
+        F.array_join(EL.facet_taxonomy_level(e, "law_code_ss", 1), ",").alias("law_tax1"),
+        F.array_join(EL.facet_names(e, "currency_ss"), ",").alias("currency_names"),
+    )
+
+
+SQL_ENTITY_LINK = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'Strafgesetzbuch' WHEN 1 THEN 'Bürgerliches Gesetzbuch' ELSE '' END AS law_names,
+  CASE doc_id % 3 WHEN 0 THEN 'urn:stgb' WHEN 1 THEN 'urn:bgb' ELSE '' END AS law_uris,
+  CASE doc_id % 3 WHEN 0 THEN 'Strafgesetzbuch <urn:stgb>'
+       WHEN 1 THEN 'Bürgerliches Gesetzbuch <urn:bgb>' ELSE '' END AS law_pref,
+  CASE doc_id % 3 WHEN 0 THEN 'urn:stgb' || chr(9) || 'Strafgesetzbuch'
+       WHEN 1 THEN 'urn:bgb' || chr(9) || 'BGB' ELSE '' END AS law_match,
+  CASE doc_id % 3 WHEN 0 THEN 'Law' || chr(9) || 'DE'
+       WHEN 1 THEN 'Law' || chr(9) || 'DE' ELSE '' END AS law_tax1,
+  'US Dollar' AS currency_names
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# annotations join (enhance_annotations.py:21-39 + export_solr
+# add-distinct merge semantics) and sidecar metadata join
+# (enhance_xmp.py:70-133 filename-stem keying)
+# ---------------------------------------------------------------------------
+
+
+def q_annotations_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.plans.maintenance import join_annotations
+    from open_semantic_etl_spark.plans.queries import doc_url  # noqa: F401
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://host"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".example.org/doc/"), did, F.lit(".html"),
+    )
+    base = docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.concat(F.lit("T"), did).alias("title_txt"),
+        F.when(F.col("doc_id") % 2 == 0, F.array(F.concat(F.lit("base"), did))).alias("tag_ss"),
+    )
+    ann = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            url.alias("url"),
+            F.concat(F.lit("AnnT"), did).alias("title_txt"),
+            F.array(F.concat(F.lit("ann"), did)).alias("tag_ss"),
+        )
+    )
+    out = join_annotations(base, ann, on="url", merge_cols=("tag_ss",))
+    return out.select("doc_id", F.array_join("tag_ss", ",").alias("tags"), "title_txt")
+
+
+SQL_ANNOTATIONS_JOIN = """
+SELECT doc_id,
+  CASE WHEN doc_id % 10 = 0 THEN 'base' || doc_id || ',ann' || doc_id
+       WHEN doc_id % 2 = 0 THEN 'base' || doc_id
+       ELSE '' END AS tags,
+  CASE WHEN doc_id % 10 = 0 THEN 'AnnT' || doc_id ELSE 'T' || doc_id END AS title_txt
+FROM documents
+"""
+
+
+def q_sidecar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.plans.maintenance import join_sidecar
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("file:///data/"), did, F.lit(".pdf"))
+    base = docs.select("doc_id", url.alias("url"))
+    sidecar = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.concat(url, F.lit(".xmp")).alias("url"),
+            F.concat(F.lit("XmpAuthor"), did).alias("xmp_author_s"),
+        )
+    )
+    out = join_sidecar(base, sidecar, id_col="url", sidecar_suffix=".xmp")
+    return out.select("doc_id", "xmp_author_s")
+
+
+SQL_SIDECAR_JOIN = """
+SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'XmpAuthor' || doc_id END AS xmp_author_s
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (training-data curation tier)
+# ---------------------------------------------------------------------------
+
+
+def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 40)
+    return embedding_dup_pairs(emb, vec_col="embedding", id_col="vec_id", threshold=0.2)
+
+
+SQL_NEARDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 40)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# RDF: N-Triples → per-subject facets with label resolution
+# (enhance_rdf.py:130-266)
+# ---------------------------------------------------------------------------
+
+
+def q_rdf_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.rdf import subject_facets, triples_from_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    did = F.col("doc_id").cast("string")
+    subj = F.concat(F.lit("<urn:doc"), did, F.lit(">"))
+    lines = docs.select(
+        F.explode(
+            F.array(
+                F.concat(subj, F.lit(' <http://purl.org/dc/terms/title> "T'), did, F.lit('" .')),
+                F.concat(
+                    subj,
+                    F.lit(" <http://purl.org/dc/terms/creator> <urn:author"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit("> ."),
+                ),
+                F.when(
+                    F.col("doc_id") < 5,
+                    F.concat(
+                        F.lit("<urn:author"), did,
+                        F.lit('> <http://www.w3.org/2004/02/skos/core#prefLabel> "Author '),
+                        did, F.lit('" .'),
+                    ),
+                ),
+            )
+        ).alias("line")
+    ).filter(F.col("line").isNotNull())
+    out = subject_facets(triples_from_lines(lines))
+    return out.select("subject", "facet", F.array_join("values", ",").alias("vals"))
+
+
+SQL_RDF_FACETS = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT 'urn:doc' || doc_id AS subject, 'title_ss' AS facet, 'T' || doc_id AS vals FROM d
+UNION ALL
+SELECT 'urn:doc' || doc_id, 'creator_ss', 'Author ' || (doc_id % 5) FROM d
+UNION ALL
+SELECT 'urn:author' || doc_id, 'prefLabel_ss', 'Author ' || doc_id FROM d WHERE doc_id < 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# deferred OCR (two-phase: needs_ocr flag in extraction, phase-2 memoized
+# OCR job — enhance_pdf_ocr.py + '[Image (no OCR yet)]' cache semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_deferred_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from open_semantic_etl_spark.operators.html_extract import with_extraction
+    from open_semantic_etl_spark.operators.ocr import run_ocr_phase
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+    did = F.col("doc_id").cast("string")
+    html_str = F.concat(
+        F.lit("<html><body><p>Doc body "), did, F.lit("</p>"),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit('<img src="FAKEIMG:OcrText'), did, F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    url = F.concat(F.lit("https://ocr.example.org/"), did)
+    pages = docs.select("doc_id", url.alias("url"), F.encode(html_str, "UTF-8").alias("html"))
+    enriched = with_extraction(pages)
+    memo = tempfile.mkdtemp(prefix="ocr_memo_") + "/memo"
+    ocr = run_ocr_phase(spark, enriched, memo_path=memo, engine="fake")
+    return (
+        enriched.select("doc_id", "url", "needs_ocr")
+        .join(ocr, "url", "left")
+        .select("doc_id", "needs_ocr", "ocr_t")
+    )
+
+
+SQL_DEFERRED_OCR = """
+SELECT doc_id, doc_id % 6 = 0 AS needs_ocr,
+       CASE WHEN doc_id % 6 = 0 THEN 'OcrText' || doc_id END AS ocr_t
+FROM documents WHERE doc_id < 150
+"""
+
+
+EXT_QUERIES = {
+    "zip_explode": q_zip_explode,
+    "warc_explode": q_warc_explode,
+    "csv_explode": q_csv_explode,
+    "pdf_pages": q_pdf_pages,
+    "mimetype": q_mimetype,
+    "blacklist_filter": q_blacklist_filter,
+    "entity_link": q_entity_link,
+    "annotations_join": q_annotations_join,
+    "sidecar_join": q_sidecar_join,
+    "neardup_embedding": q_neardup_embedding,
+    "rdf_facets": q_rdf_facets,
+    "deferred_ocr": q_deferred_ocr,
+}
+
+EXT_ORACLES = {
+    "zip_explode": SQL_ZIP_EXPLODE,
+    "warc_explode": SQL_WARC_EXPLODE,
+    "csv_explode": SQL_CSV_EXPLODE,
+    "pdf_pages": SQL_PDF_PAGES,
+    "mimetype": SQL_MIMETYPE,
+    "blacklist_filter": SQL_BLACKLIST,
+    "entity_link": SQL_ENTITY_LINK,
+    "annotations_join": SQL_ANNOTATIONS_JOIN,
+    "sidecar_join": SQL_SIDECAR_JOIN,
+    "neardup_embedding": SQL_NEARDUP_EMBEDDING,
+    "rdf_facets": SQL_RDF_FACETS,
+    "deferred_ocr": SQL_DEFERRED_OCR,
+}

@@ -1,0 +1,64 @@
+"""RDF subject-facet fold (enhance_rdf semantics) + magic-byte sniff
+(enhance_mimetype semantics) — unit goldens in the reference's
+golden-assertion style (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_semantic_etl_spark.functions.textmeta import sniff_mimetype
+from open_semantic_etl_spark.operators.rdf import subject_facets, triples_from_lines
+
+NT = [
+    '<urn:a> <http://purl.org/dc/terms/title> "Title A" .',
+    '<urn:a> <http://purl.org/dc/terms/creator> <urn:p1> .',
+    '<urn:a> <http://purl.org/dc/terms/creator> <urn:p2> .',
+    '<urn:p1> <http://www.w3.org/2004/02/skos/core#prefLabel> "Alice" .',
+    # p2 has no label → falls back to the raw URI (enhance_rdf.py:203-210)
+    '<urn:b> <http://purl.org/dc/terms/title> "Esc \\"q\\" done"@en .',
+    "malformed line that parses to nothing",
+]
+
+
+def test_rdf_subject_facets(spark):
+    lines = spark.createDataFrame([(x,) for x in NT], "line string")
+    out = subject_facets(triples_from_lines(lines))
+    rows = {(r["subject"], r["facet"]): r["values"] for r in out.collect()}
+    assert rows[("urn:a", "title_ss")] == ["Title A"]
+    # URI objects resolve via label join; unlabeled URI stays raw
+    assert rows[("urn:a", "creator_ss")] == ["Alice", "urn:p2"]
+    assert rows[("urn:p1", "prefLabel_ss")] == ["Alice"]
+    # literal unescape + @lang strip
+    assert rows[("urn:b", "title_ss")] == ['Esc "q" done']
+    assert ("", "title_ss") not in rows  # malformed line dropped
+
+
+def test_rdf_parse_is_jvm_side(spark):
+    lines = spark.createDataFrame([(x,) for x in NT], "line string")
+    plan = triples_from_lines(lines)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+CASES = [
+    (b"%PDF-1.4 x", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\nrest", "image/png"),
+    (b"\xff\xd8\xff\xe0jpg", "image/jpeg"),
+    (b"PK\x03\x04zip", "application/zip"),
+    (b"  <!DOCTYPE HTML><html>", "text/html"),
+    (b"<html><body>x</body></html>", "text/html"),
+    (b"WARC/1.0\r\n", "application/warc"),
+    (b"just words", "text/plain"),
+    (b"", "application/x-empty"),
+]
+
+
+def test_sniff_mimetype(spark):
+    df = spark.createDataFrame(
+        [(i, data) for i, (data, _) in enumerate(CASES)], "i int, data binary"
+    )
+    got = {
+        r["i"]: r["mime"]
+        for r in df.select("i", sniff_mimetype(F.col("data")).alias("mime")).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (i, got[i], want)

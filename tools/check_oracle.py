@@ -31,7 +31,7 @@ def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     return len(df), cols, h
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from open_semantic_etl_spark.session import get_spark
 
@@ -46,6 +46,8 @@ def main(sf_dir: str) -> int:
     sqls = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -80,4 +82,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+            only=sys.argv[2:] or None,
+        )
+    )
