@@ -20,9 +20,17 @@ Stage order:
 
 Scale notes: stages 1-7 are all map-side (zero shuffles end-to-end);
 the only exchange in an incremental run is the checkpoint anti-join
-(see plans/checkpoint.py). Input is repartitioned by xxhash64(url) so
-work spreads evenly even when the crawl is sorted by host (hot-host
-skew, SURVEY.md §4).
+(see plans/checkpoint.py), which ships only (url, content_hash) — the
+html payload NEVER shuffles. Skew policy for the map-only stage:
+parquet/Iceberg input splits are byte-uniform (maxPartitionBytes), so
+per-task work is even regardless of host clustering in the file order —
+a hash repartition is NOT needed and at 10^12 docs would shuffle the
+entire corpus through the network (measured on this box: +40% wall at
+32 cores, see BENCH/BASELINE.md §2). ``repartition=N`` stays available
+for the one case that does need it: re-balancing after a selective
+filter (e.g. backfill of a sparse needs_ocr subset) where surviving
+rows cluster in few splits. Shuffling stages (groupBy/MERGE on url)
+rely on AQE skew handling + the salted-agg helper (functions/skew.py).
 """
 
 from __future__ import annotations

@@ -4,7 +4,9 @@ Dumps `.explain("formatted")` excerpts for the load-bearing plans and
 CHECKS the properties (exit 1 on regression):
 
   1. extraction stage: parquet scan pruned to the UDF's input columns;
-  2. enrichment chain: NO Exchange except the one explicit
+  2. enrichment chain (headline plan): ZERO Exchange — the map-only
+     pipeline must never shuffle payload bytes; plus the post-filter
+     re-balance variant whose single Exchange is the explicit
      repartition(xxhash64(url));
   3. checkpoint pending-rows: the anti-join exchanges carry only
      (url, content_hash) — html never rides a shuffle — and the final
@@ -77,11 +79,24 @@ def main() -> int:
         ],
     )
 
-    # 2. enrichment chain shuffle count
-    full = enrich_pages(pages, gazetteer=bench._gazetteer(), repartition=4)
+    # 2a. enrichment chain (headline): zero shuffles end-to-end
+    full = enrich_pages(pages, gazetteer=bench._gazetteer(), repartition=None)
     section(
-        "full enrichment chain — single explicit exchange",
+        "full enrichment chain — zero exchanges (payload never shuffles)",
         full,
+        [
+            (
+                "no Exchange anywhere in the plan",
+                lambda p: len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 0,
+            ),
+        ],
+    )
+
+    # 2b. post-filter re-balance variant: exactly the one explicit exchange
+    rebal = enrich_pages(pages, gazetteer=bench._gazetteer(), repartition=4)
+    section(
+        "re-balance variant — single explicit exchange on xxhash64(url)",
+        rebal,
         [
             (
                 "exactly one Exchange (the explicit repartition)",
