@@ -504,6 +504,43 @@ SELECT 'urn:author' || doc_id, 'prefLabel_ss', 'Author ' || doc_id FROM d WHERE 
 
 
 # ---------------------------------------------------------------------------
+# configured tag-path extraction (enhance_html.py:10-38, 62-82)
+# ---------------------------------------------------------------------------
+
+
+def q_html_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.htmlpaths import with_html_paths
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    did = F.col("doc_id").cast("string")
+    html_str = F.concat(
+        F.lit("<html><body><h1>Head "), did, F.lit("</h1>"),
+        F.lit("<div id=\"x\">Outer "), did, F.lit("<span>Inner "), did,
+        F.lit("</span></div><div>Second "), did, F.lit("</div></body></html>"),
+    )
+    src = docs.select("doc_id", F.encode(html_str, "UTF-8").alias("html"))
+    out = with_html_paths(src, tags=("//h1",), tags_and_children=("//div",))
+    p = F.col("html_paths")
+    return out.select(
+        "doc_id",
+        F.array_join(p["h1_ss"], ",").alias("h1_ss"),
+        F.array_join(p["div_ss"], ",").alias("div_ss"),
+        F.array_join(p["div/span_ss"], ",").alias("div_span_ss"),
+    )
+
+
+SQL_HTML_PATHS = """
+SELECT doc_id,
+  'Head ' || doc_id AS h1_ss,
+  'Outer ' || doc_id || ',Second ' || doc_id AS div_ss,
+  'Inner ' || doc_id AS div_span_ss
+FROM documents WHERE doc_id < 200
+"""
+
+
+# ---------------------------------------------------------------------------
 # deferred OCR (two-phase: needs_ocr flag in extraction, phase-2 memoized
 # OCR job — enhance_pdf_ocr.py + '[Image (no OCR yet)]' cache semantics)
 # ---------------------------------------------------------------------------
@@ -556,6 +593,7 @@ EXT_QUERIES = {
     "sidecar_join": q_sidecar_join,
     "neardup_embedding": q_neardup_embedding,
     "rdf_facets": q_rdf_facets,
+    "html_paths": q_html_paths,
     "deferred_ocr": q_deferred_ocr,
 }
 
@@ -571,5 +609,6 @@ EXT_ORACLES = {
     "sidecar_join": SQL_SIDECAR_JOIN,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
     "rdf_facets": SQL_RDF_FACETS,
+    "html_paths": SQL_HTML_PATHS,
     "deferred_ocr": SQL_DEFERRED_OCR,
 }

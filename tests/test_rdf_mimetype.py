@@ -62,3 +62,37 @@ def test_sniff_mimetype(spark):
     }
     for i, (_, want) in enumerate(CASES):
         assert got[i] == want, (i, got[i], want)
+
+
+HTML_DOC = (
+    b"<html><body><h1>Main Title</h1>"
+    b"<div id='a'>Outer text<span>Inner text</span><p></p></div>"
+    b"<div>  </div><div>Plain</div>"
+    b"<ul><li>Item1</li><li>Item2</li></ul></body></html>"
+)
+
+
+def test_html_tag_paths():
+    from open_semantic_etl_spark.operators.htmlpaths import extract_tag_paths
+
+    # non-recursive: matched element's direct text only
+    out = extract_tag_paths(HTML_DOC, tags=("//h1", "//li"))
+    assert out == {"h1_ss": ["Main Title"], "li_ss": ["Item1", "Item2"]}
+
+    # recursive: per-descendant path fields, empty texts dropped
+    out = extract_tag_paths(HTML_DOC, tags_and_children=("//div",))
+    assert out["div_ss"] == ["Outer text", "Plain"]
+    assert out["div/span_ss"] == ["Inner text"]
+    assert "div/p_ss" not in out
+
+    assert extract_tag_paths(None, tags=("//h1",)) == {}
+    assert extract_tag_paths(b"<broken <<", tags=("//h1",)) == {}
+
+
+def test_html_tag_paths_spark(spark):
+    from open_semantic_etl_spark.operators.htmlpaths import with_html_paths
+
+    df = spark.createDataFrame([(1, HTML_DOC)], "i int, html binary")
+    row = with_html_paths(df, tags=("//h1",), tags_and_children=("//div",)).first()
+    assert row["html_paths"]["h1_ss"] == ["Main Title"]
+    assert row["html_paths"]["div/span_ss"] == ["Inner text"]
