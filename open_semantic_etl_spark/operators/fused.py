@@ -29,9 +29,11 @@ from open_semantic_etl_spark.operators.numerize import numerize_en
 from open_semantic_etl_spark.schema import ENTITY_TYPE, EXTRACT_RESULT_TYPE
 
 _EXTRA_FIELDS = [
-    T.StructField("text_analysis", T.StringType(), True),
     T.StructField("language_s", T.StringType(), True),
     T.StructField("entities", ENTITY_TYPE, True),
+    # None when numerization changed nothing (the common case) — the
+    # JVM side coalesces to text_analysis, so the full text does not
+    # ride the Arrow boundary twice for unchanged documents
     T.StructField("text_numerized", T.StringType(), True),
 ]
 
@@ -73,21 +75,29 @@ def with_fused_extraction(
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(gazetteer) if gazetteer is not None else None
 
+    def _numz(t: str, lang: str) -> str | None:
+        if lang != "en":
+            return None
+        r = numerize_en(t)
+        return r if r != t else None
+
     def run(htmls: pd.Series) -> pd.DataFrame:
         gz = bc.value if bc is not None else None
         recs = [extract_html(h) for h in htmls]
         out = pd.DataFrame(recs, columns=[f.name for f in EXTRACT_RESULT_TYPE.fields])
+        # analysis text is consumed HERE (langid/NER/numerize) but not
+        # returned: it is a deterministic concat of title/description/
+        # content, which the JVM side rebuilds byte-identically — one
+        # less full-text copy crossing Arrow per row
         analysis = [
             analysis_text_py(r["title"], r["description"], r["content"]) for r in recs
         ]
-        out["text_analysis"] = analysis
         out["language_s"] = [detect_language(t) for t in analysis]
         out["entities"] = (
             [gz.tag(t) for t in analysis] if gz is not None else [[] for _ in analysis]
         )
         out["text_numerized"] = [
-            numerize_en(t) if lang == "en" else t
-            for t, lang in zip(analysis, out["language_s"])
+            _numz(t, lang) for t, lang in zip(analysis, out["language_s"])
         ]
         return out
 
@@ -96,4 +106,15 @@ def with_fused_extraction(
     for name in _FUSED_FIELDS:
         if name not in df.columns:
             df = df.withColumn(name, F.col("_fused")[name])
-    return df.drop("_fused")
+    df = df.drop("_fused")
+    # JVM twin of analysis_text_py over the SAME struct fields → equal
+    # bytes; get_text contract (etl_plugin_core.py:146-162)
+    from open_semantic_etl_spark.functions.textmeta import analysis_text
+
+    df = df.withColumn(
+        "text_analysis",
+        analysis_text(F.col("title"), F.col("description"), F.col("content")),
+    )
+    return df.withColumn(
+        "text_numerized", F.coalesce(F.col("text_numerized"), F.col("text_analysis"))
+    )

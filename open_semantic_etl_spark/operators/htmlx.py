@@ -259,8 +259,12 @@ _TOKEN_RE = re.compile(
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-\w:.]*)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
 )
-# tags whose attributes the content parser actually reads
-_ATTR_TAGS = frozenset(("meta", "a", "img"))
+# the only tag whose attributes need a full parse (name/property/
+# http-equiv/content map); <a> needs just href, <img> none
+_ATTR_TAGS = frozenset(("meta",))
+_HREF_RE = re.compile(
+    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+)
 # rawtext elements: html.parser switches to CDATA mode for exactly these
 _RAWTEXT_END = {
     "script": re.compile(r"</script[^>]*>", re.IGNORECASE),
@@ -289,37 +293,48 @@ def _fast_feed(parser: _ContentParser, text: str) -> None:
     pos, n = 0, len(text)
     while pos < n:
         m = _TOKEN_RE.match(text, pos)
+        start = pos
         pos = m.end()
-        tok = m.group(0)
-        if tok[0] != "<" or tok == "<":
-            parser.handle_data(
-                _htmlmod.unescape(tok) if "&" in tok else ("<" if tok == "<" else tok)
-            )
+        li = m.lastindex
+        if li is None:
+            # text run, stray '<', or comment/doctype/PI (no callback)
+            if text[start] != "<":
+                tok = m.group(0)
+                parser.handle_data(_htmlmod.unescape(tok) if "&" in tok else tok)
+            elif pos - start == 1:
+                parser.handle_data("<")
             continue
-        end_name = m.group(1)
-        if end_name:
-            parser.handle_endtag(end_name.lower())
+        if li == 1:
+            parser.handle_endtag(m.group(1).lower())
             continue
-        start_name = m.group(2)
-        if start_name:
-            tag = start_name.lower()
-            attrstr = m.group(3) or ""
-            attrs = (
-                _parse_attrs(attrstr.rstrip("/")) if tag in _ATTR_TAGS and attrstr else []
-            )
-            parser.handle_starttag(tag, attrs)
-            if attrstr.rstrip().endswith("/"):
-                parser.handle_endtag(tag)  # handle_startendtag equivalent
-            elif tag in _RAWTEXT_END:
-                em = _RAWTEXT_END[tag].search(text, pos)
-                # content is suppressed (skip tags); jump past the close
-                if em:
-                    pos = em.end()
-                    parser.handle_endtag(tag)
-                else:
-                    pos = n
-            continue
-        # comments / doctype / PI: no callback (matches handler defaults)
+        tag = m.group(2).lower()
+        attrstr = m.group(3) or ""
+        if not attrstr:
+            attrs = []
+        elif tag in _ATTR_TAGS:
+            attrs = _parse_attrs(attrstr.rstrip("/"))
+        elif tag == "a":
+            hm = _HREF_RE.search(attrstr)
+            if hm:
+                val = hm.group(1) or hm.group(2) or hm.group(3) or ""
+                if "&" in val:
+                    val = _htmlmod.unescape(val)
+                attrs = [("href", val)]
+            else:
+                attrs = []
+        else:
+            attrs = []
+        parser.handle_starttag(tag, attrs)
+        if attrstr.rstrip().endswith("/"):
+            parser.handle_endtag(tag)  # handle_startendtag equivalent
+        elif tag in _RAWTEXT_END:
+            em = _RAWTEXT_END[tag].search(text, pos)
+            # content is suppressed (skip tags); jump past the close
+            if em:
+                pos = em.end()
+                parser.handle_endtag(tag)
+            else:
+                pos = n
 
 
 def extract_html(data: bytes | None) -> dict:

@@ -74,9 +74,19 @@ for _li, _lang in enumerate(LANG_ORDER):
         _WORD_LANGS[_w] = _WORD_LANGS[_w] + (_li,)
 
 
+#: chars sampled for identification — stopword ratios stabilize within
+#: a few hundred tokens (cld2-style prefix sampling); avoids scanning
+#: megabyte documents for a 2-letter answer
+SAMPLE_CHARS = 4096
+
+
 def detect_language(text: str | None) -> str:
     if not text:
         return "und"
+    if len(text) > SAMPLE_CHARS:
+        # cut at a word boundary so the last token isn't a fragment
+        cut = text.rfind(" ", 0, SAMPLE_CHARS)
+        text = text[: cut if cut > 0 else SAMPLE_CHARS]
     toks = _TOKEN_RE.findall(text.lower())
     if len(toks) < 3:
         return "und"
