@@ -504,6 +504,111 @@ SELECT 'urn:author' || doc_id, 'prefLabel_ss', 'Author ' || doc_id FROM d WHERE 
 
 
 # ---------------------------------------------------------------------------
+# sitemap recursive listing + RSS incremental skip (etl_sitemap.py:45-123,
+# etl_rss.py:47-94)
+# ---------------------------------------------------------------------------
+
+_SM_NS = {
+    0: "http://www.sitemaps.org/schemas/sitemap/0.9",
+    1: "http://www.google.com/schemas/sitemap/0.84",
+}
+
+
+def _build_sitemap(d: int) -> bytes:
+    if d % 10 == 0:  # sitemapindex → two sub-sitemaps
+        refs = "".join(
+            f"<sitemap><loc>https://maps.example.org/{d + k}.xml</loc></sitemap>"
+            for k in (1, 2)
+        )
+        return f'<sitemapindex xmlns="{_SM_NS[0]}">{refs}</sitemapindex>'.encode()
+    ns = _SM_NS[1] if d % 3 == 1 else _SM_NS[0]  # exercise both namespaces
+    lastmod = f"2024-02-{(d % 27) + 1:02d}"
+    urls = "".join(
+        f"<url><loc>https://site.example.org/{d}/{p}.html</loc>"
+        f"<lastmod>{lastmod}</lastmod></url>"
+        for p in ("a", "b")
+    )
+    return f'<urlset xmlns="{ns}">{urls}</urlset>'.encode()
+
+
+def q_sitemap_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.feeds import expand_sitemaps
+
+    docs = _binary_source(
+        spark, sf_dir, 150, _build_sitemap, "https://maps.example.org/{d}.xml"
+    ).withColumnRenamed("html", "xml")
+    seeds = (
+        _doc_ids(spark, sf_dir, 150)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.concat(
+                F.lit("https://maps.example.org/"), F.col("doc_id").cast("string"),
+                F.lit(".xml"),
+            ).alias("seed_url")
+        )
+    )
+    return expand_sitemaps(seeds, docs, max_depth=3)
+
+
+SQL_SITEMAP_EXPAND = """
+WITH s AS (SELECT doc_id AS seed FROM documents WHERE doc_id < 150 AND doc_id % 10 = 0),
+c AS (SELECT seed, seed + k AS child FROM s, unnest([1, 2]) AS t(k)),
+p AS (SELECT seed, child, page FROM c, unnest(['a', 'b']) AS u(page))
+SELECT 'https://maps.example.org/' || seed || '.xml' AS seed_url,
+       'https://site.example.org/' || child || '/' || page || '.html' AS page_url,
+       '2024-02-' || lpad(((child % 27) + 1)::varchar, 2, '0') AS lastmod
+FROM p
+"""
+
+
+def _build_rss(d: int) -> bytes:
+    if d % 4 == 0:  # Atom variant
+        entries = "".join(
+            f'<entry><link href="https://news.example.org/{d}/{i}"/>'
+            f"<title>N{d}-{i}</title><updated>2024-03-01T00:00:0{i}Z</updated>"
+            f"<summary>S{d}-{i}</summary></entry>"
+            for i in (1, 2, 3)
+        )
+        return f'<feed xmlns="http://www.w3.org/2005/Atom">{entries}</feed>'.encode()
+    items = "".join(
+        f"<item><link>https://news.example.org/{d}/{i}</link>"
+        f"<title>N{d}-{i}</title><pubDate>2024-03-01T00:00:0{i}Z</pubDate>"
+        f"<description>S{d}-{i}</description></item>"
+        for i in (1, 2, 3)
+    )
+    return f"<rss><channel>{items}</channel></rss>".encode()
+
+
+def q_rss_new_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.feeds import new_items, rss_items
+
+    feeds = _binary_source(
+        spark, sf_dir, 150, _build_rss, "https://feeds.example.org/{d}.rss"
+    ).withColumnRenamed("html", "xml")
+    items = rss_items(feeds)
+    indexed = _doc_ids(spark, sf_dir, 150).select(
+        F.concat(
+            F.lit("https://news.example.org/"), F.col("doc_id").cast("string"),
+            F.lit("/2"),
+        ).alias("url")
+    )
+    return new_items(items, indexed).select(
+        "feed_url", "url", "title_txt", "published", "summary_txt"
+    )
+
+
+SQL_RSS_NEW_ITEMS = """
+WITH i AS (SELECT doc_id, k FROM documents, unnest([1, 3]) AS t(k) WHERE doc_id < 150)
+SELECT 'https://feeds.example.org/' || doc_id || '.rss' AS feed_url,
+       'https://news.example.org/' || doc_id || '/' || k AS url,
+       'N' || doc_id || '-' || k AS title_txt,
+       '2024-03-01T00:00:0' || k || 'Z' AS published,
+       'S' || doc_id || '-' || k AS summary_txt
+FROM i
+"""
+
+
+# ---------------------------------------------------------------------------
 # configured tag-path extraction (enhance_html.py:10-38, 62-82)
 # ---------------------------------------------------------------------------
 
@@ -594,6 +699,8 @@ EXT_QUERIES = {
     "neardup_embedding": q_neardup_embedding,
     "rdf_facets": q_rdf_facets,
     "html_paths": q_html_paths,
+    "sitemap_expand": q_sitemap_expand,
+    "rss_new_items": q_rss_new_items,
     "deferred_ocr": q_deferred_ocr,
 }
 
@@ -610,5 +717,7 @@ EXT_ORACLES = {
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
     "rdf_facets": SQL_RDF_FACETS,
     "html_paths": SQL_HTML_PATHS,
+    "sitemap_expand": SQL_SITEMAP_EXPAND,
+    "rss_new_items": SQL_RSS_NEW_ITEMS,
     "deferred_ocr": SQL_DEFERRED_OCR,
 }

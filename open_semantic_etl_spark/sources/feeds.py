@@ -1,0 +1,202 @@
+"""Sitemap / RSS listing sources → URL tables with incremental skip.
+
+Reimplements the listing halves of the reference's acquisition
+connectors as engine operators (the HTTP fetch itself stays an
+upstream seam, like the WARC ingest):
+
+- ``etl_sitemap.Connector_Sitemap.index`` (etl_sitemap.py:45-123):
+  parse urlset/sitemapindex XML in both the sitemaps.org 0.9 and
+  Google 0.84 namespaces; recurse through sub-sitemaps; emit one unit
+  of work per ``<loc>``. Here: ``parse_sitemap`` in an Arrow UDF and
+  ``expand_sitemaps`` — an iterative driver loop of self-joins against
+  the sitemap-document table, i.e. the recursion becomes bounded
+  breadth-first join rounds (SURVEY.md §2.1 "recursion → iterative
+  driver loop").
+- ``etl_rss.Connector_RSS.index`` (etl_rss.py:47-94): one work item
+  per feed entry, SKIPPED when ``get_lastmodified`` finds the article
+  already indexed. Here: ``rss_items`` (RSS 2.0 + Atom) and
+  ``new_items`` — a broadcast-able left-anti join against the indexed
+  table, the set-at-a-time form of the per-item Solr point lookup.
+"""
+
+from __future__ import annotations
+
+from xml.etree import ElementTree
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SITEMAP_NS = (
+    "{http://www.sitemaps.org/schemas/sitemap/0.9}",
+    "{http://www.google.com/schemas/sitemap/0.84}",
+)
+
+SITEMAP_ENTRY_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("loc", T.StringType(), False),
+            T.StructField("lastmod", T.StringType(), True),
+            T.StructField("is_sitemap", T.BooleanType(), False),
+        ]
+    )
+)
+
+
+def parse_sitemap(data: bytes | None) -> list[dict]:
+    """sitemap XML → entries; ``is_sitemap`` marks sub-sitemap refs
+    (etl_sitemap.py:57-87: <sitemap> children of sitemapindex recurse,
+    <url> children of urlset are pages; both namespaces accepted)."""
+    if not data:
+        return []
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError:
+        return []
+    out: list[dict] = []
+    for ns in _SITEMAP_NS:
+        for tag, is_map in ((f"{ns}sitemap", True), (f"{ns}url", False)):
+            for el in root.iter(tag):
+                loc = el.findtext(f"{ns}loc")
+                if loc and loc.strip():
+                    out.append(
+                        {
+                            "loc": loc.strip(),
+                            "lastmod": (el.findtext(f"{ns}lastmod") or None),
+                            "is_sitemap": is_map,
+                        }
+                    )
+    return out
+
+
+def sitemap_entries(df: DataFrame, id_col: str = "url", bytes_col: str = "xml") -> DataFrame:
+    """(url, xml) rows → one row per <loc> with origin back-pointer."""
+
+    def run(series: pd.Series) -> pd.Series:
+        return series.map(parse_sitemap)
+
+    udf = F.pandas_udf(run, SITEMAP_ENTRY_TYPE)
+    ex = df.withColumn("_e", udf(F.col(bytes_col))).select(
+        F.col(id_col).alias("sitemap_url"), F.explode("_e").alias("e")
+    )
+    return ex.select(
+        "sitemap_url",
+        F.col("e.loc").alias("loc"),
+        F.col("e.lastmod").alias("lastmod"),
+        F.col("e.is_sitemap").alias("is_sitemap"),
+    )
+
+
+def expand_sitemaps(
+    seeds: DataFrame,
+    sitemap_docs: DataFrame,
+    max_depth: int = 5,
+    id_col: str = "url",
+    bytes_col: str = "xml",
+) -> DataFrame:
+    """breadth-first sub-sitemap expansion (bounded recursion).
+
+    ``seeds``: (seed_url) rows naming entry sitemaps; ``sitemap_docs``:
+    the landed (url, xml) sitemap table. Returns (seed_url, page_url,
+    lastmod). Each round joins the frontier's sub-sitemap refs back to
+    the document table — the reference's ``self.index(url)`` recursion
+    (etl_sitemap.py:58-64) as driver-side iteration; depth bounds the
+    plan like the reference's implicit call-stack bound.
+    """
+    entries = sitemap_entries(sitemap_docs, id_col, bytes_col)
+    frontier = seeds.select(F.col("seed_url"), F.col("seed_url").alias("_cur"))
+    pages = None
+    for _ in range(max_depth):
+        hit = frontier.join(
+            entries, frontier["_cur"] == entries["sitemap_url"], "inner"
+        ).select("seed_url", "loc", "lastmod", "is_sitemap")
+        found = hit.filter(~F.col("is_sitemap")).select(
+            "seed_url", F.col("loc").alias("page_url"), "lastmod"
+        )
+        pages = found if pages is None else pages.unionByName(found)
+        frontier = hit.filter(F.col("is_sitemap")).select(
+            "seed_url", F.col("loc").alias("_cur")
+        )
+        if not frontier.take(1):  # frontier drained → recursion done
+            break
+    return pages.dropDuplicates(["seed_url", "page_url"])
+
+
+# ---------------------------------------------------------------------------
+# RSS / Atom
+# ---------------------------------------------------------------------------
+
+_ATOM_NS = "{http://www.w3.org/2005/Atom}"
+
+RSS_ITEM_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("link", T.StringType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("published", T.StringType(), True),
+            T.StructField("summary", T.StringType(), True),
+        ]
+    )
+)
+
+
+def parse_rss(data: bytes | None) -> list[dict]:
+    """RSS 2.0 <item> / Atom <entry> → (link, title, published, summary)
+    — the fields the reference reads off feedparser entries
+    (etl_rss.py:57-60 item.link; Connector_Web consumes the rest)."""
+    if not data:
+        return []
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError:
+        return []
+    out: list[dict] = []
+    for item in root.iter("item"):  # RSS 2.0
+        link = item.findtext("link")
+        if link and link.strip():
+            out.append(
+                {
+                    "link": link.strip(),
+                    "title": item.findtext("title"),
+                    "published": item.findtext("pubDate"),
+                    "summary": item.findtext("description"),
+                }
+            )
+    for entry in root.iter(f"{_ATOM_NS}entry"):  # Atom
+        link_el = entry.find(f"{_ATOM_NS}link")
+        link = link_el.get("href") if link_el is not None else None
+        if link and link.strip():
+            out.append(
+                {
+                    "link": link.strip(),
+                    "title": entry.findtext(f"{_ATOM_NS}title"),
+                    "published": entry.findtext(f"{_ATOM_NS}updated"),
+                    "summary": entry.findtext(f"{_ATOM_NS}summary"),
+                }
+            )
+    return out
+
+
+def rss_items(df: DataFrame, id_col: str = "url", bytes_col: str = "xml") -> DataFrame:
+    def run(series: pd.Series) -> pd.Series:
+        return series.map(parse_rss)
+
+    udf = F.pandas_udf(run, RSS_ITEM_TYPE)
+    ex = df.withColumn("_i", udf(F.col(bytes_col))).select(
+        F.col(id_col).alias("feed_url"), F.explode("_i").alias("i")
+    )
+    return ex.select(
+        "feed_url",
+        F.col("i.link").alias("url"),
+        F.col("i.title").alias("title_txt"),
+        F.col("i.published").alias("published"),
+        F.col("i.summary").alias("summary_txt"),
+    )
+
+
+def new_items(items: DataFrame, indexed: DataFrame, on: str = "url") -> DataFrame:
+    """drop entries already indexed — the reference's per-item
+    ``get_lastmodified`` skip (etl_rss.py:64-73) as one left-anti join
+    (broadcast the indexed keys when small; key-only shuffle when not)."""
+    return items.join(indexed.select(on), on, "left_anti")
