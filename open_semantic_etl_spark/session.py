@@ -31,7 +31,13 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession tuned for the extraction workload."""
+    """Build (or fetch) a SparkSession tuned for the extraction workload.
+
+    ``master="submit"`` means: do NOT set a master — inherit whatever
+    spark-submit / the cluster manager configured (the production path,
+    job.py). Any other value (or the SPARK_GRAFT_MASTER env / local[*]
+    fallback) is for local runs and tests.
+    """
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     cores = os.cpu_count() or 8
     if shuffle_partitions is None:
@@ -41,9 +47,11 @@ def get_spark(
         else:
             shuffle_partitions = 2 * cores
 
+    builder = SparkSession.builder.appName(app_name)
+    if master != "submit":
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
