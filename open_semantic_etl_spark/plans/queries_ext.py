@@ -646,6 +646,71 @@ FROM documents WHERE doc_id < 200
 
 
 # ---------------------------------------------------------------------------
+# salted hot-key aggregation (functions/skew.py — north-rule skew item)
+# and grouping-sets rollup (free Spark SQL capability, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+def q_host_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-host doc count + bytes via two-stage salted aggregation —
+    identical result to a plain groupBy, but the hot host (25% of a
+    crawl) spreads over 16 salt buckets map-side."""
+    from open_semantic_etl_spark.functions.skew import host_of, salted_agg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    # hot host: 25% of rows land on host 'hot.example.org'
+    url = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("https://hot.example.org/d/"), did),
+    ).otherwise(
+        F.concat(F.lit("https://w"), (F.col("doc_id") % 31).cast("string"),
+                 F.lit(".example.org/d/"), did)
+    )
+    d = docs.select(url.alias("url"), F.length("text").alias("n"))
+    out = salted_agg(
+        d,
+        host_of(F.col("url")),
+        {"docs": F.count(F.lit(1)), "bytes": F.sum("n")},
+    )
+    return out.select(F.col("key").alias("host"), "docs", "bytes")
+
+
+SQL_HOST_ROLLUP = """
+WITH d AS (
+  SELECT CASE WHEN doc_id % 4 = 0 THEN 'hot.example.org'
+              ELSE 'w' || (doc_id % 31) || '.example.org' END AS host,
+         length(text) AS n
+  FROM documents
+)
+SELECT host, count(*) AS docs, sum(n)::bigint AS bytes FROM d GROUP BY host
+"""
+
+
+def q_facet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(lang, source) doc counts — grouping sets come free from
+    Spark SQL (the reference has no aggregation surface, SURVEY §2.9)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "docs",
+            "chars",
+        )
+    )
+
+
+SQL_FACET_ROLLUP = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS docs, sum(n_chars)::bigint AS chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+# ---------------------------------------------------------------------------
 # deferred OCR (two-phase: needs_ocr flag in extraction, phase-2 memoized
 # OCR job — enhance_pdf_ocr.py + '[Image (no OCR yet)]' cache semantics)
 # ---------------------------------------------------------------------------
@@ -701,6 +766,8 @@ EXT_QUERIES = {
     "html_paths": q_html_paths,
     "sitemap_expand": q_sitemap_expand,
     "rss_new_items": q_rss_new_items,
+    "host_rollup_salted": q_host_rollup_salted,
+    "facet_rollup": q_facet_rollup,
     "deferred_ocr": q_deferred_ocr,
 }
 
@@ -719,5 +786,7 @@ EXT_ORACLES = {
     "html_paths": SQL_HTML_PATHS,
     "sitemap_expand": SQL_SITEMAP_EXPAND,
     "rss_new_items": SQL_RSS_NEW_ITEMS,
+    "host_rollup_salted": SQL_HOST_ROLLUP,
+    "facet_rollup": SQL_FACET_ROLLUP,
     "deferred_ocr": SQL_DEFERRED_OCR,
 }
