@@ -251,11 +251,25 @@ _TOKEN_RE = re.compile(
     r"|<![^>]*>"  # doctype / declarations
     r"|<\?[^>]*>"  # processing instructions
     r"|</\s*([a-zA-Z][-\w:.]*)[^>]*>"  # end tag    → group 1
-    r"|<([a-zA-Z][-\w:.]*)([^>]*)>"  # start tag   → groups 2,3
+    # start tag name charset = html.parser's tagfind_tolerant (anything
+    # but whitespace, '/', '>', NUL — so '<a</p>' names the tag 'a<').
+    # Attr region stops at the FIRST '>' (fast path); _fast_feed
+    # re-matches with _START_PRECISE when the span shows an unbalanced
+    # quote — the signature of '>' inside a quoted value, which
+    # html.parser's locatetagend honors.
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)([^>]*)>"  # start tag → groups 2,3
     r"|[^<]+"  # text run
     r"|<",  # stray '<' → text (html.parser behavior)
     re.DOTALL,
 )
+# quote-aware start tag for the rare unbalanced-quote re-match. Known
+# divergence left: a quote character quoted by the OTHER kind plus a
+# later in-quote '>' can keep counts even and skip the re-match.
+_START_PRECISE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",
+    re.DOTALL,
+)
+
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-\w:.]*)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
 )
@@ -309,6 +323,14 @@ def _fast_feed(parser: _ContentParser, text: str) -> None:
             continue
         tag = m.group(2).lower()
         attrstr = m.group(3) or ""
+        if ('"' in attrstr or "'" in attrstr) and (
+            attrstr.count('"') % 2 or attrstr.count("'") % 2
+        ):
+            pm = _START_PRECISE.match(text, start)
+            if pm:
+                pos = pm.end()
+                tag = pm.group(1).lower()
+                attrstr = pm.group(2)
         if not attrstr:
             attrs = []
         elif tag in _ATTR_TAGS:
