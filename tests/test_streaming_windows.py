@@ -1,0 +1,102 @@
+"""Streaming: watermarked windowed aggregation (late-data drop) and the
+applyInPandasWithState host-sessionizer.
+
+Driven through real file-source streams across several
+restart-from-checkpoint phases because watermark mechanics are
+batch-delayed: batch N advances the watermark, batch N+1 emits what it
+finalized — exactly the semantics a 100 TB streaming ingest sees.
+Sink is the parquet file sink (checkpoint-recoverable, unlike memory).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+EVENTS = "event_type string, ts timestamp, value double"
+CRAWL = "url string, ts timestamp"
+
+
+def _append(spark, path, schema, rows):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_phase(spark, schema, src, build, ckpt, out_dir):
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_windowed_event_metrics_drops_late_data(spark, tmp_path):
+    from open_semantic_etl_spark.streaming.monitor import windowed_event_metrics
+
+    src, ckpt, out = str(tmp_path / "ev"), str(tmp_path / "ck"), str(tmp_path / "out")
+    t = lambda m: datetime(2024, 3, 1, 10, m)
+
+    # phase 1: three rows in the 10:00 window + one at 10:20
+    #   → watermark after the batch: 10:10 (nothing emitted yet)
+    _append(spark, src, EVENTS, [
+        ("view", t(0), 1.0), ("view", t(2), 2.0), ("click", t(4), 3.0),
+        ("view", t(20), 5.0),
+    ])
+    _run_phase(spark, EVENTS, src, windowed_event_metrics, ckpt, out)
+
+    # phase 2: a too-late row for the closed 10:00 window (vs watermark
+    # 10:10 → dropped) + a 10:40 row; this batch emits the finalized
+    # 10:00 windows and moves the watermark to 10:30
+    _append(spark, src, EVENTS, [("view", t(2), 100.0), ("click", t(40), 7.0)])
+    _run_phase(spark, EVENTS, src, windowed_event_metrics, ckpt, out)
+
+    # phase 3: push the watermark past 10:45 so the 10:20 window emits
+    _append(spark, src, EVENTS, [("view", t(59), 9.0)])
+    _run_phase(spark, EVENTS, src, windowed_event_metrics, ckpt, out)
+
+    rows = {
+        (r["window"].start.minute, r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # 10:00 windows finalized WITHOUT the late row (watermark dropped it)
+    assert rows[(0, "view")] == (2, 3.0)
+    assert rows[(0, "click")] == (1, 3.0)
+    # 10:20 window finalized after the watermark passed its end
+    assert rows[(20, "view")] == (1, 5.0)
+
+
+def test_host_sessions_stateful(spark, tmp_path):
+    from open_semantic_etl_spark.streaming.sessions import host_sessions
+
+    src, ckpt, out = str(tmp_path / "cr"), str(tmp_path / "ck2"), str(tmp_path / "out2")
+    t = lambda m: datetime(2024, 3, 1, 10, m)
+    build = lambda s: host_sessions(s, gap="30 minutes", watermark="10 minutes")
+
+    # session A on host-a: 10:00-10:05 (3 pages); host-b singleton 10:01
+    _append(spark, src, CRAWL, [
+        ("https://host-a.org/1", t(0)), ("https://host-a.org/2", t(3)),
+        ("https://host-a.org/3", t(5)), ("https://host-b.org/x", t(1)),
+    ])
+    _run_phase(spark, CRAWL, src, build, ckpt, out)
+
+    # 12:00 activity jumps the watermark to 11:50 (far past both
+    # sessions' last_seen + gap)…
+    _append(spark, src, CRAWL, [("https://host-a.org/4", datetime(2024, 3, 1, 12, 0))])
+    _run_phase(spark, CRAWL, src, build, ckpt, out)
+
+    # …and the NEXT batch fires their event-time timeouts
+    _append(spark, src, CRAWL, [("https://host-c.org/y", datetime(2024, 3, 1, 12, 30))])
+    _run_phase(spark, CRAWL, src, build, ckpt, out)
+
+    done = {
+        (r["host"], r["session_start"].minute, r["n_pages"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("host-a.org", 0, 3) in done  # 3-page session finalized
+    assert ("host-b.org", 1, 1) in done  # singleton finalized by timeout
