@@ -150,6 +150,52 @@ def main() -> int:
         [("BroadcastHashJoin present", lambda p: "BroadcastHashJoin" in p)],
     )
 
+    # 6. RDF facets: label resolution joins as broadcast; N-Triples
+    # parse stays JVM-side (no Python eval node before the aggregate)
+    from open_semantic_etl_spark.plans import queries_ext as QX
+
+    rdf = QX.q_rdf_facets(spark, sf)
+    section(
+        "rdf facets — broadcast label join, JVM parse",
+        rdf,
+        [
+            ("label join is BroadcastHashJoin", lambda p: "BroadcastHashJoin" in p),
+            (
+                "no Python eval in the plan",
+                lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+            ),
+        ],
+    )
+
+    # 7. salted hot-key aggregation: two HashAggregate pairs (partial +
+    # final per stage) — the salt stage spreads the hot key
+    rollup = QX.q_host_rollup_salted(spark, sf)
+    section(
+        "salted host rollup — two-stage aggregation",
+        rollup,
+        [
+            (
+                "at least two aggregation exchanges (salted then final)",
+                lambda p: len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) >= 2,
+            ),
+            ("partial aggregation present", lambda p: "partial_" in p),
+        ],
+    )
+
+    # 8. mimetype sniff: pure whole-stage-codegen (no Python, no UDF)
+    mime = QX.q_mimetype(spark, sf)
+    section(
+        "mimetype sniff — whole-stage codegen, no Python",
+        mime,
+        [
+            ("whole-stage codegen span present", lambda p: "[codegen id :" in p),
+            (
+                "no Python eval in the plan",
+                lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+            ),
+        ],
+    )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:
