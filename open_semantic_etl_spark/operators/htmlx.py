@@ -48,6 +48,24 @@ _SKIP_TAGS = frozenset("script style noscript template svg iframe object".split(
 _BOILER_ANCESTORS = frozenset("nav footer aside header form".split())
 _VOID_BREAKS = frozenset(("br", "hr"))
 
+# single-lookup tag dispatch: one dict get replaces up to six sequential
+# set-membership tests per tag in the hot callbacks. Tags absent from
+# the map have no structural effect (span/b/em/...).
+(_C_SKIP, _C_META, _C_IMG, _C_A, _C_TITLE,
+ _C_BREAK, _C_BLOCK, _C_BOILER, _C_HEADING) = range(9)
+_TAG_CODE: dict[str, int] = {}
+for _t in _BLOCK_TAGS:
+    _TAG_CODE[_t] = _C_BLOCK
+for _t in _BOILER_ANCESTORS:  # boiler tags are block tags too
+    _TAG_CODE[_t] = _C_BOILER
+for _t in ("h1", "h2", "h3", "h4", "h5", "h6"):
+    _TAG_CODE[_t] = _C_HEADING
+for _t in _SKIP_TAGS:
+    _TAG_CODE[_t] = _C_SKIP
+for _t in _VOID_BREAKS:
+    _TAG_CODE[_t] = _C_BREAK
+_TAG_CODE.update(meta=_C_META, img=_C_IMG, a=_C_A, title=_C_TITLE)
+
 _CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([-\w]+)""", re.IGNORECASE
 )
@@ -158,7 +176,10 @@ class _ContentParser(HTMLParser):
 
     # -- parser callbacks ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _SKIP_TAGS:
+        code = _TAG_CODE.get(tag)
+        if code is None:
+            return  # unknown tag: no structural effect
+        if code == _C_SKIP:
             self._skip_depth += 1
             return
         if tag == "meta":
@@ -186,19 +207,22 @@ class _ContentParser(HTMLParser):
         if tag == "title":
             self._in_title = True
             return
-        if tag in _VOID_BREAKS:
+        if code == _C_BREAK:
             self._flush()
             return
-        if tag in _BLOCK_TAGS:
-            self._flush()
-            if tag in _BOILER_ANCESTORS:
-                self._boiler_depth += 1
-            if tag[0] == "h" and len(tag) == 2 and tag[1].isdigit():
-                self._heading_stack += 1
-                self._heading_frags = []
+        # block tag
+        self._flush()
+        if code == _C_BOILER:
+            self._boiler_depth += 1
+        elif code == _C_HEADING:
+            self._heading_stack += 1
+            self._heading_frags = []
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _SKIP_TAGS:
+        code = _TAG_CODE.get(tag)
+        if code is None or code == _C_BREAK:
+            return
+        if code == _C_SKIP:
             self._skip_depth = max(0, self._skip_depth - 1)
             return
         if tag == "a":
@@ -209,16 +233,17 @@ class _ContentParser(HTMLParser):
             if self.title is None:
                 self.title = _norm("".join(self._title_frags)) or None
             return
-        if tag in _BLOCK_TAGS:
-            self._flush()
-            if tag in _BOILER_ANCESTORS:
-                self._boiler_depth = max(0, self._boiler_depth - 1)
-            if tag[0] == "h" and len(tag) == 2 and tag[1].isdigit() and self._heading_stack:
-                self._heading_stack -= 1
-                h = _norm("".join(self._heading_frags))
-                if h:
-                    self.headings.append(h)
-                self._heading_frags = []
+        if tag in ("meta", "img"):
+            return
+        self._flush()
+        if code == _C_BOILER:
+            self._boiler_depth = max(0, self._boiler_depth - 1)
+        elif code == _C_HEADING and self._heading_stack:
+            self._heading_stack -= 1
+            h = _norm("".join(self._heading_frags))
+            if h:
+                self.headings.append(h)
+            self._heading_frags = []
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth:
