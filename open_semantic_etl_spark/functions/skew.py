@@ -14,8 +14,6 @@ that). Two standard remedies, both public patterns:
 
 from __future__ import annotations
 
-from typing import Callable
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

@@ -16,8 +16,6 @@ newline — etl_plugin_core.py:146-162).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T

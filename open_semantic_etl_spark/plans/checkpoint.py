@@ -34,8 +34,6 @@ import os
 import shutil
 import time
 import uuid
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -259,7 +259,6 @@ FROM documents
 
 def q_blacklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_semantic_etl_spark.functions.filters import blacklist_predicate
-    from open_semantic_etl_spark.plans.queries import DOC_URL_SQL  # noqa: F401
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     url = F.concat(
@@ -371,7 +370,6 @@ FROM documents
 
 def q_annotations_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_semantic_etl_spark.plans.maintenance import join_annotations
-    from open_semantic_etl_spark.plans.queries import doc_url  # noqa: F401
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     did = F.col("doc_id").cast("string")

@@ -25,8 +25,6 @@ import csv as _csv
 import io
 import re
 import zipfile
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
