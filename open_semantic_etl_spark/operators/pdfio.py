@@ -158,6 +158,8 @@ _UNESC = {b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\", b"\\n": b"\n", b"\\r": b"\
 
 
 def _unescape(raw: bytes) -> str:
+    if b"\\" not in raw:  # no escapes (the common case): direct decode
+        return raw.decode("latin-1")
     out = bytearray()
     i = 0
     while i < len(raw):
