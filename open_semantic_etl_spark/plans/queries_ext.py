@@ -644,6 +644,90 @@ FROM documents WHERE doc_id < 200
 
 
 # ---------------------------------------------------------------------------
+# multi-join relational shapes over the star schema (SURVEY §2.9: the
+# reference has no join/agg surface — Spark SQL provides it; dims
+# broadcast, fact-fact joins shuffle on keys only)
+# ---------------------------------------------------------------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where customer and supplier
+    share the nation, one region only. nation/region broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("decimal(18,2)")
+            .cast("string")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n.n_name,
+       round(sum((l.l_extendedprice * (1 - l.l_discount))::decimal(18,6)), 2)::decimal(18,2)::varchar AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'EUROPE'
+GROUP BY n.n_name
+"""
+
+
+def q_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part dim broadcast onto the lineitem fact; per-brand quantities."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.count("*").alias("n_items"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+        )
+    )
+
+
+SQL_BRAND_VOLUME = """
+SELECT p.p_brand,
+       (sum(l.l_quantity))::double AS sum_qty,
+       count(*) AS n_items,
+       round(avg(p.p_retailprice), 2) AS avg_retail
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
 # salted hot-key aggregation (functions/skew.py — north-rule skew item)
 # and grouping-sets rollup (free Spark SQL capability, SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -766,6 +850,8 @@ EXT_QUERIES = {
     "rss_new_items": q_rss_new_items,
     "host_rollup_salted": q_host_rollup_salted,
     "facet_rollup": q_facet_rollup,
+    "local_supplier_volume": q_local_supplier_volume,
+    "brand_volume": q_brand_volume,
     "deferred_ocr": q_deferred_ocr,
 }
 
@@ -786,5 +872,7 @@ EXT_ORACLES = {
     "rss_new_items": SQL_RSS_NEW_ITEMS,
     "host_rollup_salted": SQL_HOST_ROLLUP,
     "facet_rollup": SQL_FACET_ROLLUP,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "brand_volume": SQL_BRAND_VOLUME,
     "deferred_ocr": SQL_DEFERRED_OCR,
 }
