@@ -42,6 +42,18 @@ def analysis_text_py(title: str | None, description: str | None, content: str | 
     return "\n".join(vals) + "\n"
 
 
+def clean_title_py(title: str | None, url: str | None) -> str | None:
+    """Python twin of functions.path.clean_title (title → url basename).
+
+    The reference's get_text runs AFTER clean_title in the plugin chain
+    (etl.py sort order), so language id / NER / numerize must consume
+    the CLEANED title — on titleless pages the url basename is part of
+    the analysis text."""
+    if title:
+        return title
+    return url.rsplit("/", 1)[-1] if url is not None else None
+
+
 def fused_schema(input_schema: T.StructType) -> T.StructType:
     fields = list(input_schema.fields)
     taken = {f.name for f in fields}
@@ -59,6 +71,7 @@ def with_fused_extraction(
     df: DataFrame,
     gazetteer: Gazetteer | None = None,
     html_col: str = "html",
+    id_col: str = "url",
 ) -> DataFrame:
     """One Python pass: html → extract struct fields + text_analysis +
     language_s + entities + text_numerized (flattened columns).
@@ -79,16 +92,17 @@ def with_fused_extraction(
         r = numerize_en(t)
         return r if r != t else None
 
-    def run(htmls: pd.Series) -> pd.DataFrame:
+    def run(htmls: pd.Series, urls: pd.Series) -> pd.DataFrame:
         gz = bc.value if bc is not None else None
         recs = [extract_html(h) for h in htmls]
         out = pd.DataFrame(recs, columns=[f.name for f in EXTRACT_RESULT_TYPE.fields])
         # analysis text is consumed HERE (langid/NER/numerize) but not
-        # returned: it is a deterministic concat of title/description/
-        # content, which the JVM side rebuilds byte-identically — one
-        # less full-text copy crossing Arrow per row
+        # returned: it is a deterministic concat of cleaned-title/
+        # description/content, which the JVM side rebuilds
+        # byte-identically — one less full-text copy crossing Arrow
         analysis = [
-            analysis_text_py(r["title"], r["description"], r["content"]) for r in recs
+            analysis_text_py(clean_title_py(r["title"], u), r["description"], r["content"])
+            for r, u in zip(recs, urls)
         ]
         out["language_s"] = [detect_language(t) for t in analysis]
         out["entities"] = (
@@ -100,18 +114,24 @@ def with_fused_extraction(
         return out
 
     udf = F.pandas_udf(run, returnType=_FUSED_STRUCT_TYPE)
-    df = df.withColumn("_fused", udf(F.col(html_col)))
+    df = df.withColumn("_fused", udf(F.col(html_col), F.col(id_col)))
     for name in _FUSED_FIELDS:
         if name not in df.columns:
             df = df.withColumn(name, F.col("_fused")[name])
     df = df.drop("_fused")
-    # JVM twin of analysis_text_py over the SAME struct fields → equal
-    # bytes; get_text contract (etl_plugin_core.py:146-162)
+    # JVM twin of the Python analysis concat over the SAME fields →
+    # equal bytes; get_text contract (etl_plugin_core.py:146-162) with
+    # the reference's clean_title-before-get_text ordering
+    from open_semantic_etl_spark.functions.path import clean_title
     from open_semantic_etl_spark.functions.textmeta import analysis_text
 
     df = df.withColumn(
         "text_analysis",
-        analysis_text(F.col("title"), F.col("description"), F.col("content")),
+        analysis_text(
+            clean_title(F.col("title"), None, F.col(id_col)),
+            F.col("description"),
+            F.col("content"),
+        ),
     )
     return df.withColumn(
         "text_numerized", F.coalesce(F.col("text_numerized"), F.col("text_analysis"))

@@ -36,3 +36,36 @@ def test_fused_equals_modular(spark):
             (a, b) for a, b in zip(fused[c], modular[c]) if str(a) != str(b)
         ]
         assert not mism, f"column {c}: {mism[:2]}"
+
+
+def test_fused_equals_modular_titleless(spark):
+    """titleless pages: langid/NER must consume the CLEANED title (url
+    basename fallback) in BOTH paths — the reference's get_text runs
+    after clean_title in the plugin chain."""
+    from datetime import datetime
+
+    rows = [
+        (
+            f"https://t.example.org/dir/page-{i}.html",
+            datetime(2024, 1, 1),
+            b"<html><head></head><body><p>Ein langer deutscher Absatz mit "
+            b"genug Inhalt um behalten zu werden und der von der und das "
+            b"ist mit f\xc3\xbcr Strafgesetzbuch Text USD.</p></body></html>",
+            "x",
+            "de",
+        )
+        for i in range(8)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cols = ["url", "title_txt", "text_analysis", "language_s", "entities", "text_all"]
+    fused = enrich_pages(pages, gazetteer=_GAZ, fused=True).select(cols).toPandas()
+    modular = enrich_pages(pages, gazetteer=_GAZ, fused=False).select(cols).toPandas()
+    fused = fused.sort_values("url").reset_index(drop=True)
+    modular = modular.sort_values("url").reset_index(drop=True)
+    # basename fallback landed in the analysis text in both paths
+    assert fused["title_txt"][0] == "page-0.html"
+    assert fused["text_analysis"][0].startswith("page-0.html\n")
+    for c in cols:
+        assert [str(v) for v in fused[c]] == [str(v) for v in modular[c]], c
