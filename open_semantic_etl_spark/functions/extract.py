@@ -39,8 +39,14 @@ def _gate_literal(text: Column, literal: str, expr: Column) -> Column:
     NFA for the common no-hit row — at corpus scale most documents
     contain no '@' or '#'. Semantics are provably identical; only the
     plan changes (conditional branch instead of unconditional scan).
+    NULL text stays NULL (matching the ungated regexp_extract_all),
+    not an empty array.
     """
-    return F.when(text.contains(literal), expr).otherwise(F.array().cast("array<string>"))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("array<string>"))
+        .when(text.contains(literal), expr)
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def emails(text: Column) -> Column:

@@ -301,8 +301,10 @@ _ATTR_RE = re.compile(
 # the only tag whose attributes need a full parse (name/property/
 # http-equiv/content map); <a> needs just href, <img> none
 _ATTR_TAGS = frozenset(("meta",))
+# (?<![-\w]) anchors the attribute NAME: `data-href="x"` must not
+# match, or the fast scanner would emit a link html.parser does not
 _HREF_RE = re.compile(
-    r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
+    r"""(?<![-\w])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE
 )
 # rawtext elements: html.parser switches to CDATA mode for exactly these
 _RAWTEXT_END = {

@@ -67,10 +67,17 @@ def subject_facets(
     (broadcast self-join — label sets are small dimension data), else
     stay as the raw URI (enhance_rdf.py:203-210 fallback).
     """
+    # predicate priority: position in label_predicates (prefLabel first)
+    # wins over lexicographic order — the reference prefers prefLabel
+    # even when an rdfs:label sorts smaller (enhance_rdf.py:176-210)
+    prio = F.array_position(
+        F.array(*[F.lit(x) for x in label_predicates]), F.col("p")
+    )
     labels = (
         triples.filter(F.col("p").isin(list(label_predicates)))
         .groupBy(F.col("s").alias("_uri"))
-        .agg(F.min("o").alias("_label"))
+        .agg(F.min(F.struct(prio.alias("prio"), F.col("o"))).alias("_pl"))
+        .select("_uri", F.col("_pl.o").alias("_label"))
     )
     resolved = triples.join(
         F.broadcast(labels), triples["o"] == labels["_uri"], "left"

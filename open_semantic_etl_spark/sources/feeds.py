@@ -115,8 +115,13 @@ def expand_sitemaps(
             "seed_url", F.col("loc").alias("page_url"), "lastmod"
         )
         pages = found if pages is None else pages.unionByName(found)
-        frontier = hit.filter(F.col("is_sitemap")).select(
-            "seed_url", F.col("loc").alias("_cur")
+        # dedupe per round: diamond-shaped sitemap graphs (two parents
+        # referencing one child) would otherwise multiply duplicate
+        # frontier rows exponentially through each join round
+        frontier = (
+            hit.filter(F.col("is_sitemap"))
+            .select("seed_url", F.col("loc").alias("_cur"))
+            .dropDuplicates(["seed_url", "_cur"])
         )
         if not frontier.take(1):  # frontier drained → recursion done
             break

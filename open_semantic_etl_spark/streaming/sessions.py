@@ -56,7 +56,10 @@ def _session_func(gap_seconds: int):
         else:
             ts_list: list[int] = []
             for pdf in pdfs:
-                ts_list.extend(int(v.timestamp()) for v in pdf["ts"])
+                # NaT rows (null ts) would raise on .timestamp(); drop them
+                ts_list.extend(int(v.timestamp()) for v in pdf["ts"] if pd.notna(v))
+            if not ts_list and not state.exists:
+                return
             ts_list.sort()
             if state.exists:
                 start, last, n = state.get
@@ -69,8 +72,15 @@ def _session_func(gap_seconds: int):
                 last = max(last, t)
                 n += 1
             state.update((start, last, n))
-            # finalize when the watermark passes last_seen + gap
-            state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+            # finalize when the watermark passes last_seen + gap; Spark
+            # rejects timeouts <= current watermark (possible when gap <
+            # watermark delay and a late-but-in-watermark batch arrives),
+            # so clamp to watermark + 1s
+            timeout_ms = (last + gap_seconds) * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if timeout_ms <= wm_ms:
+                timeout_ms = wm_ms + 1000
+            state.setTimeoutTimestamp(timeout_ms)
         if emitted:
             yield pd.DataFrame(
                 {

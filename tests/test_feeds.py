@@ -51,6 +51,33 @@ def test_expand_sitemaps_recursive(spark):
     assert all(r["seed_url"] == "https://maps/root.xml" for r in rows)
 
 
+def test_expand_sitemaps_diamond_no_blowup(spark):
+    """two parents referencing the same child (diamond) must not multiply
+    frontier rows — per-round dedupe keeps growth linear."""
+    diamond_root = (
+        b'<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<sitemap><loc>https://maps/l.xml</loc></sitemap>"
+        b"<sitemap><loc>https://maps/r.xml</loc></sitemap></sitemapindex>"
+    )
+    to_leaf = SM_INDEX.replace(b"child.xml", b"leaf.xml")
+    docs = spark.createDataFrame(
+        [
+            ("https://maps/root.xml", diamond_root),
+            ("https://maps/l.xml", to_leaf),
+            ("https://maps/r.xml", to_leaf),
+            ("https://maps/leaf.xml", SM),
+        ],
+        "url string, xml binary",
+    )
+    seeds = spark.createDataFrame([("https://maps/root.xml",)], "seed_url string")
+    out = expand_sitemaps(seeds, docs, max_depth=4)
+    rows = out.collect()
+    assert sorted(r["page_url"] for r in rows) == ["https://a/1", "https://a/2"]
+    # pre-dedup page set stays linear: each page found once per deduped
+    # frontier path, not 2^depth times
+    assert out.count() == 2
+
+
 RSS = b"""<rss><channel>
 <item><link>https://n/1</link><title>T1</title><pubDate>D1</pubDate><description>S1</description></item>
 <item><link>https://n/2</link><title>T2</title></item>

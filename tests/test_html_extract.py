@@ -148,6 +148,12 @@ def test_fast_scanner_equals_htmlparser():
         "<body><p>stray < 5 bracket in a long paragraph of text that stays</p></body>",
         "<body><!-- comment <p>no</p> --><p>Paragraph after an html comment with enough characters kept.</p>",
         "<body><style>p { c: red; }</style><p>Styled paragraph content long enough to be kept by extractor.</p></body>",
+        # data-href must NOT be read as href (fast scanner previously
+        # matched 'href=' as a substring of the attribute name)
+        '<body><p>A long enough paragraph containing <a data-href="/wrong">anchor '
+        "text words</a> to be kept by the content extractor heuristic fine.</p></body>",
+        '<body><p>Mixed case <a HREF="/yes" data-href="/no">link here</a> in a long '
+        "paragraph with plenty of characters to survive extraction rules.</p></body>",
     ]
     texts = fixtures + [
         H.decode_html(page_record(i)["html"])[0]

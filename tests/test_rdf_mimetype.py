@@ -33,6 +33,22 @@ def test_rdf_subject_facets(spark):
     assert ("", "title_ss") not in rows  # malformed line dropped
 
 
+def test_rdf_preflabel_beats_rdfs_label(spark):
+    """a lexicographically smaller rdfs:label must NOT win over
+    skos:prefLabel (enhance_rdf.py:176-210 predicate priority)."""
+    nt = [
+        '<urn:doc> <http://purl.org/dc/terms/creator> <urn:p> .',
+        '<urn:p> <http://www.w3.org/2000/01/rdf-schema#label> "AAA alias" .',
+        '<urn:p> <http://www.w3.org/2004/02/skos/core#prefLabel> "Zed Proper" .',
+    ]
+    lines = spark.createDataFrame([(x,) for x in nt], "line string")
+    rows = {
+        (r["subject"], r["facet"]): r["values"]
+        for r in subject_facets(triples_from_lines(lines)).collect()
+    }
+    assert rows[("urn:doc", "creator_ss")] == ["Zed Proper"]
+
+
 def test_rdf_parse_is_jvm_side(spark):
     lines = spark.createDataFrame([(x,) for x in NT], "line string")
     plan = triples_from_lines(lines)._jdf.queryExecution().executedPlan().toString()
