@@ -277,5 +277,27 @@ WITH d AS (
 SELECT parent_id || '#sentence' || i AS url, i::int AS sentence_i,
        sents[i] AS sentence_txt, parent_id
 FROM d, unnest(range(1, 4)) AS t(i)""",
+        # golden-file oracles for the seeded kernels DuckDB cannot
+        # express (MinHash/SimHash families, random hyperplanes,
+        # stopword profiles). Goldens are computed by an INDEPENDENT
+        # pure-Python implementation (tools/gen_goldens.py — no imports
+        # from the Spark operators) and keyed per sf dir by a content
+        # checksum of the input table.
+        "minhash_lsh": """
+SELECT id_a, id_b, est_jaccard
+FROM read_parquet('/root/repo/goldens/minhash_lsh.parquet')
+WHERE _key = (SELECT SUM(n_chars) FROM documents)""",
+        "simhash": """
+SELECT doc_id, simhash
+FROM read_parquet('/root/repo/goldens/simhash.parquet')
+WHERE _key = (SELECT SUM(n_chars) FROM documents)""",
+        "ann_lsh": """
+SELECT query_id, nbr_id, cos, rk
+FROM read_parquet('/root/repo/goldens/ann_lsh.parquet')
+WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)""",
+        "language_detect": """
+SELECT doc_id, language_s
+FROM read_parquet('/root/repo/goldens/language_detect.parquet')
+WHERE _key = (SELECT SUM(n_chars) FROM documents)""",
         **QX.EXT_ORACLES,
     }

@@ -1,0 +1,257 @@
+"""Golden-oracle generator for the seeded kernels DuckDB cannot express.
+
+Four ``queries()`` entries (minhash_lsh, simhash, ann_lsh,
+language_detect) previously ran rows-only because their kernels are
+seeded (RandomState(42) hash families, crc32 double-hashing, random
+hyperplanes) — inexpressible in portable SQL. This script computes the
+expected outputs with an INDEPENDENT pure-Python/numpy implementation
+(no imports from the Spark operators — the algorithms are re-derived
+from the documented specs in operators/dedup.py, similarity.py,
+langdetect.py), and writes them as parquet goldens that
+``oracle_sql()`` exposes via DuckDB ``read_parquet``.
+
+Float discipline: every floating sum replicates Spark's
+``F.aggregate`` LEFT-FOLD order (acc = acc + x, one element at a
+time), and ``F.round`` is replicated as HALF_UP over the shortest
+decimal repr (java.math.BigDecimal.valueOf semantics) so golden
+doubles are bit-identical to the Spark output.
+
+Goldens are keyed per scale factor by a content checksum of the input
+table (SUM(n_chars) for documents, COUNT + a label checksum for
+embeddings) so one parquet file serves every sf dir the driver picks.
+
+Usage:  python3 tools/gen_goldens.py [out_dir] [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+OUT_DIR = "/root/repo/goldens"
+
+
+def spark_round(x: float, scale: int = 4) -> float:
+    """Spark F.round on DoubleType: BigDecimal.valueOf(x).setScale(scale,
+    HALF_UP).  repr(float) == Double.toString shortest decimal repr."""
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def left_fold_dot(a, b) -> float:
+    """sum_i a[i]*b[i] in Spark's aggregate(zip_with(...)) left-fold order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (spec: operators/dedup.py Broder construction)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_golden(docs: pd.DataFrame, num_hashes=64, bands=16, shingle_n=3) -> pd.DataFrame:
+    rng = np.random.RandomState(42)
+    A = (rng.randint(1, 2**62, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.randint(0, 2**63, size=num_hashes, dtype=np.uint64)
+    rows = num_hashes // bands
+
+    sigs: dict[int, np.ndarray] = {}
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = (text or "").lower().split()
+        if not toks:
+            sig = np.zeros(num_hashes, dtype=np.int64)
+        else:
+            if len(toks) >= shingle_n:
+                grams = {" ".join(toks[i:i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
+            else:
+                grams = {toks[0]}
+            H = np.fromiter(
+                ((zlib.crc32(g.encode()) << 32) | zlib.crc32(g.encode(), 0x9E3779B9) for g in grams),
+                dtype=np.uint64, count=len(grams),
+            )
+            sig = (A[:, None] * H[None, :] + B[:, None]).min(axis=1).view(np.int64)
+        sigs[int(doc_id)] = sig
+        # bucket on the band's raw signature slice: same partition the
+        # Spark path induces by xxhash64-ing the slice (modulo hash
+        # collisions, which would only ADD candidates there)
+        for b in range(bands):
+            buckets.setdefault((b, tuple(sig[b * rows:(b + 1) * rows])), []).append(int(doc_id))
+
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(set(members))
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+
+    out = [
+        (a, b, float(np.count_nonzero(sigs[a] == sigs[b])) / num_hashes)
+        for a, b in sorted(pairs)
+    ]
+    return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (spec: operators/dedup.py Charikar bit-majority, crc32 pair hash)
+# ---------------------------------------------------------------------------
+
+def simhash_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        sim = 0
+        toks = text.lower().split() if text else []
+        if toks:
+            votes = [0] * 64
+            for w in toks:
+                h = (zlib.crc32(w.encode()) << 32) | zlib.crc32(w.encode(), 0xDEADBEEF)
+                for k in range(64):
+                    votes[k] += 1 if (h >> k) & 1 else -1
+            for k in range(64):
+                if votes[k] > 0:
+                    sim |= 1 << k
+        if sim >= 1 << 63:  # two's-complement int64 view
+            sim -= 1 << 64
+        out.append((int(doc_id), sim))
+    return pd.DataFrame(out, columns=["doc_id", "simhash"]).astype(
+        {"doc_id": "int64", "simhash": "int64"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH ANN top-k (spec: operators/similarity.py random-hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+def ann_lsh_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
+                   n_planes=16, bands=4, seed=42, dim=64) -> pd.DataFrame:
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+
+    ids = [int(v) for v in emb["vec_id"]]
+    # float32 parquet values cast to double exactly, like Spark's
+    # cast("array<double>")
+    vecs = {i: [float(x) for x in v] for i, v in zip(ids, emb["embedding"])}
+
+    sig = {}
+    for i, v in vecs.items():
+        s = 0
+        for j in range(n_planes):
+            if left_fold_dot(v, planes[j]) > 0:
+                s += 1 << j
+        sig[i] = s
+
+    band_members: dict[tuple[int, int], list[int]] = {}
+    for i, s in sig.items():
+        for b in range(bands):
+            band_members.setdefault((b, (s >> (rows * b)) & mask), []).append(i)
+
+    def cosine(a, b):
+        dot = left_fold_dot(a, b)
+        na = left_fold_dot(a, a) ** 0.5
+        nb = left_fold_dot(b, b) ** 0.5
+        return dot / (na * nb)
+
+    out = []
+    for q in query_ids:
+        cands = set()
+        for b in range(bands):
+            cands.update(band_members.get((b, (sig[q] >> (rows * b)) & mask), ()))
+        cands.discard(q)
+        scored = sorted(
+            ((spark_round(cosine(vecs[q], vecs[c])), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rk, (cos, c) in enumerate(scored, 1):
+            out.append((q, c, cos, rk))
+    return pd.DataFrame(out, columns=["query_id", "nbr_id", "cos", "rk"]).astype(
+        {"query_id": "int64", "nbr_id": "int64", "cos": "float64", "rk": "int32"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# language id (spec: operators/langdetect.py stopword-profile scoring;
+# the word lists ARE the spec so they are imported as data, but the
+# scoring loop below is an independent per-language re-derivation)
+# ---------------------------------------------------------------------------
+
+def language_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    import re
+
+    from open_semantic_etl_spark.operators.langdetect import (
+        LANG_ORDER, MIN_SCORE, SAMPLE_CHARS, STOPWORDS,
+    )
+
+    token_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+    out = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        lang = "und"
+        if text:
+            t = text
+            if len(t) > SAMPLE_CHARS:
+                cut = t.rfind(" ", 0, SAMPLE_CHARS)
+                t = t[:cut if cut > 0 else SAMPLE_CHARS]
+            toks = token_re.findall(t.lower())
+            if len(toks) >= 3:
+                best = MIN_SCORE
+                for cand in LANG_ORDER:
+                    sw = STOPWORDS[cand]
+                    score = sum(1 for w in toks if w in sw) / len(toks)
+                    if score > best:
+                        lang, best = cand, score
+        out.append((int(doc_id), lang))
+    return pd.DataFrame(out, columns=["doc_id", "language_s"]).astype({"doc_id": "int64"})
+
+
+# ---------------------------------------------------------------------------
+
+
+def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
+    import os
+
+    sf_dirs = sf_dirs or SF_DIRS
+    os.makedirs(out_dir, exist_ok=True)
+    parts: dict[str, list[pd.DataFrame]] = {k: [] for k in
+        ("minhash_lsh", "simhash", "ann_lsh", "language_detect")}
+    keys_seen: dict[str, set] = {"docs": set(), "emb": set()}
+    for sf in sf_dirs:
+        docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
+        emb = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+        dkey = int(docs["n_chars"].sum())
+        ekey = int(emb["label"].sum()) * 1_000_003 + len(emb)
+        assert dkey not in keys_seen["docs"], f"doc key collision for {sf}"
+        assert ekey not in keys_seen["emb"], f"emb key collision for {sf}"
+        keys_seen["docs"].add(dkey)
+        keys_seen["emb"].add(ekey)
+        for name, df, key in (
+            ("minhash_lsh", minhash_lsh_golden(docs), dkey),
+            ("simhash", simhash_golden(docs), dkey),
+            ("ann_lsh", ann_lsh_golden(emb), ekey),
+            ("language_detect", language_golden(docs), dkey),
+        ):
+            df["_key"] = np.int64(key)
+            parts[name].append(df)
+            print(f"{sf} {name}: {len(df)} rows (key={key})")
+    for name, dfs in parts.items():
+        pd.concat(dfs, ignore_index=True).to_parquet(f"{out_dir}/{name}.parquet", index=False)
+        print(f"wrote {out_dir}/{name}.parquet")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else OUT_DIR, sys.argv[2:] or None)
