@@ -362,6 +362,51 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# model-based NER (enhance_ner_spacy.py:27-142 span contract +
+# enhance_ner_stanford.py:14-51 adjacent merge) over derived text whose
+# expected facets are deterministic per doc_id — the oracle is plain SQL
+# ---------------------------------------------------------------------------
+
+
+def q_ner_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.ner_model import with_ner
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    txt = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("Some years ago, Mr. Barack Obama, a member of "
+                              "Democratic Party, was president of the USA. Ref "), did))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("Der Text ist über Frau Dr. Angela Merkel. Sie ist "
+                             "Mitglied in der CDU. Sie lebt in Deutschland. Nr "), did))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("The United Nations met Tim Cook of Apple Inc "
+                             "in Paris. Case "), did))
+        .otherwise(F.concat(F.lit("Nothing notable happened here today. Item "), did))
+    )
+    out = with_ner(d.withColumn("content_txt", txt))
+    return out.select(
+        "doc_id",
+        F.array_join("person_ss", ",").alias("persons"),
+        F.array_join("organization_ss", ",").alias("organizations"),
+        F.array_join("location_ss", ",").alias("locations"),
+    )
+
+
+SQL_NER_MODEL = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'Barack Obama' WHEN 1 THEN 'Angela Merkel'
+       WHEN 2 THEN 'Tim Cook' ELSE '' END AS persons,
+  CASE doc_id % 4 WHEN 0 THEN 'Democratic Party' WHEN 1 THEN 'CDU'
+       WHEN 2 THEN 'United Nations,Apple Inc' ELSE '' END AS organizations,
+  CASE doc_id % 4 WHEN 0 THEN 'USA' WHEN 1 THEN 'Deutschland'
+       WHEN 2 THEN 'Paris' ELSE '' END AS locations
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # annotations join (enhance_annotations.py:21-39 + export_solr
 # add-distinct merge semantics) and sidecar metadata join
 # (enhance_xmp.py:70-133 filename-stem keying)
@@ -841,6 +886,7 @@ EXT_QUERIES = {
     "mimetype": q_mimetype,
     "blacklist_filter": q_blacklist_filter,
     "entity_link": q_entity_link,
+    "ner_model": q_ner_model,
     "annotations_join": q_annotations_join,
     "sidecar_join": q_sidecar_join,
     "neardup_embedding": q_neardup_embedding,
@@ -863,6 +909,7 @@ EXT_ORACLES = {
     "mimetype": SQL_MIMETYPE,
     "blacklist_filter": SQL_BLACKLIST,
     "entity_link": SQL_ENTITY_LINK,
+    "ner_model": SQL_NER_MODEL,
     "annotations_join": SQL_ANNOTATIONS_JOIN,
     "sidecar_join": SQL_SIDECAR_JOIN,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
