@@ -112,17 +112,20 @@ def run_ocr_phase(
             pdf["ocr_text"] = [ocr_fn(bytes(b)) for b in pdf["img"]]
             yield pdf[[id_col, "pos", "img_hash", "ocr_text"]]
 
+    # persist the miss results ONCE: the memo append and the output both
+    # read them, and neither may rescan the (ever-growing) memo table —
+    # OCR batch cost must track the batch, not the memo size. (A failure
+    # replay re-enters this function and resolves through the memo read
+    # above, so rereading-for-consistency here is unnecessary.)
     fresh = misses.mapInPandas(
         run, schema=f"{id_col} string, pos int, img_hash long, ocr_text string"
-    )
+    ).persist()
     # memoize distinct new results (dedupe per hash — cache semantics)
     fresh_memo = fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"])
     fresh_memo.write.mode("append").parquet(memo_path)
-    fresh = spark.read.parquet(memo_path).join(  # reread → consistent source
-        misses.select(id_col, "pos", "img_hash"), "img_hash"
-    ).select(id_col, "pos", "ocr_text")
+    fresh_rows = fresh.select(id_col, "pos", "ocr_text")
 
-    all_rows = fresh if hits is None else hits.unionByName(fresh)
+    all_rows = fresh_rows if hits is None else hits.unionByName(fresh_rows)
     # stable page-order concat (reference joins per-image texts in order)
     return all_rows.groupBy(id_col).agg(
         F.array_join(

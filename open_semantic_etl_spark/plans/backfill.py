@@ -21,7 +21,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from open_semantic_etl_spark.plans.checkpoint import Tables, _atomic_overwrite, merge_by_url
+from open_semantic_etl_spark.plans.checkpoint import Tables, merge_by_url, read_table
 
 
 def missing_stage(spark: SparkSession, tables: Tables, stage: str) -> DataFrame:
@@ -63,18 +63,12 @@ def run_backfill(
     result = stage_fn(spark, pruned).localCheckpoint(eager=True)
     merge_by_url(spark, result, tables.enriched)
 
-    cp = spark.read.parquet(tables.checkpoint)
-    done_urls = result.select("url").withColumn("_did", F.lit(True))
-    new_cp = (
-        cp.join(done_urls, "url", "left")
-        .withColumn(
-            "stages_done",
-            F.when(
-                F.col("_did"),
-                F.array_union(F.col("stages_done"), F.array(F.lit(stage))),
-            ).otherwise(F.col("stages_done")),
-        )
-        .drop("_did")
+    # checkpoint upsert ∝ batch: only the rows whose stages_done gains
+    # the stage are rewritten (merge_by_url prunes to their buckets)
+    cp = read_table(spark, tables.checkpoint)
+    updated = (
+        cp.join(result.select("url"), "url", "left_semi")
+        .withColumn("stages_done", F.array_union(F.col("stages_done"), F.array(F.lit(stage))))
     )
-    _atomic_overwrite(new_cp, tables.checkpoint)
+    merge_by_url(spark, updated, tables.checkpoint)
     return n

@@ -16,16 +16,21 @@ The Spark-native replacement for the reference's incremental machinery:
   lineage rows appended to a metrics table.
 
 Storage: this sandbox has no Iceberg/Delta jars, so tables are parquet
-directories and MERGE is emulated as ``old ⟕anti new ∪ new`` with an
-atomic directory swap. On a real cluster the same call sites map to
-``MERGE INTO enriched USING batch ON url`` over Iceberg (snapshot
-commit = our swap; incremental scan = our anti-join).
+directories HASH-BUCKETED by url — hive-partitioned on
+``_bucket = pmod(xxhash64(url), N_BUCKETS)`` — and MERGE is emulated
+per bucket: only buckets containing touched urls are read (partition
+pruning) and rewritten (per-bucket directory swap); untouched bucket
+files stay byte-identical, so incremental write cost tracks the BATCH,
+not the table. On a real cluster the same call sites map to ``MERGE
+INTO enriched USING batch ON url`` over Iceberg (snapshot commit = our
+swap; Iceberg's bucket(url, N) transform = our ``_bucket``; the
+copy-on-write MERGE rewrites exactly the same file set).
 
 Scale: the anti-join shuffles only ``(url, content_hash)`` — 16 bytes +
 url per row, NOT the html payload: the join is planned on the slim
 projection before the extraction stage runs, so unchanged pages never
-cross the wire. At 10^12 rows the checkpoint table is bucketable by
-url to co-locate the join.
+cross the wire. At 10^12 rows both tables share the url bucketing, so
+the checkpoint join co-locates (storage-partitioned join on Iceberg).
 """
 
 from __future__ import annotations
@@ -48,6 +53,17 @@ from open_semantic_etl_spark.plans.pipeline import (
 from open_semantic_etl_spark.schema import METRICS_SCHEMA
 
 
+#: url-hash bucket count for the enriched/checkpoint tables. At 10^12
+#: rows this would be O(10^5) (≈ tens of GB per bucket); the MERGE cost
+#: per batch is (batch urls / N_BUCKETS coverage) × bucket size.
+N_BUCKETS = 64
+
+
+def bucket_expr(url_col: str = "url", n_buckets: int = N_BUCKETS) -> F.Column:
+    """Iceberg-style bucket transform: pmod(xxhash64(url), N)."""
+    return F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)).cast("int")
+
+
 class Tables:
     """Directory layout for one enrichment dataset."""
 
@@ -58,15 +74,31 @@ class Tables:
         self.metrics = os.path.join(root, "metrics")
 
     def exists(self, path: str) -> bool:
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        )
+        if not os.path.isdir(path):
+            return False
+        for _dir, _sub, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """read a bucketed table without its physical partition column."""
+    df = spark.read.parquet(path)
+    return df.drop("_bucket") if "_bucket" in df.columns else df
 
 
 def _atomic_overwrite(df: DataFrame, path: str) -> None:
-    """write to a sibling tmp dir then swap — the snapshot-commit stand-in."""
+    """full-table rewrite in bucketed layout, tmp-dir + swap — the
+    snapshot-commit stand-in for non-url-keyed rewrites (delete-by-
+    query, schema migration). url-keyed upserts use merge_by_url."""
+    if "_bucket" not in df.columns and "url" in df.columns:
+        df = df.withColumn("_bucket", bucket_expr())
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write.mode("overwrite")
+    if "_bucket" in df.columns:
+        writer = writer.partitionBy("_bucket")
+    writer.parquet(tmp)
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
     if os.path.isdir(path):
         os.rename(path, old)
@@ -75,17 +107,59 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+def _swap_buckets(tmp: str, path: str, buckets: list[int]) -> None:
+    """move tmp's bucket dirs over path's — only touched buckets change;
+    a bucket absent from tmp (all rows deleted) is removed."""
+    for b in buckets:
+        src = os.path.join(tmp, f"_bucket={b}")
+        dst = os.path.join(path, f"_bucket={b}")
+        old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(dst):
+            os.rename(dst, old)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def touched_buckets(new: DataFrame, n_buckets: int = N_BUCKETS) -> list[int]:
+    """distinct bucket ids of the batch — ≤ N_BUCKETS ints, driver-safe."""
+    return [
+        r[0]
+        for r in new.select(bucket_expr(n_buckets=n_buckets).alias("b")).distinct().collect()
+    ]
+
+
 def merge_by_url(spark: SparkSession, new: DataFrame, path: str) -> None:
-    """MERGE new INTO path ON url (new row wins) — export_solr 'set'."""
-    tables = Tables(os.path.dirname(path))
-    if not tables.exists(path):
-        new.write.mode("overwrite").parquet(path)
+    """MERGE new INTO path ON url (new row wins) — export_solr 'set'.
+
+    Bucket-pruned: reads and rewrites ONLY the url-hash buckets the
+    batch touches (partition filter on ``_bucket``); every other bucket
+    file is untouched on disk. Iceberg equivalent: copy-on-write
+    ``MERGE INTO t USING batch ON t.url = batch.url`` with the table
+    bucket(url, N)-partitioned. Idempotent under replay (crash between
+    bucket swaps re-merges by url to the same result).
+    """
+    new = new.withColumn("_bucket", bucket_expr())
+    if not Tables(os.path.dirname(path)).exists(path):
+        new.write.mode("overwrite").partitionBy("_bucket").parquet(path)
         return
+    buckets = [r[0] for r in new.select("_bucket").distinct().collect()]
     old = spark.read.parquet(path)
-    merged = old.join(new.select("url"), "url", "left_anti").unionByName(
+    if "_bucket" not in old.columns:  # legacy unbucketed layout
+        merged = old.join(new.select("url"), "url", "left_anti").unionByName(
+            new, allowMissingColumns=True
+        )
+        _atomic_overwrite(merged, path)
+        return
+    old_touched = old.filter(F.col("_bucket").isin(buckets))
+    merged = old_touched.join(new.select("url"), "url", "left_anti").unionByName(
         new, allowMissingColumns=True
     )
-    _atomic_overwrite(merged, path)
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    _swap_buckets(tmp, path, buckets)
 
 
 def pending_rows(
@@ -149,14 +223,20 @@ def run_incremental(
     enriched = enrich_pages(todo, gazetteer=gazetteer, repartition=repartition)
     enriched = _with_partition_metrics(enriched, run_id, "enrich")
 
-    # 1. output commit (MERGE by url — idempotent under replay)
-    merge_by_url(spark, enriched, tables.enriched)
+    # persist the in-flight batch ONCE: the merge, metrics rollup, and
+    # checkpoint rows all read it, and none of them may re-scan the
+    # (table-sized) enriched output — run cost must track the batch
+    out = enriched.persist()
+
+    # 1. output commit (MERGE by url — idempotent under replay,
+    #    bucket-pruned so write volume ∝ batch)
+    merge_by_url(spark, out, tables.enriched)
 
     if fail_before_checkpoint:
+        out.unpersist()
         raise RuntimeError("simulated crash between merge and checkpoint commit")
 
-    # 2. lineage/metrics commit — per-partition rollup from the output
-    out = spark.read.parquet(tables.enriched).filter(F.col("_run_id") == run_id)
+    # 2. lineage/metrics commit — per-partition rollup from the batch
     elapsed_ms = int((time.time() - t0) * 1000)
     metrics = (
         out.groupBy("_partition_id")
@@ -181,20 +261,17 @@ def run_incremental(
     )
     metrics.write.mode("append").parquet(tables.metrics)
 
-    # 3. checkpoint commit (AFTER output — crash replays, never skips)
+    # 3. checkpoint commit (AFTER output — crash replays, never skips);
+    #    url-keyed upsert → same bucket-pruned merge as the output
     ckpt = (
         out.select("url", "content_hash")
         .withColumn("stages_done", F.array(*[F.lit(s) for s in stages]))
         .withColumn("pipeline_version", F.lit(PIPELINE_VERSION))
     )
-    if tables.exists(tables.checkpoint):
-        old_cp = spark.read.parquet(tables.checkpoint)
-        new_cp = old_cp.join(ckpt.select("url"), "url", "left_anti").unionByName(ckpt)
-        _atomic_overwrite(new_cp, tables.checkpoint)
-    else:
-        ckpt.write.mode("overwrite").parquet(tables.checkpoint)
+    merge_by_url(spark, ckpt, tables.checkpoint)
 
     n_done = out.count()
+    out.unpersist()
     return {
         "run_id": run_id,
         "processed": n_done,

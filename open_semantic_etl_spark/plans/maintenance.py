@@ -20,42 +20,85 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from open_semantic_etl_spark.functions.path import with_path_facets
-from open_semantic_etl_spark.plans.checkpoint import Tables, _atomic_overwrite
+from open_semantic_etl_spark.plans.checkpoint import (
+    Tables,
+    _atomic_overwrite,
+    _swap_buckets,
+    bucket_expr,
+    read_table,
+)
+
+
+def _url_buckets(spark: SparkSession, urls: list[str]) -> list[int]:
+    """bucket ids for a driver-side url list (same xxhash64 the tables
+    are partitioned by — computed via a tiny Spark expression)."""
+    return [
+        r[0]
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select(bucket_expr().alias("b"))
+        .distinct()
+        .collect()
+    ]
+
+
+def _rewrite_buckets(spark: SparkSession, path: str, buckets: list[int], transform) -> None:
+    """read ONLY the given buckets, apply ``transform``, swap those
+    bucket dirs — delete/move touch a handful of urls, so the write
+    volume is a few buckets, never the table."""
+    import uuid
+
+    df = spark.read.parquet(path)
+    if "_bucket" not in df.columns:  # legacy unbucketed layout
+        _atomic_overwrite(transform(df), path)
+        return
+    part = df.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
+    out = transform(part).withColumn("_bucket", bucket_expr())
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    _swap_buckets(tmp, path, buckets)
 
 
 def delete_by_url(spark: SparkSession, root: str, urls: list[str]) -> int:
-    """remove documents by id from the enriched table (etl_delete)."""
+    """remove documents by id (etl_delete) — bucket-pruned rewrite
+    (Iceberg: ``DELETE FROM enriched WHERE url IN (…)``)."""
     tables = Tables(root)
-    df = spark.read.parquet(tables.enriched)
-    n_before = df.count()
-    remaining = df.filter(~F.col("url").isin(urls))
-    _atomic_overwrite(remaining, tables.enriched)
+    n_before = spark.read.parquet(tables.enriched).count()
+    buckets = _url_buckets(spark, urls)
+    drop = lambda df: df.filter(~F.col("url").isin(urls))  # noqa: E731
+    _rewrite_buckets(spark, tables.enriched, buckets, drop)
     if tables.exists(tables.checkpoint):
-        cp = spark.read.parquet(tables.checkpoint).filter(~F.col("url").isin(urls))
-        _atomic_overwrite(cp, tables.checkpoint)
+        _rewrite_buckets(spark, tables.checkpoint, buckets, drop)
     return n_before - spark.read.parquet(tables.enriched).count()
 
 
 def delete_where(spark: SparkSession, root: str, predicate: Column) -> int:
-    """empty-index / delete-by-query form (etl_delete.py:64-67)."""
+    """empty-index / delete-by-query form (etl_delete.py:64-67) — an
+    arbitrary predicate can hit any bucket, so this is the one
+    full-table rewrite (Iceberg: DELETE FROM … WHERE <predicate>)."""
     tables = Tables(root)
-    df = spark.read.parquet(tables.enriched)
+    df = read_table(spark, tables.enriched)
     n_before = df.count()
     _atomic_overwrite(df.filter(~predicate), tables.enriched)
     return n_before - spark.read.parquet(tables.enriched).count()
 
 
 def move_url(spark: SparkSession, root: str, src: str, dst: str) -> None:
-    """rewrite a moved document's id + path facets (move_indexed_file)."""
+    """rewrite a moved document's id + path facets (move_indexed_file)
+    — touches exactly the src and dst buckets."""
     tables = Tables(root)
-    df = spark.read.parquet(tables.enriched)
-    moved = df.withColumn(
-        "url", F.when(F.col("url") == src, F.lit(dst)).otherwise(F.col("url"))
-    )
-    # recompute derived path facets for the changed row set
-    path_cols = [c for c in moved.columns if c.startswith("path") or c == "filename_extension_s"]
-    refreshed = with_path_facets(moved.drop(*path_cols), id_col="url")
-    _atomic_overwrite(refreshed.select(*df.columns), tables.enriched)
+    buckets = _url_buckets(spark, [src, dst])
+
+    def transform(df):
+        moved = df.withColumn(
+            "url", F.when(F.col("url") == src, F.lit(dst)).otherwise(F.col("url"))
+        )
+        path_cols = [
+            c for c in moved.columns if c.startswith("path") or c == "filename_extension_s"
+        ]
+        refreshed = with_path_facets(moved.drop(*path_cols), id_col="url")
+        return refreshed.select(*df.columns)
+
+    _rewrite_buckets(spark, tables.enriched, buckets, transform)
 
 
 def join_annotations(

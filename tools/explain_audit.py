@@ -196,6 +196,65 @@ def main() -> int:
         ],
     )
 
+    # 9. bucket-pruned incremental merge: the read of the existing
+    # enriched table inside merge_by_url carries a PartitionFilters
+    # clause on _bucket — write volume tracks the batch, not the table
+    # (the byte-identity of untouched bucket files is asserted in
+    # tests/test_pipeline_resume.py::test_merge_rewrites_only_touched_buckets)
+    with tempfile.TemporaryDirectory() as root:
+        run_incremental(spark, pages, root)
+        t = Tables(root)
+        from pyspark.sql import functions as F
+
+        old_touched = spark.read.parquet(t.enriched).filter(F.col("_bucket").isin([1, 2]))
+        section(
+            "bucketed merge — partition pruning on _bucket",
+            old_touched,
+            [
+                (
+                    "PartitionFilters on _bucket in the scan",
+                    lambda p: bool(re.search(r"PartitionFilters: \[[^\]]*_bucket", p)),
+                ),
+                (
+                    "no pushed data filter needed (pure partition prune)",
+                    lambda p: "Scan parquet" in p,
+                ),
+            ],
+        )
+
+    # 10. deferred-OCR memo: the output plan scans the memo table exactly
+    # twice (hit lookup + miss anti-join) — never a third full-memo
+    # rejoin after the append; fresh results come from the persisted
+    # batch (InMemoryTableScan)
+    import os as _os
+
+    from open_semantic_etl_spark.operators.ocr import run_ocr_phase
+
+    with tempfile.TemporaryDirectory() as d:
+        memo = _os.path.join(d, "memo")
+        docs = spark.createDataFrame(
+            [("u1", b"xx FAKEIMG:alpha yy", True), ("u2", b"FAKEIMG:beta", True)],
+            "url string, html binary, needs_ocr boolean",
+        )
+        spark.createDataFrame(
+            [(123, "seed")], "img_hash long, ocr_text string"
+        ).write.parquet(memo)
+        ocr_out = run_ocr_phase(spark, docs, memo)
+        section(
+            "deferred OCR — batch-proportional memo access",
+            ocr_out,
+            [
+                (
+                    "memo scanned exactly twice (hit join + miss anti-join)",
+                    lambda p: p.count(memo) == 2,
+                ),
+                (
+                    "fresh results served from the persisted batch",
+                    lambda p: "InMemoryTableScan" in p,
+                ),
+            ],
+        )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:
