@@ -266,7 +266,9 @@ FROM documents""",
 SELECT doc_id,
        text AS text_all,
        CASE WHEN lang = 'en' THEN text END AS text_txt_en,
-       CASE WHEN lang = 'de' THEN text END AS text_txt_de
+       CASE WHEN lang = 'de' THEN text END AS text_txt_de,
+       CASE WHEN lang = 'de' THEN text END AS text_txt_hunspell_de,
+       text AS text_txt_fr
 FROM documents""",
         "sentences": """
 WITH d AS (

@@ -84,14 +84,33 @@ def sniff_mimetype(data: Column) -> Column:
 def with_multilingual(
     df: DataFrame,
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    langs_hunspell: tuple[str, ...] = ("hu",),
+    langs_force: tuple[str, ...] = (),
+    langs_force_hunspell: tuple[str, ...] = (),
     text_col: str = "text_analysis",
     lang_col: str = "language_s",
 ) -> DataFrame:
-    """_text_ default-search copy + per-language shadow columns."""
+    """_text_ default-search copy + per-language shadow columns.
+
+    Full enhance_multilingual.py:15-21, 86-112 field fan-out:
+    - ``text_txt_<lang>`` when the detected language is in ``langs``;
+    - ``text_txt_hunspell_<lang>`` hunspell-analysis variant when the
+      detected language is in ``langs_hunspell`` (default ['hu'], :17);
+    - ``langs_force`` / ``langs_force_hunspell`` copy unconditionally —
+      analysis even when detection disagrees (:19-21, 100-112).
+    A language in both the detected and forced list gets the forced
+    (unconditional) copy, like the reference's single field-name set.
+    """
     df = df.withColumn("text_all", F.col(text_col))
+    fields: dict[str, Column] = {}
     for lg in langs:
-        df = df.withColumn(
-            f"text_txt_{lg}",
-            F.when(F.col(lang_col) == lg, F.col(text_col)),
+        fields[f"text_txt_{lg}"] = F.when(F.col(lang_col) == lg, F.col(text_col))
+    for lg in langs_hunspell:
+        fields[f"text_txt_hunspell_{lg}"] = F.when(
+            F.col(lang_col) == lg, F.col(text_col)
         )
-    return df
+    for lg in langs_force:
+        fields[f"text_txt_{lg}"] = F.col(text_col)
+    for lg in langs_force_hunspell:
+        fields[f"text_txt_hunspell_{lg}"] = F.col(text_col)
+    return df.withColumns(fields)

@@ -90,3 +90,50 @@ def subject_facets(
         resolved.groupBy(F.col("s").alias("subject"), "facet")
         .agg(F.sort_array(F.collect_set("v")).alias("values"))
     )
+
+
+# ---------------------------------------------------------------------------
+# annotation facets by configured predicate→facet mapping
+# (enhance_rdf_annotations_by_http_request.py:68-140): instead of one
+# HTTP GET + rdflib parse per document, annotation graphs land in a
+# triples table and the property2facet config joins as a broadcast
+# dimension — only predicates present in the config survive the join,
+# and their objects aggregate per (subject, facet).
+# ---------------------------------------------------------------------------
+
+#: semantic-mediawiki modification-date predicate the reference special-
+#: cases for the mtime cascade (:121-135)
+SWIVT_MODIFIED = "http://semantic-mediawiki.org/swivt/1.0#wikiPageModificationDate"
+
+
+def annotation_facets(
+    triples: DataFrame, property2facet: dict[str, str]
+) -> DataFrame:
+    """(subject, facet, values) for configured predicates only.
+
+    ``property2facet`` maps full predicate URIs to Solr facet names
+    (:94-110 — the reference appends obj per configured predicate);
+    value order is canonical sorted-distinct (SURVEY.md §1.3).
+    Scale: the config is a broadcast dim; one shuffle on (subject,
+    facet) for the aggregate.
+    """
+    spark = triples.sparkSession
+    mapping = spark.createDataFrame(
+        [(p, f) for p, f in property2facet.items()], "p string, facet string"
+    )
+    return (
+        triples.join(F.broadcast(mapping), "p", "inner")
+        .groupBy(F.col("s").alias("subject"), "facet")
+        .agg(F.sort_array(F.collect_set("o")).alias("values"))
+    )
+
+
+def meta_modified(triples: DataFrame) -> DataFrame:
+    """(subject, meta_modified) from swivt wikiPageModificationDate —
+    latest value wins (the reference's 'todo: take latest' :28, 48-51,
+    resolved deterministically with max)."""
+    return (
+        triples.filter(F.col("p") == SWIVT_MODIFIED)
+        .groupBy(F.col("s").alias("subject"))
+        .agg(F.max("o").alias("meta_modified"))
+    )

@@ -429,8 +429,13 @@ def q_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = docs.select("doc_id", F.col("text").alias("text_analysis"), F.col("lang").alias("language_s"))
-    out = with_multilingual(d, langs=("en", "de"))
-    return out.select("doc_id", "text_all", "text_txt_en", "text_txt_de")
+    out = with_multilingual(
+        d, langs=("en", "de"), langs_hunspell=("de",), langs_force=("fr",)
+    )
+    return out.select(
+        "doc_id", "text_all", "text_txt_en", "text_txt_de",
+        "text_txt_hunspell_de", "text_txt_fr",
+    )
 
 
 def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:

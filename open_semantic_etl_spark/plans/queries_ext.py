@@ -98,6 +98,54 @@ SELECT base || '/inner.zip/b' || doc_id || '.txt', base,
 
 
 # ---------------------------------------------------------------------------
+# PST explode (enhance_pst.py:20-128: readpst member tree, bare-number
+# mails gain .eml, attachments keep number-filename, container id kept)
+# ---------------------------------------------------------------------------
+
+
+def _build_pst(d: int) -> bytes:
+    from open_semantic_etl_spark.sources.explode import build_pst_fixture
+
+    return build_pst_fixture(
+        [
+            (f"Inbox/{1000 + d}", f"From: user{d}@example.org\n\nMail body {d}".encode()),
+            (f"Inbox/{1000 + d}-report.txt", f"attachment {d}".encode()),
+            (f"Sent/{2000 + d}", f"Sent mail {d}".encode()),
+        ]
+    )
+
+
+def q_pst_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.explode import explode_pst
+
+    src = _binary_source(
+        spark, sf_dir, 150, _build_pst, "file:///mail/{d}.pst"
+    )
+    out = explode_pst(src)
+    return out.select(
+        "url",
+        "container_s",
+        F.decode("html", "UTF-8").alias("member_text"),
+        "parent_id",
+    )
+
+
+SQL_PST_EXPLODE = """
+WITH m AS (SELECT doc_id, 'file:///mail/' || doc_id || '.pst' AS base
+           FROM documents WHERE doc_id < 150)
+SELECT base || '/Inbox/' || (1000 + doc_id) || '.eml' AS url, base AS container_s,
+       'From: user' || doc_id || '@example.org' || chr(10) || chr(10) || 'Mail body ' || doc_id AS member_text,
+       base AS parent_id FROM m
+UNION ALL
+SELECT base || '/Inbox/' || (1000 + doc_id) || '-report.txt', base,
+       'attachment ' || doc_id, base FROM m
+UNION ALL
+SELECT base || '/Sent/' || (2000 + doc_id) || '.eml', base,
+       'Sent mail ' || doc_id, base FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # WARC explode (enhance_warc.py:64-106: response records only,
 # child id = Target-URI + '/' + Record-ID)
 # ---------------------------------------------------------------------------
@@ -547,6 +595,75 @@ SELECT 'urn:author' || doc_id, 'prefLabel_ss', 'Author ' || doc_id FROM d WHERE 
 
 
 # ---------------------------------------------------------------------------
+# annotation facets by property2facet config + swivt modification date
+# (enhance_rdf_annotations_by_http_request.py:68-140): only configured
+# predicates map to facets; unmapped predicates are dropped
+# ---------------------------------------------------------------------------
+
+_P2F = {
+    "http://purl.org/dc/terms/subject": "tag_ss",
+    "http://xmlns.com/foaf/0.1/name": "author_ss",
+}
+
+
+def q_rdf_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.rdf import (
+        SWIVT_MODIFIED,
+        annotation_facets,
+        meta_modified,
+        triples_from_lines,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    did = F.col("doc_id").cast("string")
+    subj = F.concat(F.lit("<urn:doc"), did, F.lit(">"))
+    lines = docs.select(
+        F.explode(
+            F.array(
+                F.concat(subj, F.lit(' <http://purl.org/dc/terms/subject> "Topic'),
+                         (F.col("doc_id") % 5).cast("string"), F.lit('" .')),
+                F.concat(subj, F.lit(' <http://purl.org/dc/terms/subject> "Extra'),
+                         (F.col("doc_id") % 3).cast("string"), F.lit('" .')),
+                F.concat(subj, F.lit(' <http://xmlns.com/foaf/0.1/name> "Person'),
+                         (F.col("doc_id") % 7).cast("string"), F.lit('" .')),
+                # unmapped predicate — must NOT surface as a facet
+                F.concat(subj, F.lit(' <http://example.org/ignored> "nope" .')),
+                F.concat(subj, F.lit(f" <{SWIVT_MODIFIED}> "),
+                         F.lit('"2024-02-0'), (1 + F.col("doc_id") % 9).cast("string"),
+                         F.lit('T00:00:00" .')),
+            )
+        ).alias("line")
+    )
+    triples = triples_from_lines(lines)
+    facets = annotation_facets(triples, _P2F)
+    wide = (
+        facets.groupBy("subject")
+        .pivot("facet", ["tag_ss", "author_ss"])
+        .agg(F.array_join(F.first("values"), ","))
+    )
+    return wide.join(meta_modified(triples), "subject").select(
+        "subject",
+        F.col("tag_ss").alias("tags"),
+        F.col("author_ss").alias("authors"),
+        "meta_modified",
+    )
+
+
+SQL_RDF_ANNOTATIONS = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT 'urn:doc' || doc_id AS subject,
+       CASE WHEN 'Extra' || (doc_id % 3) < 'Topic' || (doc_id % 5)
+            THEN 'Extra' || (doc_id % 3) || ',' || 'Topic' || (doc_id % 5)
+            ELSE 'Topic' || (doc_id % 5) || ',' || 'Extra' || (doc_id % 3) END AS tags,
+       'Person' || (doc_id % 7) AS authors,
+       '2024-02-0' || (1 + doc_id % 9) || 'T00:00:00' AS meta_modified
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # sitemap recursive listing + RSS incremental skip (etl_sitemap.py:45-123,
 # etl_rss.py:47-94)
 # ---------------------------------------------------------------------------
@@ -880,6 +997,7 @@ FROM documents WHERE doc_id < 150
 
 EXT_QUERIES = {
     "zip_explode": q_zip_explode,
+    "pst_explode": q_pst_explode,
     "warc_explode": q_warc_explode,
     "csv_explode": q_csv_explode,
     "pdf_pages": q_pdf_pages,
@@ -891,6 +1009,7 @@ EXT_QUERIES = {
     "sidecar_join": q_sidecar_join,
     "neardup_embedding": q_neardup_embedding,
     "rdf_facets": q_rdf_facets,
+    "rdf_annotations": q_rdf_annotations,
     "html_paths": q_html_paths,
     "sitemap_expand": q_sitemap_expand,
     "rss_new_items": q_rss_new_items,
@@ -903,6 +1022,7 @@ EXT_QUERIES = {
 
 EXT_ORACLES = {
     "zip_explode": SQL_ZIP_EXPLODE,
+    "pst_explode": SQL_PST_EXPLODE,
     "warc_explode": SQL_WARC_EXPLODE,
     "csv_explode": SQL_CSV_EXPLODE,
     "pdf_pages": SQL_PDF_PAGES,
@@ -914,6 +1034,7 @@ EXT_ORACLES = {
     "sidecar_join": SQL_SIDECAR_JOIN,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
     "rdf_facets": SQL_RDF_FACETS,
+    "rdf_annotations": SQL_RDF_ANNOTATIONS,
     "html_paths": SQL_HTML_PATHS,
     "sitemap_expand": SQL_SITEMAP_EXPAND,
     "rss_new_items": SQL_RSS_NEW_ITEMS,

@@ -172,6 +172,99 @@ def explode_warc(df: DataFrame, id_col: str = "url", bytes_col: str = "html") ->
 
 
 # ---------------------------------------------------------------------------
+# PST — enhance_pst.py:20-128 semantics (Outlook mail container →
+# one child per extracted member). The reference shells out to the
+# external ``readpst`` binary which dumps a folder tree where e-mail
+# files are PURE NUMBERS (renamed ``.eml``, :100-108) and attachments
+# are ``number-filename``; child id = parent id + '/<folder>/<file>'
+# and ``container_s`` stays the outermost container (:71-74).
+#
+# Real-PST parsing needs readpst/libpff (not in this container) — that
+# path is an explicit NotImplementedError seam keyed on the PST magic.
+# The deterministic "extracted-tree" fixture format below carries the
+# same member structure (folder path + payload) so the id scheme,
+# .eml rename rule, and Spark plumbing are real and tested.
+# ---------------------------------------------------------------------------
+
+PST_MAGIC = b"!BDN"  # MS-PST §2.2.2.6 header magic
+PST_FIXTURE_MAGIC = b"!PSTFIX\n"
+
+PST_CHILD_TYPE = ZIP_CHILD_TYPE  # same (child_id, container_s, bytes) shape
+
+
+def build_pst_fixture(members: list[tuple[str, bytes]]) -> bytes:
+    """serialize an extracted-tree fixture: the member list readpst
+    would have produced (folder-relative path, payload)."""
+    out = [PST_FIXTURE_MAGIC]
+    for path, payload in members:
+        out.append(b"PSTM\n")
+        out.append(path.encode() + b"\n")
+        out.append(str(len(payload)).encode() + b"\n")
+        out.append(payload + b"\n")
+    return b"".join(out)
+
+
+def parse_pst_members(data: bytes, base_id: str, container: str) -> list[dict]:
+    """members of one PST container with the reference's id scheme:
+    bare-number file names (no '-') are e-mails and gain ``.eml``
+    (enhance_pst.py:100-108); attachments keep ``number-filename``."""
+    if data[:4] == PST_MAGIC:
+        raise NotImplementedError(
+            "real Outlook PST parsing requires readpst/libpff (enhance_pst seam)"
+        )
+    if not data.startswith(PST_FIXTURE_MAGIC):
+        raise ValueError("not a PST fixture payload")
+    out: list[dict] = []
+    pos = len(PST_FIXTURE_MAGIC)
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 5] != b"PSTM\n":
+            break
+        pos += 5
+        eol = data.index(b"\n", pos)
+        path = data[pos:eol].decode()
+        pos = eol + 1
+        eol = data.index(b"\n", pos)
+        size = int(data[pos:eol])
+        pos = eol + 1
+        payload = data[pos:pos + size]
+        pos = pos + size + 1  # trailing newline
+        name = path.rsplit("/", 1)[-1]
+        child_path = path + ".eml" if "-" not in name else path
+        out.append(
+            {
+                "child_id": f"{base_id}/{child_path}",
+                "container_s": container,
+                "bytes": payload,
+            }
+        )
+    return out
+
+
+def explode_pst(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """pst rows → one row per extracted member (mail or attachment)."""
+
+    def run(series: pd.Series, ids: pd.Series) -> pd.Series:
+        res = []
+        for data, base in zip(series, ids):
+            try:
+                res.append(parse_pst_members(data, base, base))
+            except Exception:  # noqa: BLE001 — bad/real-PST payload → no children
+                res.append([])
+        return pd.Series(res)
+
+    udf = F.pandas_udf(run, PST_CHILD_TYPE)
+    ex = df.withColumn("_children", udf(F.col(bytes_col), F.col(id_col)))
+    ex = ex.select(F.col(id_col).alias("parent_id"), F.explode("_children").alias("c"))
+    return ex.select(
+        F.col("c.child_id").alias("url"),
+        F.col("c.container_s").alias("container_s"),
+        F.col("c.bytes").alias("html"),
+        "parent_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # CSV — enhance_csv semantics (sniffed dialect, title row, typed shadows)
 # ---------------------------------------------------------------------------
 

@@ -110,3 +110,37 @@ def test_explode_sentences(spark):
     assert texts[1] == "Second one!"
     assert rows[0]["url"] == "d1#sentence1"
     assert E.split_sentences(None) == []
+
+
+def test_explode_pst(spark):
+    """enhance_pst.py:20-128: folder-tree members, bare-number mail files
+    gain .eml, attachments (number-filename) keep their name, container
+    stays the pst id; real-PST payloads hit the readpst seam."""
+    import pytest
+
+    fixture = E.build_pst_fixture(
+        [
+            ("Inbox/4321", b"From: a@x\n\nBody text"),
+            ("Inbox/4321-invoice.pdf", b"%PDF-attach"),
+            ("Archive/Old/77", b"old mail"),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("file:///m/box.pst", fixture)], "url string, html binary"
+    )
+    rows = {r["url"]: r for r in E.explode_pst(df).collect()}
+    assert set(rows) == {
+        "file:///m/box.pst/Inbox/4321.eml",
+        "file:///m/box.pst/Inbox/4321-invoice.pdf",
+        "file:///m/box.pst/Archive/Old/77.eml",
+    }
+    assert bytes(rows["file:///m/box.pst/Inbox/4321.eml"]["html"]) == b"From: a@x\n\nBody text"
+    assert all(r["container_s"] == "file:///m/box.pst" for r in rows.values())
+    # real Outlook PST magic → explicit NotImplementedError seam
+    with pytest.raises(NotImplementedError):
+        E.parse_pst_members(b"!BDN" + b"\x00" * 16, "id", "id")
+    # and through Spark the bad row degrades to zero children, like zip
+    bad = spark.createDataFrame(
+        [("file:///m/real.pst", b"!BDN" + b"\x00" * 16)], "url string, html binary"
+    )
+    assert E.explode_pst(bad).count() == 0

@@ -112,3 +112,35 @@ def test_html_tag_paths_spark(spark):
     row = with_html_paths(df, tags=("//h1",), tags_and_children=("//div",)).first()
     assert row["html_paths"]["h1_ss"] == ["Main Title"]
     assert row["html_paths"]["div/span_ss"] == ["Inner text"]
+
+
+def test_annotation_facets_property2facet(spark):
+    """enhance_rdf_annotations_by_http_request.py:68-140: only predicates
+    configured in property2facet surface, mapped to their facet name;
+    swivt wikiPageModificationDate feeds meta_modified (latest wins)."""
+    from open_semantic_etl_spark.operators.rdf import (
+        SWIVT_MODIFIED,
+        annotation_facets,
+        meta_modified,
+    )
+
+    nt = [
+        '<urn:d1> <http://purl.org/dc/terms/subject> "Hist" .',
+        '<urn:d1> <http://purl.org/dc/terms/subject> "Art" .',
+        '<urn:d1> <http://example.org/unmapped> "nope" .',
+        f'<urn:d1> <{SWIVT_MODIFIED}> "2024-01-02T00:00:00" .',
+        f'<urn:d1> <{SWIVT_MODIFIED}> "2024-03-04T00:00:00" .',
+    ]
+    lines = spark.createDataFrame([(x,) for x in nt], "line string")
+    triples = triples_from_lines(lines)
+    p2f = {"http://purl.org/dc/terms/subject": "tag_ss"}
+    rows = {(r["subject"], r["facet"]): r["values"]
+            for r in annotation_facets(triples, p2f).collect()}
+    assert rows == {("urn:d1", "tag_ss"): ["Art", "Hist"]}
+    mm = meta_modified(triples).collect()
+    assert [(r["subject"], r["meta_modified"]) for r in mm] == [
+        ("urn:d1", "2024-03-04T00:00:00")
+    ]
+    # property2facet config joins as a broadcast dimension
+    plan = annotation_facets(triples, p2f)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
