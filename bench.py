@@ -17,8 +17,15 @@ biggest anti-scaling term; see BENCH/BASELINE.md §2). Explicit
 tool (plans/pipeline.py scale notes).
 
 Scaling methodology (no real cluster in this sandbox): three probes.
- 1. thread scaling: the same job at local[8] vs local[32]. A single
-    box does NOT scale like a cluster — 4× busy cores share one
+ 1. thread scaling: the same job at local[8] vs local[32], each level
+    run in a subprocess whose CPU AFFINITY is pinned to exactly that
+    many cores (sched_setaffinity, inherited by the JVM and every
+    Python worker). Without the pin, local[8] on a 32-core box is not
+    an 8-core machine: its 8 JVM task threads and 8 Python workers
+    land on up to 16 distinct physical cores, inflating the low-core
+    throughput and understating scaling efficiency — a real 8-core
+    executor confines both sides to the same 8 cores. Even pinned, a
+    single box does NOT scale like a cluster — 4× busy cores share one
     memory system, drop turbo, and share ONE JVM (GC, scheduler).
  2. hardware ceiling: the same extraction kernel under plain
     ``multiprocessing`` at the same two widths — the best any
@@ -61,14 +68,17 @@ _HW_N = 24000
 _HW_HTML: list[bytes] = []
 
 
-def _build_input(spark, n_rows: int, parts: int):
+def _build_input(spark, n_rows: int, parts: int, profile: str = "default"):
     """Deterministic bench corpus written once to a local parquet dir."""
     from open_semantic_etl_spark.sources.pages import pages_df
 
-    path = f"/tmp/spark_graft_bench_pages_{n_rows}"
+    tag = "" if profile == "default" else f"_{profile}"
+    path = f"/tmp/spark_graft_bench_pages_{n_rows}{tag}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
-        pages_df(spark, n_rows, partitions=parts).write.mode("overwrite").parquet(path)
+        pages_df(spark, n_rows, partitions=parts, profile=profile).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 
@@ -143,6 +153,37 @@ def _steady_state(
     if row["mismatches"]:
         raise AssertionError(f"byte-identity broken on {row['mismatches']} docs")
     return best, docs
+
+
+def _scale_worker(pages_path: str, cores: int, out_file: str) -> None:
+    """one scaling level, affinity-pinned to exactly ``cores`` CPUs so
+    the JVM task threads AND the Python workers share the same core
+    budget a real ``cores``-core executor would have."""
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass  # non-Linux fallback: measure unpinned
+    spark = _session(cores)
+    t, docs = _steady_state(spark, pages_path, cores, warmups=1, reps=2)
+    tx, _ = _steady_state(spark, pages_path, cores, warmups=1, reps=2, extract_only=True)
+    spark.stop()
+    with open(out_file, "w") as f:
+        json.dump({"sec": t, "sec_extract": tx, "docs": docs}, f)
+
+
+def _run_scale_level(pages_path: str, cores: int) -> dict:
+    import subprocess
+    import tempfile
+
+    out = tempfile.mktemp(prefix=f"scale_{cores}_")
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-worker",
+         pages_path, str(cores), out],
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    with open(out) as f:
+        return json.load(f)
 
 
 # --- executor-proxy scaling: 1 vs 4 CONCURRENT local[N] JVMs --------------
@@ -328,24 +369,45 @@ def main() -> None:
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
 
     do_queries = os.environ.get("SPARK_GRAFT_QUERIES", "1") != "0"
+    do_heavy = os.environ.get("SPARK_GRAFT_HEAVY", "1") != "0"
     spark = _session(cpus)
     pages_path = _build_input(spark, n_rows, 2 * cpus)
     t_high, docs = _steady_state(spark, pages_path, cpus)
+    heavy = None
+    if do_heavy:
+        # realism profile: ~40 KB CC-style pages (vs the 2-3 KB default)
+        # — same byte-identity contract, reported as MB/s and MB/s/core
+        n_heavy = max(n_rows // 10, 1000)
+        heavy_path = _build_input(spark, n_heavy, 2 * cpus, profile="heavy")
+        t_heavy, docs_heavy = _steady_state(spark, heavy_path, cpus, warmups=1, reps=2)
+        from pyspark.sql import functions as F
+
+        html_mb = (
+            spark.read.parquet(heavy_path)
+            .agg(F.sum(F.length("html")).alias("b"))
+            .first()["b"]
+            / 1e6
+        )
+        heavy = {
+            "docs": docs_heavy,
+            "html_mb": round(html_mb, 1),
+            "sec": round(t_heavy, 3),
+            "docs_per_sec": round(docs_heavy / t_heavy, 2),
+            "mb_per_sec": round(html_mb / t_heavy, 2),
+            "mb_per_sec_per_core": round(html_mb / t_heavy / cpus, 3),
+        }
     qtimes = _bench_queries(spark, sf_dir) if do_queries else {}
     spark.stop()
 
     if do_scaling:
         # alternate low/high sessions so ambient VM noise hits both
-        # levels symmetrically; keep the best (steady-state) per level
+        # levels symmetrically; keep the best (steady-state) per level.
+        # each level runs in an affinity-pinned subprocess (see header).
         t_low = None
         ex = {}  # extraction-stage-only times per level
-        for cores in (low_cores, cpus, low_cores):
-            spark = _session(cores)
-            t, _ = _steady_state(spark, pages_path, cores, warmups=1, reps=2)
-            tx, _ = _steady_state(
-                spark, pages_path, cores, warmups=1, reps=2, extract_only=True
-            )
-            spark.stop()
+        for cores in (low_cores, cpus, low_cores, cpus):
+            r = _run_scale_level(pages_path, cores)
+            t, tx = r["sec"], r["sec_extract"]
             ex[cores] = min(ex.get(cores, tx), tx)
             if cores == cpus:
                 t_high = min(t_high, t)
@@ -371,6 +433,8 @@ def main() -> None:
         "pipeline_sec_high": round(t_high, 3),
         "cores_high": cpus,
     }
+    if heavy is not None:
+        result["heavy_profile"] = heavy
 
     if do_scaling:
         ratio = cpus / low_cores
@@ -399,5 +463,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--proxy-worker":
         _proxy_worker(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        _scale_worker(sys.argv[2], int(sys.argv[3]), sys.argv[4])
     else:
         main()

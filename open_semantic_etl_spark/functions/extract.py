@@ -232,4 +232,10 @@ def parse_rules_tsv(tsv: str) -> list[tuple[str, str, int]]:
 
 
 def iban(text: Column) -> Column:
-    return regex_rule(text, IBAN_RULE, 0)
+    # gate: the IBAN rule requires 7 consecutive digits — a one-char-
+    # class scan short-circuits the full rule on the common no-hit row
+    return (
+        F.when(text.isNull(), F.lit(None).cast("array<string>"))
+        .when(text.rlike(r"[0-9]{7}"), regex_rule(text, IBAN_RULE, 0))
+        .otherwise(F.array().cast("array<string>"))
+    )

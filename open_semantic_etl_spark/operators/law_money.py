@@ -29,6 +29,23 @@ LAW_CODE_BLACKLIST_DEFAULT = ("CC",)
 LAW_FACET = "law_code_ss"
 CURRENCY_FACET = "currency_ss"
 
+#: cheap gate for the (expensive, alternation-heavy) clause regex:
+#: every LAW_CLAUSE_RE match is one of the prefixes §|Article|Artikel|
+#: Art|Section|Sec followed by \W* and a DIGIT — so prefix-stem + \W* +
+#: digit is a provable superset (plain words like 'part' no longer
+#: trigger the heavy NFA; only changes the plan, never the result).
+LAW_GATE_RE = r"(?i)(§|art[a-z]*|sec[a-z]*)\W*\d"
+
+def money_gate_re(currency_labels: tuple[str, ...]) -> str:
+    """cheap gate for the two money rules: both require a currency
+    token, so a plain literal alternation over the configured labels
+    (plus the static signs) is a provable superset of any match."""
+    import re as _re
+
+    return "(?i)" + "|".join(
+        [_re.escape("$"), _re.escape("€")] + [_re.escape(c) for c in currency_labels]
+    )
+
 
 def _flat(text: Column) -> Column:
     """reference flattens newlines before adjacency checks (law.py:92)."""
@@ -59,13 +76,29 @@ def with_law(
     """
     text = F.col(text_col)
     ents = F.col(entities_col)
-    flat = _flat(text)
-    raw_clauses = F.transform(
-        F.regexp_extract_all(flat, F.lit(LAW_CLAUSE_RE), 0), _strip
+    # materialize the flattened text and the raw clause list ONCE per
+    # row: higher-order-function lambdas re-evaluate their argument
+    # expressions per element, so inlining the regexp_replace / clause
+    # regex would rerun them O(matchtexts × clauses) times per doc
+    df = df.withColumn("_text_flat", _flat(text))
+    flat = F.col("_text_flat")
+    empty = F.array().cast("array<string>")
+    df = df.withColumn(
+        "_law_raw_clauses",
+        F.when(
+            flat.rlike(LAW_GATE_RE),
+            F.transform(F.regexp_extract_all(flat, F.lit(LAW_CLAUSE_RE), 0), _strip),
+        ).otherwise(empty),
     )
+    raw_clauses = F.col("_law_raw_clauses")
     bl = F.array(*[F.lit(b) for b in blacklist])
 
-    df = df.withColumn("law_clause_ss", law_clauses(text))
+    df = df.withColumn(
+        "law_clause_ss",
+        F.when(text.isNull(), F.lit(None).cast("array<string>"))
+        .when(text.rlike(LAW_GATE_RE), law_clauses(text))
+        .otherwise(empty),
+    )
 
     # filter blacklisted, non-adjacent matchtexts out of law-code entities
     cleaned = F.transform(
@@ -118,7 +151,7 @@ def with_law(
             )
         ),
     )
-    return df
+    return df.drop("_text_flat", "_law_raw_clauses")
 
 
 def with_money(
@@ -137,10 +170,18 @@ def with_money(
     ``numerized_col`` (optional) carries English-numerized text computed
     by operators.numerize (only consulted where lang == 'en').
     """
-    flat = _flat(F.col(text_col))
+    text = F.col(text_col)
+    flat = _flat(text)
     base = flat
     if numerized_col is not None:
         base = F.when(F.col(lang_col) == "en", _flat(F.col(numerized_col))).otherwise(
             flat
         )
-    return df.withColumn("money_ss", money(base, currency_labels))
+    # gate on the raw text: numerization only rewrites number WORDS, so
+    # it cannot introduce a currency token the raw text lacked
+    return df.withColumn(
+        "money_ss",
+        F.when(text.isNull(), F.lit(None).cast("array<string>"))
+        .when(text.rlike(money_gate_re(currency_labels)), money(base, currency_labels))
+        .otherwise(F.array().cast("array<string>")),
+    )

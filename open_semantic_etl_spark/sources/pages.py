@@ -111,11 +111,20 @@ def _boiler_extras(rng: random.Random) -> tuple[str, str]:
     return aside + farm, footer
 
 
-def page_record(i: int, seed: int = 42) -> dict:
-    """Pure function: row id → one pages row (url, warc_ts, html, text, lang)."""
+def page_record(i: int, seed: int = 42, profile: str = "default") -> dict:
+    """Pure function: row id → one pages row (url, warc_ts, html, text, lang).
+
+    ``profile="heavy"`` produces a real Common-Crawl-size page (~40 KB
+    html mean, up to ~60 KB: 60-90 long paragraphs, large link farms
+    and a comments section) with the same closed-loop byte-identity
+    contract — the extractor must return exactly ``text``. The default
+    ~2-3 KB profile stays for fast tests and round-to-round bench
+    comparability.
+    """
     rng = random.Random(f"{seed}:{i}")
     variant = i % 10
     lang = "de" if variant == 5 else _LANG_WHEEL[rng.randrange(len(_LANG_WHEEL))]
+    heavy = profile == "heavy"
 
     if i % 4 == 0:
         url = f"https://{HOT_HOST}/section{i % 13}/page-{i}.html"
@@ -124,11 +133,12 @@ def page_record(i: int, seed: int = 42) -> dict:
     warc_ts = _EPOCH + timedelta(seconds=(i * 37) % 86_400_000)
 
     title = _paragraph(rng, lang, 3)
-    n_paras = rng.randint(2, 5)
+    n_paras = rng.randint(60, 90) if heavy else rng.randint(2, 5)
+    lo_words, hi_words = (50, 90) if heavy else (30, 70)
     paras = []
     for p in range(n_paras):
         extra = _INJECT[(i + p) % len(_INJECT)](rng, i) if p == 1 else ""
-        paras.append(_paragraph(rng, lang, rng.randint(30, 70), extra))
+        paras.append(_paragraph(rng, lang, rng.randint(lo_words, hi_words), extra))
 
     if variant == 8:  # PDF payload row
         html = build_pdf(paras, title=title, n_images=(1 if i % 3 == 0 else 0))
@@ -154,6 +164,24 @@ def page_record(i: int, seed: int = 42) -> dict:
         body_main.append(f"<p>{ptxt}</p>" if variant != 7 else f"<p>{ptxt}")
     img = '<img src="/img/fig1.png" alt="">' if i % 3 == 0 else ""
     aside_farm, footer = _boiler_extras(rng)
+    if heavy:
+        # CC-profile chrome: big related-links farm + comment teasers,
+        # all link-dense/short — the boilerplate classifier must strip
+        # them, keeping the byte-identity contract over `paras` alone
+        farm = "".join(
+            f'<li><a href="/rel/{k}">{rng.choice(_BOILER_LINKS)} story {k}</a></li>'
+            for k in range(rng.randint(80, 150))
+        )
+        comments = "".join(
+            f'<div class="c"><a href="/u/{k}">user{k}</a> said: '
+            f'<a href="/c/{k}">reply {k}</a></div>'
+            for k in range(rng.randint(40, 80))
+        )
+        aside_farm = (
+            aside_farm
+            + f"<aside><ul>{farm}</ul></aside>"
+            + f"<aside>{comments}</aside>"
+        )
     doc = (
         "<html><head><title>{t}</title>"
         '<meta name="description" content="{d}">{cs}</head><body>'
@@ -185,12 +213,12 @@ def page_record(i: int, seed: int = 42) -> dict:
     return {"url": url, "warc_ts": warc_ts, "html": html, "text": expected, "lang": lang}
 
 
-def pages_df(spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
+def pages_df(spark: SparkSession, n_rows: int, seed: int = 42, partitions: int | None = None, profile: str = "default") -> DataFrame:
     """Distributed deterministic pages table: spark.range → mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [page_record(int(i), seed) for i in pdf["id"]]
+            rows = [page_record(int(i), seed, profile) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in PAGES_SCHEMA.fields])
 
     rng_df = spark.range(n_rows, numPartitions=partitions)

@@ -167,3 +167,17 @@ def test_fast_scanner_equals_htmlparser():
                 slow.links, slow.meta_ts, slow.n_images) == (
                fast.blocks, fast.title, fast.description, fast.headings,
                fast.links, fast.meta_ts, fast.n_images), t[:120]
+
+
+def test_heavy_profile_byte_identity():
+    """the ~40 KB CC-profile pages keep the closed-loop contract:
+    extract_html(html) == expected text, boilerplate farms stripped."""
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+    from open_semantic_etl_spark.sources.pages import page_record
+
+    sizes = []
+    for i in range(60):
+        r = page_record(i, profile="heavy")
+        sizes.append(len(r["html"]))
+        assert extract_html(r["html"])["content"] == r["text"], r["url"]
+    assert sum(sizes) / len(sizes) > 25_000  # genuinely heavy pages
