@@ -167,3 +167,46 @@ def file_modified_dt(ts: Column) -> Column:
 
 def file_size_i(binary: Column) -> Column:
     return F.length(binary).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Connector_Web scalar semantics (etl_web.py:125-221): uri
+# normalization and the modification-time cascade. Acquisition (the
+# download itself) happened upstream — pages landed in the table with
+# crawl metadata — but the derivations over that metadata are these.
+# ---------------------------------------------------------------------------
+
+
+def normalize_uri(uri: Column) -> Column:
+    """strip + prepend ``http://`` when no protocol (etl_web.py:136-140,
+    protocols http/https/ftp/ftps, case-insensitive)."""
+    t = F.trim(uri)
+    return F.when(
+        F.lower(t).rlike("^(https?|ftps?)://"), t
+    ).otherwise(F.concat(F.lit("http://"), t))
+
+
+def parse_http_date(header: Column) -> Column:
+    """RFC 1123 HTTP date header → timestamp (the dateparser.parse of
+    etl_web.py:174-209); null on absent/unparseable, which the cascade
+    then falls through — matching the reference's try/except-False.
+    HTTP dates are always GMT (RFC 9110 §5.6.7), so the zone token is
+    stripped and the value read as UTC (session TZ is pinned UTC); the
+    redundant leading weekday is stripped too — Spark's post-3.0
+    datetime parser refuses day-of-week patterns on the parse side."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(header, r"^[A-Za-z]{3},\s+", ""), r"\s+(GMT|UTC)$", ""
+    )
+    return F.to_timestamp(cleaned, "dd MMM yyyy HH:mm:ss")
+
+
+def web_mtime_cascade(
+    meta_ts: Column,
+    http_last_modified: Column,
+    http_date: Column,
+    crawl_ts: Column,
+) -> Column:
+    """modification-time cascade (etl_web.py:163-216): html meta
+    last-modified → HTTP Last-Modified → HTTP Date → 'now', which in
+    the landed-table model is the crawl time (warc_ts)."""
+    return F.coalesce(meta_ts, http_last_modified, http_date, crawl_ts)

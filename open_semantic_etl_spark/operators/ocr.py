@@ -58,21 +58,53 @@ ENGINES: dict[str, Callable[[bytes], str]] = {
 }
 
 # embedded images inside html payloads carry data URIs in the fixture
-# format; PDFs would go through pdfimages-equivalent extraction (seam).
+# format; PDF payloads go through the real pdfimages-equivalent parse
+# (operators/pdfio.pdf_images — image XObjects, page-associated).
 _FAKE_IMG_RE = re.compile(rb"FAKEIMG:[^\"'<>\s]*")
 
 IMAGES_TYPE = T.ArrayType(T.BinaryType())
+
+PDF_PAGE_IMAGES_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("page_i", T.IntegerType(), False),
+            T.StructField("image", T.BinaryType(), False),
+        ]
+    )
+)
+
+
+def _doc_images(b: bytes | None) -> list[bytes]:
+    if not b:
+        return []
+    if bytes(b[:5]) == b"%PDF-":
+        from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+        return [bytes(d["image"]) for d in pdf_images(bytes(b))]
+    return [bytes(m) for m in _FAKE_IMG_RE.findall(b)]
 
 
 def extract_images_expr(html_col: str = "html"):
     """pull embedded image payloads out of the raw document bytes."""
 
     def run(series: pd.Series) -> pd.Series:
-        return series.map(
-            lambda b: [bytes(m) for m in _FAKE_IMG_RE.findall(b)] if b else []
-        )
+        return series.map(_doc_images)
 
     return F.pandas_udf(run, IMAGES_TYPE)(F.col(html_col))
+
+
+def pdf_page_images_expr(html_col: str = "html"):
+    """PDF bytes → array<struct<page_i, image>> (pdfimages -f N -l N
+    equivalent, enhance_pdf_ocr.py:26-57)."""
+
+    def run(series: pd.Series) -> pd.Series:
+        from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+        return series.map(
+            lambda b: pdf_images(bytes(b)) if b and bytes(b[:5]) == b"%PDF-" else []
+        )
+
+    return F.pandas_udf(run, PDF_PAGE_IMAGES_TYPE)(F.col(html_col))
 
 
 def run_ocr_phase(
@@ -128,6 +160,75 @@ def run_ocr_phase(
     all_rows = fresh_rows if hits is None else hits.unionByName(fresh_rows)
     # stable page-order concat (reference joins per-image texts in order)
     return all_rows.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ocr_text"))),
+                lambda x: x["ocr_text"],
+            ),
+            "\n",
+        ).alias("ocr_t")
+    )
+
+
+def run_pdf_ocr_phase(
+    spark: SparkSession,
+    docs: DataFrame,
+    memo_path: str,
+    engine: str = "fake",
+    id_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """per-PAGE OCR for PDF documents (enhance_pdf_ocr.py:13-90).
+
+    Returns (url, page_i, ocr_t): one row per page that has images,
+    multiple images on a page joined with '\\n' in reference image
+    order (:86-90 ``append_page``). The reference caches by md5 of the
+    whole PDF (:71-83); here the memo is finer-grained — per image
+    content hash — so a page edit invalidates only its own images.
+    Same batch-proportional memo discipline as run_ocr_phase.
+    """
+    ocr_fn = ENGINES[engine]
+
+    imgs = docs.select(
+        F.col(id_col),
+        F.posexplode(pdf_page_images_expr(html_col)).alias("pos", "pi"),
+    ).select(
+        id_col,
+        "pos",
+        F.col("pi.page_i").alias("page_i"),
+        F.col("pi.image").alias("img"),
+    )
+    imgs = imgs.withColumn("img_hash", F.xxhash64("img"))
+
+    memo_exists = os.path.isdir(memo_path) and any(
+        f.endswith(".parquet") for f in os.listdir(memo_path)
+    )
+    if memo_exists:
+        memo = spark.read.parquet(memo_path)
+        hits = imgs.join(memo, "img_hash", "inner").select(
+            id_col, "pos", "page_i", "ocr_text"
+        )
+        misses = imgs.join(memo.select("img_hash"), "img_hash", "left_anti")
+    else:
+        hits = None
+        misses = imgs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf["ocr_text"] = [ocr_fn(bytes(b)) for b in pdf["img"]]
+            yield pdf[[id_col, "pos", "page_i", "img_hash", "ocr_text"]]
+
+    fresh = misses.mapInPandas(
+        run,
+        schema=f"{id_col} string, pos int, page_i int, img_hash long, ocr_text string",
+    ).persist()
+    fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"]).write.mode(
+        "append"
+    ).parquet(memo_path)
+    fresh_rows = fresh.select(id_col, "pos", "page_i", "ocr_text")
+
+    all_rows = fresh_rows if hits is None else hits.unionByName(fresh_rows)
+    return all_rows.groupBy(id_col, "page_i").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "ocr_text"))),

@@ -35,13 +35,16 @@ def build_pdf(
     author: str | None = None,
     n_images: int = 0,
     compress: bool = True,
+    images: list[bytes] | None = None,
 ) -> bytes:
     """Serialize page texts into a minimal valid PDF.
 
     Each page's text is emitted line-by-line as ``(line) Tj`` show ops.
     ``n_images`` > 0 embeds that many 1x1 image XObjects so the
     needs-OCR predicate (enhance_pdf_ocr.py:130-155 analogue) has
-    something to detect.
+    something to detect; ``images`` supplies explicit image payload
+    bytes instead — a flat list (each referenced from every page) or a
+    list-of-lists with one image set per page.
     """
     objects: list[bytes] = []
 
@@ -51,30 +54,39 @@ def build_pdf(
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
-    img_nums = []
-    for _ in range(n_images):
-        img_data = b"\x00"
-        img_nums.append(
-            add(
-                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
-                + str(len(img_data)).encode()
-                + b" >>\nstream\n"
-                + img_data
-                + b"\nendstream"
-            )
+    def add_image(img_data: bytes) -> int:
+        return add(
+            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length "
+            + str(len(img_data)).encode()
+            + b" >>\nstream\n"
+            + img_data
+            + b"\nendstream"
         )
+
+    per_page = (
+        images is not None
+        and len(images) > 0
+        and isinstance(images[0], (list, tuple))
+    )
+    if per_page:
+        page_img_nums = [[add_image(d) for d in page_imgs] for page_imgs in images]
+        img_nums: list[int] = []
+    else:
+        payloads = images if images is not None else [b"\x00"] * n_images
+        img_nums = [add_image(d) for d in payloads]
+        page_img_nums = [img_nums for _ in pages]
 
     page_nums: list[int] = []
     content_nums: list[int] = []
-    for text in pages:
+    for pg, text in enumerate(pages):
         lines = text.split("\n")
         ops = [b"BT /F1 12 Tf 72 720 Td 14 TL"]
         for j, line in enumerate(lines):
             if j:
                 ops.append(b"T*")
             ops.append(b"(" + _esc(line).encode("latin-1", "replace") + b") Tj")
-        for img in img_nums:
+        for img in page_img_nums[pg]:
             ops.append(b"q 1 0 0 1 0 0 cm /Im%d Do Q" % img)
         ops.append(b"ET")
         stream = b"\n".join(ops)
@@ -96,12 +108,12 @@ def build_pdf(
         page_nums.append(0)  # placeholder, patched below
 
     pages_root = len(objects) + len(pages) + 1  # after page objects
-    xobj = b""
-    if img_nums:
-        xobj = b" /XObject << " + b" ".join(
-            b"/Im%d %d 0 R" % (n, n) for n in img_nums
-        ) + b" >>"
     for i, cnum in enumerate(content_nums):
+        xobj = b""
+        if page_img_nums[i]:
+            xobj = b" /XObject << " + b" ".join(
+                b"/Im%d %d 0 R" % (n, n) for n in page_img_nums[i]
+            ) + b" >>"
         page_nums[i] = add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R >>"
@@ -228,3 +240,56 @@ def parse_pdf(data: bytes) -> dict:
     except Exception as e:  # noqa: BLE001 — error becomes a row column
         res["err"] = f"{type(e).__name__}: {e}"
         return res
+
+
+# ---------------------------------------------------------------------------
+# pdfimages equivalent — per-page image extraction
+# (enhance_pdf_ocr.py's `pdfimages -f N -l N` subprocess, done as a
+# direct parse of the image XObjects and their page references)
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
+_PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page\b")
+_XOBJ_REF_RE = re.compile(rb"/Im\d+\s+(\d+)\s+0\s+R")
+_IMG_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\nendstream", re.DOTALL)
+
+
+def pdf_images(data: bytes) -> list[dict]:
+    """[(page_i, image bytes)] for every image XObject, page-associated.
+
+    Walks ``N 0 obj … endobj`` blocks: image XObjects yield their
+    stream payload (Flate-decoded when marked); ``/Type /Page`` objects
+    yield, in document order, the object numbers of the images their
+    Resources reference. Images referenced by no page come last with
+    page_i = 0 — nothing is silently dropped.
+    """
+    if not data or not data.startswith(b"%PDF-"):
+        return []
+    images: dict[int, bytes] = {}
+    page_refs: list[list[int]] = []
+    for m in _OBJ_RE.finditer(data):
+        num, body = int(m.group(1)), m.group(2)
+        if rb"/Subtype" in body and _IMAGE_RE.search(body):
+            sm = _IMG_STREAM_RE.search(body)
+            if not sm:
+                continue
+            blob = sm.group(1)
+            if b"/FlateDecode" in body:
+                try:
+                    blob = zlib.decompress(blob)
+                except zlib.error:
+                    pass
+            images[num] = blob
+        elif _PAGE_OBJ_RE.search(body):
+            page_refs.append([int(r) for r in _XOBJ_REF_RE.findall(body)])
+    out: list[dict] = []
+    seen: set[int] = set()
+    for page_i, refs in enumerate(page_refs, start=1):
+        for num in refs:
+            if num in images:
+                out.append({"page_i": page_i, "image": images[num]})
+                seen.add(num)
+    for num, blob in images.items():
+        if num not in seen:
+            out.append({"page_i": 0, "image": blob})
+    return out

@@ -146,6 +146,125 @@ SELECT base || '/Sent/' || (2000 + doc_id) || '.eml', base,
 
 
 # ---------------------------------------------------------------------------
+# export value model (export_json.py:16-31 + etl.py:296-300): dedupe +
+# single-value scalar collapse at the export boundary
+# ---------------------------------------------------------------------------
+
+
+def q_export_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sinks import collapse_single
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    tags = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array(F.concat(F.lit("a"), did), F.concat(F.lit("a"), did)),  # dup → 1
+    ).otherwise(F.array(F.lit("a"), F.concat(F.lit("b"), did)))
+    return docs.select("doc_id", collapse_single(tags).alias("tag"))
+
+
+SQL_EXPORT_COLLAPSE = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'a' || doc_id
+       ELSE 'a,b' || doc_id END AS tag
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connector_Web mtime cascade + uri normalization (etl_web.py:125-221)
+# ---------------------------------------------------------------------------
+
+
+def q_web_mtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.functions.path import (
+        file_modified_dt,
+        normalize_uri,
+        parse_http_date,
+        web_mtime_cascade,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    # synthetic header/meta availability: %4==0 has meta ts, %4==1 only
+    # Last-Modified, %4==2 only Date, %4==3 nothing (falls to crawl ts)
+    meta_ts = F.when(did % 4 == 0, F.to_timestamp(F.lit("2024-05-01 10:00:00")))
+    last_mod = F.when(did % 4 <= 1, F.lit("Tue, 02 Apr 2024 08:30:00 GMT"))
+    date_hdr = F.when(did % 4 <= 2, F.lit("Wed, 03 Apr 2024 09:45:00 GMT"))
+    crawl_ts = F.to_timestamp(F.lit("2024-04-04 00:00:00"))
+    raw_uri = F.concat(
+        F.when(did % 2 == 0, F.lit("  example.org/p")).otherwise(
+            F.lit("HTTPS://example.org/p")
+        ),
+        did.cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_uri(raw_uri).alias("url"),
+        file_modified_dt(
+            web_mtime_cascade(
+                meta_ts, parse_http_date(last_mod), parse_http_date(date_hdr), crawl_ts
+            )
+        ).alias("file_modified_dt"),
+    )
+
+
+SQL_WEB_MTIME = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'http://example.org/p' || doc_id
+       ELSE 'HTTPS://example.org/p' || doc_id END AS url,
+  CASE doc_id % 4
+    WHEN 0 THEN '2024-05-01T10:00:00Z'
+    WHEN 1 THEN '2024-04-02T08:30:00Z'
+    WHEN 2 THEN '2024-04-03T09:45:00Z'
+    ELSE '2024-04-04T00:00:00Z' END AS file_modified_dt
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-page PDF OCR (enhance_pdf_ocr.py:13-90: pdfimages per page,
+# page-keyed ocr text, image-content cache) — real image-XObject parse
+# ---------------------------------------------------------------------------
+
+
+def _build_scan_pdf(d: int) -> bytes:
+    from open_semantic_etl_spark.operators.pdfio import build_pdf
+
+    return build_pdf(
+        [f"PageOne {d}", f"PageTwo {d}"],
+        images=[
+            [f"FAKEIMG:scan{d}a".encode()],
+            [f"FAKEIMG:scan{d}b1".encode(), f"FAKEIMG:scan{d}b2".encode()],
+        ],
+    )
+
+
+def q_pdf_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from open_semantic_etl_spark.operators.ocr import run_pdf_ocr_phase
+
+    src = _binary_source(spark, sf_dir, 120, _build_scan_pdf, "file:///scan/{d}.pdf")
+    memo = f"/tmp/spark_graft_pdfocr_memo_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    out = run_pdf_ocr_phase(spark, src, memo)
+    return out.select(
+        F.concat("url", F.lit("#page="), F.col("page_i").cast("string")).alias("url"),
+        "page_i",
+        "ocr_t",
+    )
+
+
+SQL_PDF_OCR = """
+WITH m AS (SELECT doc_id, 'file:///scan/' || doc_id || '.pdf' AS base
+           FROM documents WHERE doc_id < 120)
+SELECT base || '#page=1' AS url, 1 AS page_i, 'scan' || doc_id || 'a' AS ocr_t FROM m
+UNION ALL
+SELECT base || '#page=2', 2, 'scan' || doc_id || 'b1' || chr(10) || 'scan' || doc_id || 'b2' FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
 # WARC explode (enhance_warc.py:64-106: response records only,
 # child id = Target-URI + '/' + Record-ID)
 # ---------------------------------------------------------------------------
@@ -998,6 +1117,9 @@ FROM documents WHERE doc_id < 150
 EXT_QUERIES = {
     "zip_explode": q_zip_explode,
     "pst_explode": q_pst_explode,
+    "pdf_ocr": q_pdf_ocr,
+    "web_mtime": q_web_mtime,
+    "export_collapse": q_export_collapse,
     "warc_explode": q_warc_explode,
     "csv_explode": q_csv_explode,
     "pdf_pages": q_pdf_pages,
@@ -1023,6 +1145,9 @@ EXT_QUERIES = {
 EXT_ORACLES = {
     "zip_explode": SQL_ZIP_EXPLODE,
     "pst_explode": SQL_PST_EXPLODE,
+    "pdf_ocr": SQL_PDF_OCR,
+    "web_mtime": SQL_WEB_MTIME,
+    "export_collapse": SQL_EXPORT_COLLAPSE,
     "warc_explode": SQL_WARC_EXPLODE,
     "csv_explode": SQL_CSV_EXPLODE,
     "pdf_pages": SQL_PDF_PAGES,

@@ -91,3 +91,34 @@ def test_salted_agg_matches_plain(spark):
     }
     assert salted == plain
     assert plain["big.example.com"][0] == 50  # the planted hot host
+
+
+def test_export_sinks(spark, tmp_path):
+    """export_json / export_print / doc-json shaping with the §1.3
+    value model (dedupe + single-value scalar collapse)."""
+    import json
+    import os
+
+    from open_semantic_etl_spark.sinks import (
+        export_docs_json,
+        export_json,
+        export_print,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "T1", ["x", "x"]), ("u2", "T2", ["x", "y"])],
+        "url string, title_txt string, tag_ss array<string>",
+    )
+    docs = {r["url"]: json.loads(r["doc_json"])
+            for r in export_docs_json(df, array_cols=("tag_ss",)).collect()}
+    assert docs["u1"] == {"title_txt": "T1", "tag_ss": "x"}  # collapsed scalar
+    assert docs["u2"] == {"title_txt": "T2", "tag_ss": "x,y"}
+
+    out = str(tmp_path / "json_out")
+    export_json(df, out, array_cols=("tag_ss",))
+    rows = spark.read.json(out).orderBy("url").collect()
+    assert rows[0]["tag_ss"] == "x" and rows[1]["tag_ss"] == "x,y"
+    assert os.path.isdir(out)
+
+    rendered = export_print(df, n=5)
+    assert "u1" in rendered and "T2" in rendered

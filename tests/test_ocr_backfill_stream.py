@@ -157,3 +157,35 @@ def test_stream_enrich(spark, tmp_path):
     q2 = stream_enrich(spark, landing, out_root, ckpt, trigger_once=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out_root, "enriched")).count() == 40
+
+
+def test_pdf_ocr_per_page(spark, tmp_path):
+    """enhance_pdf_ocr semantics over REAL image XObjects: per-page ocr
+    text, multi-image pages joined with newline, image-content memo."""
+    from open_semantic_etl_spark.operators.ocr import run_pdf_ocr_phase
+    from open_semantic_etl_spark.operators.pdfio import build_pdf, pdf_images
+
+    pdf = build_pdf(
+        ["Text page one", "Text page two"],
+        images=[[b"FAKEIMG:alpha"], [b"FAKEIMG:b1", b"FAKEIMG:b2"]],
+    )
+    # the extraction is a real PDF parse, not a fixture scan
+    assert pdf_images(pdf) == [
+        {"page_i": 1, "image": b"FAKEIMG:alpha"},
+        {"page_i": 2, "image": b"FAKEIMG:b1"},
+        {"page_i": 2, "image": b"FAKEIMG:b2"},
+    ]
+    docs = spark.createDataFrame([("file:///s/1.pdf", pdf)], "url string, html binary")
+    memo = str(tmp_path / "memo")
+    out = {(r["url"], r["page_i"]): r["ocr_t"]
+           for r in run_pdf_ocr_phase(spark, docs, memo).collect()}
+    assert out == {
+        ("file:///s/1.pdf", 1): "alpha",
+        ("file:///s/1.pdf", 2): "b1\nb2",
+    }
+    # second run is all memo hits — same result, memo unchanged size
+    n_memo = spark.read.parquet(memo).count()
+    out2 = {(r["url"], r["page_i"]): r["ocr_t"]
+            for r in run_pdf_ocr_phase(spark, docs, memo).collect()}
+    assert out2 == out
+    assert spark.read.parquet(memo).count() == n_memo
