@@ -58,8 +58,34 @@ def random_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
 
+#: above this many plane coefficients the JVM-literal form is replaced
+#: by a numpy pandas UDF — inlining dim×n_planes literals bloats the
+#: plan (and Catalyst analysis time) at dim ≥ 512
+_MAX_INLINE_COEFFS = 2048
+
+
 def signature_expr(vec: Column, planes: np.ndarray) -> Column:
-    """bit-packed sign signature: bit_j = (v · plane_j) > 0 (JVM-side)."""
+    """bit-packed sign signature: bit_j = (v · plane_j) > 0.
+
+    Small plane matrices inline as JVM Column algebra (whole-stage
+    codegen, zero Python). Large ones (dim×n_planes > 2048) switch to a
+    vectorized numpy pandas UDF whose plane matrix ships ONCE per task
+    in the serialized closure instead of as plan literals — at dim 768
+    × 16 planes the literal form is a 12k-node expression tree.
+    """
+    if planes.size > _MAX_INLINE_COEFFS:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        P = planes.astype(np.float64)
+
+        def sig_batch(batch):
+            M = np.array([np.asarray(v, dtype=np.float64) for v in batch])
+            bits = (M @ P.T) > 0  # (rows, n_planes)
+            weights = (1 << np.arange(P.shape[0], dtype=np.uint64)).astype(np.uint64)
+            return pd.Series((bits.astype(np.uint64) @ weights).view(np.int64))
+
+        return F.pandas_udf(sig_batch, T.LongType())(vec)
     bits = []
     for j, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -91,6 +117,9 @@ def lsh_topk(
     band — high for near-0 angles, steeply decaying).
     """
     if dim is None:
+        # dim inference costs a driver action inside plan construction —
+        # callers at scale should pass dim (it's part of the embedding
+        # schema contract); kept as a convenience for ad-hoc use
         dim = len(df.select(vec_col).first()[0])
     planes = random_planes(dim, n_planes, seed)
     rows = n_planes // bands

@@ -137,3 +137,27 @@ def test_fingerprints(spark, corpus):
     assert r[0]["fp_md5"] == r[1]["fp_md5"]
     assert r[0]["fp_rolling"] == r[1]["fp_rolling"]
     assert r[0]["fp_md5"] != r[2]["fp_md5"]
+
+
+def test_signature_expr_udf_path_matches_jvm(spark):
+    """the large-dim numpy signature path must bucket identically to the
+    inline JVM expression (same planes, same signs)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from open_semantic_etl_spark.operators import similarity as S
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(24)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    planes = S.random_planes(24, 16, seed=42)
+    jvm = df.select("vec_id", S.signature_expr(F.col("embedding"), planes).alias("s"))
+    try:
+        orig = S._MAX_INLINE_COEFFS
+        S._MAX_INLINE_COEFFS = 1  # force the numpy path
+        udf = df.select("vec_id", S.signature_expr(F.col("embedding"), planes).alias("s"))
+        got_j = {r["vec_id"]: r["s"] for r in jvm.collect()}
+        got_u = {r["vec_id"]: r["s"] for r in udf.collect()}
+    finally:
+        S._MAX_INLINE_COEFFS = orig
+    assert got_j == got_u
