@@ -146,6 +146,60 @@ SELECT base || '/Sent/' || (2000 + doc_id) || '.eml', base,
 
 
 # ---------------------------------------------------------------------------
+# multimodal tier: typed media metadata + video frame sampling over
+# opaque binary columns (deterministic codec formats; real codecs sit
+# behind the NotImplementedError seam in operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.multimodal import with_media_meta
+
+    def build_img(d: int) -> bytes:
+        return f"FAKEIMG:{d % 64 + 1}x{d % 32 + 1}:".encode() + b"p" * (d % 5)
+
+    src = _binary_source(spark, sf_dir, 200, build_img, "file:///img/{d}.img")
+    out = with_media_meta(src, media_col="html")
+    m = F.col("media_meta")
+    return out.select(
+        "url", m["width"].alias("width"), m["height"].alias("height"),
+        m["n_bytes"].alias("n_bytes"), m["ok"].cast("int").alias("ok"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+WITH m AS (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 32 + 1 AS h
+           FROM documents WHERE doc_id < 200)
+SELECT 'file:///img/' || doc_id || '.img' AS url,
+       w::int AS width, h::int AS height,
+       length('FAKEIMG:' || w || 'x' || h || ':' || repeat('p', doc_id % 5))::bigint AS n_bytes,
+       1 AS ok
+FROM m
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.operators.multimodal import sample_frames
+
+    def build_vid(d: int) -> bytes:
+        n = d % 4 + 1
+        return b"FAKEVID:" + b"|".join(f"f{d}_{i}".encode() for i in range(n))
+
+    src = _binary_source(spark, sf_dir, 200, build_vid, "file:///vid/{d}.vid")
+    out = sample_frames(src, media_col="html", every_k=2)
+    return out.select("url", "frame_i", F.decode("frame", "UTF-8").alias("frame_txt"))
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH m AS (SELECT doc_id, doc_id % 4 + 1 AS n FROM documents WHERE doc_id < 200)
+SELECT 'file:///vid/' || doc_id || '.vid' AS url, i::int AS frame_i,
+       'f' || doc_id || '_' || i AS frame_txt
+FROM m, unnest(range(0, n)) AS t(i)
+WHERE i % 2 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # export value model (export_json.py:16-31 + etl.py:296-300): dedupe +
 # single-value scalar collapse at the export boundary
 # ---------------------------------------------------------------------------
@@ -1120,6 +1174,8 @@ EXT_QUERIES = {
     "pdf_ocr": q_pdf_ocr,
     "web_mtime": q_web_mtime,
     "export_collapse": q_export_collapse,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "warc_explode": q_warc_explode,
     "csv_explode": q_csv_explode,
     "pdf_pages": q_pdf_pages,
@@ -1148,6 +1204,8 @@ EXT_ORACLES = {
     "pdf_ocr": SQL_PDF_OCR,
     "web_mtime": SQL_WEB_MTIME,
     "export_collapse": SQL_EXPORT_COLLAPSE,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "warc_explode": SQL_WARC_EXPLODE,
     "csv_explode": SQL_CSV_EXPLODE,
     "pdf_pages": SQL_PDF_PAGES,

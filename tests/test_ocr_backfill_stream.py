@@ -189,3 +189,38 @@ def test_pdf_ocr_per_page(spark, tmp_path):
             for r in run_pdf_ocr_phase(spark, docs, memo).collect()}
     assert out2 == out
     assert spark.read.parquet(memo).count() == n_memo
+
+
+def test_multimodal_frames_and_audio(spark):
+    """video frame-sampling explode + audio metadata over the
+    deterministic codec formats; real containers degrade through the
+    NotImplementedError seam (zero frames / err captured)."""
+    import pytest
+
+    from open_semantic_etl_spark.operators.multimodal import (
+        decode_video_frames,
+        sample_frames,
+        with_audio_meta,
+    )
+
+    vid = b"FAKEVID:" + b"|".join(b"f%d" % i for i in range(5))
+    df = spark.createDataFrame(
+        [("v1", vid), ("v2", b"\x00\x00\x01\xbamp4ish")],
+        "url string, media binary",
+    )
+    rows = sample_frames(df, every_k=2).collect()
+    got = {(r["url"], r["frame_i"]): bytes(r["frame"]) for r in rows}
+    assert got == {("v1", 0): b"f0", ("v1", 2): b"f2", ("v1", 4): b"f4"}
+    with pytest.raises(NotImplementedError):
+        decode_video_frames(b"not a fake container")
+
+    aud = spark.createDataFrame(
+        [("a1", b"FAKEAUD:8000:" + b"s" * 4000), ("a2", b"RIFFwav")],
+        "url string, media binary",
+    )
+    metas = {r["url"]: r["audio_meta"] for r in with_audio_meta(aud).collect()}
+    assert metas["a1"]["sample_rate"] == 8000
+    assert metas["a1"]["n_samples"] == 4000
+    assert metas["a1"]["duration_ms"] == 500
+    assert metas["a1"]["ok"] is True
+    assert metas["a2"]["ok"] is False and "torchaudio" in metas["a2"]["err"]
