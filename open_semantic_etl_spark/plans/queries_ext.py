@@ -226,6 +226,64 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# alt sinks: Elasticsearch bulk shape (export_elasticsearch.py:38-53)
+# and Neo4j graph shape (export_neo4j.py:50-104)
+# ---------------------------------------------------------------------------
+
+
+def q_es_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sinks import export_es_bulk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    d = docs.select(
+        F.concat(F.lit("u"), did).alias("url"),
+        F.concat(F.lit("T"), did).alias("title_txt"),
+        F.when(F.col("doc_id") % 2 == 0, F.array(F.concat(F.lit("t"), did)))
+        .otherwise(F.array(F.lit("x"), F.concat(F.lit("y"), did))).alias("tag_ss"),
+    )
+    return export_es_bulk(d, index="docs", array_cols=("tag_ss",))
+
+
+SQL_ES_BULK = """
+SELECT 'u' || doc_id AS url,
+  '{"index":{"_index":"docs","_id":"u' || doc_id || '"}}' AS action_json,
+  '{"title_txt":"T' || doc_id || '","tag_ss":"' ||
+    (CASE WHEN doc_id % 2 = 0 THEN 't' || doc_id ELSE 'x,y' || doc_id END) ||
+    '"}' AS doc_json
+FROM documents
+"""
+
+
+def q_neo4j_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sinks import export_neo4j_graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    did = F.col("doc_id").cast("string")
+    d = docs.select(
+        F.concat(F.lit("u"), did).alias("url"),
+        F.concat(F.lit("T"), did).alias("title_txt"),
+        F.array(F.concat(F.lit("Person"), (F.col("doc_id") % 7).cast("string"))).alias("person_ss"),
+        F.array(F.concat(F.lit("Topic"), (F.col("doc_id") % 5).cast("string"))).alias("tag_ss"),
+    )
+    nodes, rels = export_neo4j_graph(
+        d, facet_labels={"person_ss": "Person", "tag_ss": "Tag"}
+    )
+    return rels.select("doc_name", "rel_type", "entity_label", "entity_name")
+
+
+SQL_NEO4J_GRAPH = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT 'u' || doc_id AS doc_name, 'Named Entity Recognition' AS rel_type,
+       'Person' AS entity_label, 'Person' || (doc_id % 7) AS entity_name FROM d
+UNION ALL
+SELECT 'u' || doc_id, 'Tag', 'Tag', 'Topic' || (doc_id % 5) FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Connector_Web mtime cascade + uri normalization (etl_web.py:125-221)
 # ---------------------------------------------------------------------------
 
@@ -1174,6 +1232,8 @@ EXT_QUERIES = {
     "pdf_ocr": q_pdf_ocr,
     "web_mtime": q_web_mtime,
     "export_collapse": q_export_collapse,
+    "es_bulk": q_es_bulk,
+    "neo4j_graph": q_neo4j_graph,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "warc_explode": q_warc_explode,
@@ -1204,6 +1264,8 @@ EXT_ORACLES = {
     "pdf_ocr": SQL_PDF_OCR,
     "web_mtime": SQL_WEB_MTIME,
     "export_collapse": SQL_EXPORT_COLLAPSE,
+    "es_bulk": SQL_ES_BULK,
+    "neo4j_graph": SQL_NEO4J_GRAPH,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "warc_explode": SQL_WARC_EXPLODE,

@@ -122,3 +122,37 @@ def test_export_sinks(spark, tmp_path):
 
     rendered = export_print(df, n=5)
     assert "u1" in rendered and "T2" in rendered
+
+
+def test_alt_sink_shapes(spark):
+    """ES bulk pairs + Neo4j graph tables (export_elasticsearch /
+    export_neo4j observable shapes: MERGE-by-name → distinct, NER
+    facets collapse to the umbrella relationship label)."""
+    import json
+
+    from open_semantic_etl_spark.sinks import export_es_bulk, export_neo4j_graph
+
+    df = spark.createDataFrame(
+        [
+            ("u1", "T1", ["Alice"], ["news"]),
+            ("u2", "T2", ["Alice", "Bob"], ["news", "tech"]),
+        ],
+        "url string, title_txt string, person_ss array<string>, tag_ss array<string>",
+    )
+    bulk = export_es_bulk(df.select("url", "title_txt"), index="docs").collect()
+    a0 = json.loads(bulk[0]["action_json"])
+    assert a0 == {"index": {"_index": "docs", "_id": bulk[0]["url"]}}
+    assert json.loads(bulk[0]["doc_json"])["title_txt"].startswith("T")
+
+    nodes, rels = export_neo4j_graph(
+        df, facet_labels={"person_ss": "Person", "tag_ss": "Tag"}
+    )
+    n = {(r["label"], r["name"]): r["title"] for r in nodes.collect()}
+    # MERGE-by-name: Alice appears once despite two referencing docs
+    assert ("Person", "Alice") in n and ("Person", "Bob") in n
+    assert n[("Document", "u1")] == "T1"
+    assert len([k for k in n if k[0] == "Person"]) == 2
+    r = {(x["doc_name"], x["rel_type"], x["entity_name"]) for x in rels.collect()}
+    # person facet uses the NER umbrella label; tags keep their label
+    assert ("u1", "Named Entity Recognition", "Alice") in r
+    assert ("u2", "Tag", "tech") in r
