@@ -226,6 +226,69 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Hypothes.is annotations fold (etl_hypothesis.py:45-113): annotation
+# rows → per-annotated-document rows with add-distinct accumulation,
+# incremental via last_update
+# ---------------------------------------------------------------------------
+
+
+def q_hypothesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.feeds import hypothesis_docs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    did = F.col("doc_id").cast("string")
+    # every doc has one annotation; every third doc a second, older one
+    # (filtered out by the last_update cursor)
+    first = docs.select(
+        F.concat(F.lit("anno"), did, F.lit("x")).alias("id"),
+        F.concat(F.lit("https://d/"), did).alias("uri"),
+        F.concat(F.lit("note "), did).alias("text"),
+        F.array(F.lit("tagA"), F.concat(F.lit("tag"), (F.col("doc_id") % 3).cast("string"))).alias("tags"),
+        F.lit("2024-03-02T00:00:00").alias("updated"),
+    )
+    second = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("anno"), did, F.lit("y")).alias("id"),
+        F.concat(F.lit("https://d/"), did).alias("uri"),
+        F.concat(F.lit("later "), did).alias("text"),
+        F.array(F.lit("tagB")).alias("tags"),
+        F.lit("2024-03-05T00:00:00").alias("updated"),
+    )
+    stale = docs.select(  # before the cursor → skipped
+        F.concat(F.lit("anno"), did, F.lit("old")).alias("id"),
+        F.concat(F.lit("https://d/"), did).alias("uri"),
+        F.lit("ancient").alias("text"),
+        F.array(F.lit("old")).alias("tags"),
+        F.lit("2024-01-01T00:00:00").alias("updated"),
+    )
+    ann = first.unionByName(second).unionByName(stale)
+    out = hypothesis_docs(ann, last_update="2024-02-01T00:00:00")
+    return out.select(
+        "url",
+        F.array_join("annotation_id_ss", ",").alias("ids"),
+        F.array_join("annotation_text_txt", ",").alias("texts"),
+        F.array_join("annotation_tag_ss", ",").alias("tags"),
+    )
+
+
+SQL_HYPOTHESIS = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT 'https://d/' || doc_id AS url,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'anno' || doc_id || 'x,anno' || doc_id || 'y'
+       ELSE 'anno' || doc_id || 'x' END AS ids,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'later ' || doc_id || ',note ' || doc_id
+       ELSE 'note ' || doc_id END AS texts,
+  CASE WHEN doc_id % 3 = 0
+       THEN 'tag0,tagA,tagB'
+       ELSE list_aggr(list_sort(['tagA', 'tag' || (doc_id % 3)]), 'string_agg', ',') END AS tags
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
 # alt sinks: Elasticsearch bulk shape (export_elasticsearch.py:38-53)
 # and Neo4j graph shape (export_neo4j.py:50-104)
 # ---------------------------------------------------------------------------
@@ -1232,6 +1295,7 @@ EXT_QUERIES = {
     "pdf_ocr": q_pdf_ocr,
     "web_mtime": q_web_mtime,
     "export_collapse": q_export_collapse,
+    "hypothesis": q_hypothesis,
     "es_bulk": q_es_bulk,
     "neo4j_graph": q_neo4j_graph,
     "multimodal_meta": q_multimodal_meta,
@@ -1264,6 +1328,7 @@ EXT_ORACLES = {
     "pdf_ocr": SQL_PDF_OCR,
     "web_mtime": SQL_WEB_MTIME,
     "export_collapse": SQL_EXPORT_COLLAPSE,
+    "hypothesis": SQL_HYPOTHESIS,
     "es_bulk": SQL_ES_BULK,
     "neo4j_graph": SQL_NEO4J_GRAPH,
     "multimodal_meta": SQL_MULTIMODAL_META,

@@ -205,3 +205,40 @@ def new_items(items: DataFrame, indexed: DataFrame, on: str = "url") -> DataFram
     ``get_lastmodified`` skip (etl_rss.py:64-73) as one left-anti join
     (broadcast the indexed keys when small; key-only shuffle when not)."""
     return items.join(indexed.select(on), on, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Hypothes.is annotations (etl_hypothesis.py:45-113): one landed
+# annotation row per API item; the in-engine semantics are the fold to
+# per-DOCUMENT rows keyed by the ANNOTATED uri (parameters['id'] =
+# annotation['uri'], :88) with add-distinct accumulation across
+# multiple annotations of the same uri (parameters['add'] = True,
+# :83-85), plus the last_update incremental skip (:115-143).
+# ---------------------------------------------------------------------------
+
+
+def hypothesis_docs(
+    annotations: DataFrame,
+    last_update: str | None = None,
+) -> DataFrame:
+    """annotations(id, uri, text, tags:array, updated) → one row per
+    annotated document: (url, annotation_id_ss, annotation_text_txt,
+    annotation_tag_ss) with sorted-distinct accumulation (§1.3 value
+    model). ``last_update`` filters to annotations newer than the
+    checkpoint — the reference's search_after cursor. Merge into the
+    enriched table via maintenance.join_annotations (add-distinct) or
+    checkpoint.merge_by_url.
+    """
+    a = annotations
+    if last_update is not None:
+        a = a.filter(F.col("updated") > last_update)
+    return (
+        a.groupBy(F.col("uri").alias("url"))
+        .agg(
+            F.sort_array(F.collect_set("id")).alias("annotation_id_ss"),
+            F.sort_array(F.collect_set("text")).alias("annotation_text_txt"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("tags")))).alias(
+                "annotation_tag_ss"
+            ),
+        )
+    )
