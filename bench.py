@@ -214,7 +214,8 @@ def _proxy_worker(slice_path: str, cores: int, ready_file: str, go_file: str) ->
             # this virtualized box burns >50% sys time on it
             "spark.driver.memory": "3g",
             "spark.driver.extraJavaOptions": (
-                f"-XX:ActiveProcessorCount={cores} -XX:+AlwaysPreTouch"
+                f"-XX:ActiveProcessorCount={cores} -XX:+AlwaysPreTouch "
+                "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
             ),
         },
     )
@@ -376,26 +377,32 @@ def main() -> None:
     heavy = None
     if do_heavy:
         # realism profile: ~40 KB CC-style pages (vs the 2-3 KB default)
-        # — same byte-identity contract, reported as MB/s and MB/s/core
-        n_heavy = max(n_rows // 10, 1000)
-        heavy_path = _build_input(spark, n_heavy, 2 * cpus, profile="heavy")
-        t_heavy, docs_heavy = _steady_state(spark, heavy_path, cpus, warmups=1, reps=2)
-        from pyspark.sql import functions as F
+        # — same byte-identity contract, reported as MB/s and MB/s/core.
+        # Non-fatal: a failure here must not cost the whole capture.
+        try:
+            n_heavy = max(n_rows // 10, 1000)
+            heavy_path = _build_input(spark, n_heavy, 2 * cpus, profile="heavy")
+            t_heavy, docs_heavy = _steady_state(
+                spark, heavy_path, cpus, warmups=1, reps=2
+            )
+            from pyspark.sql import functions as F
 
-        html_mb = (
-            spark.read.parquet(heavy_path)
-            .agg(F.sum(F.length("html")).alias("b"))
-            .first()["b"]
-            / 1e6
-        )
-        heavy = {
-            "docs": docs_heavy,
-            "html_mb": round(html_mb, 1),
-            "sec": round(t_heavy, 3),
-            "docs_per_sec": round(docs_heavy / t_heavy, 2),
-            "mb_per_sec": round(html_mb / t_heavy, 2),
-            "mb_per_sec_per_core": round(html_mb / t_heavy / cpus, 3),
-        }
+            html_mb = (
+                spark.read.parquet(heavy_path)
+                .agg(F.sum(F.length("html")).alias("b"))
+                .first()["b"]
+                / 1e6
+            )
+            heavy = {
+                "docs": docs_heavy,
+                "html_mb": round(html_mb, 1),
+                "sec": round(t_heavy, 3),
+                "docs_per_sec": round(docs_heavy / t_heavy, 2),
+                "mb_per_sec": round(html_mb / t_heavy, 2),
+                "mb_per_sec_per_core": round(html_mb / t_heavy / cpus, 3),
+            }
+        except Exception as e:  # noqa: BLE001
+            heavy = {"error": str(e)[:300]}
     qtimes = _bench_queries(spark, sf_dir) if do_queries else {}
     spark.stop()
 

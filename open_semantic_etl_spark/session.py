@@ -61,6 +61,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Arrow/parquet JNI critical sections + 32 allocating threads
+        # can trip HotSpot's GCLocker retry limit (default 2) and fail
+        # healthy tasks with "Retried waiting for GCLocker too often";
+        # raising the retry budget is the targeted JDK-17 mitigation
+        .config("spark.driver.extraJavaOptions", "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
