@@ -100,3 +100,37 @@ def test_host_sessions_stateful(spark, tmp_path):
     }
     assert ("host-a.org", 0, 3) in done  # 3-page session finalized
     assert ("host-b.org", 1, 1) in done  # singleton finalized by timeout
+
+
+def test_host_sessions_gap_below_watermark(spark, tmp_path):
+    """gap shorter than the watermark delay: a late-but-in-watermark
+    batch used to compute a timeout BELOW the current watermark and
+    crash the query (IllegalArgumentException); the clamp keeps it
+    alive and the session still finalizes."""
+    from open_semantic_etl_spark.streaming.sessions import host_sessions
+
+    src, ckpt, out = str(tmp_path / "cr3"), str(tmp_path / "ck3"), str(tmp_path / "out3")
+    build = lambda s: host_sessions(s, gap="1 minutes", watermark="10 minutes")
+
+    # batch 1: host-a at 10:00 plus a 10:20 row → watermark 10:10
+    _append(spark, src, CRAWL, [
+        ("https://host-a.org/1", datetime(2024, 3, 1, 10, 0)),
+        ("https://host-z.org/w", datetime(2024, 3, 1, 10, 20)),
+    ])
+    _run_phase(spark, CRAWL, src, build, ckpt, out)
+
+    # batch 2: a LATE host-a row (10:05, inside the watermark): its
+    # last+gap = 10:06 < watermark 10:10 → timeout must clamp upward
+    _append(spark, src, CRAWL, [("https://host-a.org/2", datetime(2024, 3, 1, 10, 5))])
+    _run_phase(spark, CRAWL, src, build, ckpt, out)
+
+    # batch 3: advance far; fire timeouts
+    _append(spark, src, CRAWL, [("https://host-b.org/x", datetime(2024, 3, 1, 12, 0))])
+    _run_phase(spark, CRAWL, src, build, ckpt, out)
+    _append(spark, src, CRAWL, [("https://host-c.org/y", datetime(2024, 3, 1, 12, 30))])
+    _run_phase(spark, CRAWL, src, build, ckpt, out)
+
+    done = {(r["host"], r["n_pages"]) for r in spark.read.parquet(out).collect()}
+    # host-a finalized with both rows (1-minute gap split? 10:00 vs
+    # 10:05 is > gap → two sessions of 1 page each)
+    assert ("host-a.org", 1) in done
