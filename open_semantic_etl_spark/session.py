@@ -60,6 +60,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # ≥3 input splits per core: exactly-one-task-per-core leaves the
+        # stage gated by its slowest task (measured: 32 splits on 32
+        # cores ran 16% slower than 64). At 100 TB splits ≫ cores and
+        # this floor is inert; maxPartitionBytes still caps task size.
+        .config("spark.sql.files.minPartitionNum", str(3 * shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Arrow/parquet JNI critical sections + 32 allocating threads
         # can trip HotSpot's GCLocker retry limit (default 2) and fail
