@@ -198,6 +198,33 @@ def _with_partition_metrics(df: DataFrame, run_id: str, stage: str) -> DataFrame
     )
 
 
+def batch_metrics(out: DataFrame, run_id: str, elapsed_ms: int) -> DataFrame:
+    """per-partition lineage rollup computed FROM THE IN-FLIGHT BATCH —
+    this plan must never scan the (table-sized) enriched output; run
+    cost tracks the batch (plan-audited in tools/explain_audit.py)."""
+    return (
+        out.groupBy("_partition_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.coalesce(F.sum("file_size_i"), F.lit(0)).alias("bytes_in"),
+            F.coalesce(F.sum(F.length("content_txt")), F.lit(0)).alias("bytes_out"),
+            F.coalesce(
+                F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)), F.lit(0)
+            ).alias("failures"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("enrich").alias("stage"),
+            F.col("_partition_id").cast("int").alias("partition_id"),
+            F.col("docs").cast("long"),
+            F.col("bytes_in").cast("long"),
+            F.col("bytes_out").cast("long"),
+            F.col("failures").cast("long"),
+            F.lit(elapsed_ms).cast("long").alias("elapsed_ms"),
+        )
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     pages: DataFrame,
@@ -238,27 +265,7 @@ def run_incremental(
 
     # 2. lineage/metrics commit — per-partition rollup from the batch
     elapsed_ms = int((time.time() - t0) * 1000)
-    metrics = (
-        out.groupBy("_partition_id")
-        .agg(
-            F.count("*").alias("docs"),
-            F.coalesce(F.sum("file_size_i"), F.lit(0)).alias("bytes_in"),
-            F.coalesce(F.sum(F.length("content_txt")), F.lit(0)).alias("bytes_out"),
-            F.coalesce(
-                F.sum(F.when(~F.col("extract_ok"), 1).otherwise(0)), F.lit(0)
-            ).alias("failures"),
-        )
-        .select(
-            F.lit(run_id).alias("run_id"),
-            F.lit("enrich").alias("stage"),
-            F.col("_partition_id").cast("int").alias("partition_id"),
-            F.col("docs").cast("long"),
-            F.col("bytes_in").cast("long"),
-            F.col("bytes_out").cast("long"),
-            F.col("failures").cast("long"),
-            F.lit(elapsed_ms).cast("long").alias("elapsed_ms"),
-        )
-    )
+    metrics = batch_metrics(out, run_id, elapsed_ms)
     metrics.write.mode("append").parquet(tables.metrics)
 
     # 3. checkpoint commit (AFTER output — crash replays, never skips);

@@ -222,6 +222,40 @@ def main() -> int:
             ],
         )
 
+    # 9b. batch-proportional metrics: the lineage rollup plans against
+    # the persisted in-flight batch (InMemoryTableScan), never a rescan
+    # of the enriched table — run cost tracks the batch, not the table
+    with tempfile.TemporaryDirectory() as root:
+        from open_semantic_etl_spark.plans.checkpoint import (
+            _with_partition_metrics,
+            batch_metrics,
+        )
+        from open_semantic_etl_spark.plans.pipeline import enrich_pages
+
+        t = Tables(root)
+        run_incremental(spark, pages, root)
+        out = _with_partition_metrics(
+            enrich_pages(pages, gazetteer=bench._gazetteer()), "auditrun", "enrich"
+        ).persist()
+        out.count()
+        metrics = batch_metrics(out, "auditrun", 0)
+        enriched_path = t.enriched
+        section(
+            "incremental metrics — computed from the in-flight batch",
+            metrics,
+            [
+                (
+                    "served from the persisted batch (InMemoryTableScan)",
+                    lambda p: "InMemoryTableScan" in p,
+                ),
+                (
+                    "no scan of the enriched table",
+                    lambda p: enriched_path not in p,
+                ),
+            ],
+        )
+        out.unpersist()
+
     # 10. deferred-OCR memo: the output plan scans the memo table exactly
     # twice (hit lookup + miss anti-join) — never a third full-memo
     # rejoin after the append; fresh results come from the persisted
