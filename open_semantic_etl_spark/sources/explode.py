@@ -197,6 +197,8 @@ def build_pst_fixture(members: list[tuple[str, bytes]]) -> bytes:
     would have produced (folder-relative path, payload)."""
     out = [PST_FIXTURE_MAGIC]
     for path, payload in members:
+        if "\n" in path:
+            raise ValueError("member paths cannot contain newlines")
         out.append(b"PSTM\n")
         out.append(path.encode() + b"\n")
         out.append(str(len(payload)).encode() + b"\n")

@@ -144,3 +144,32 @@ def test_explode_pst(spark):
         [("file:///m/real.pst", b"!BDN" + b"\x00" * 16)], "url string, html binary"
     )
     assert E.explode_pst(bad).count() == 0
+
+
+def test_pst_fixture_roundtrip_property():
+    """property: any member list survives build→parse with the id scheme
+    applied (hypothesis over paths and binary payloads)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_-."),
+        min_size=1, max_size=12,
+    ).filter(lambda s: s not in (".", ".."))
+    path = st.lists(name, min_size=1, max_size=4).map("/".join)
+    member = st.tuples(path, st.binary(max_size=200))
+
+    @given(st.lists(member, min_size=0, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def check(members):
+        data = E.build_pst_fixture(members)
+        got = E.parse_pst_members(data, "file:///m/a.pst", "file:///m/a.pst")
+        assert len(got) == len(members)
+        for (p, payload), child in zip(members, got):
+            base = p.rsplit("/", 1)[-1]
+            expect = p + ".eml" if "-" not in base else p
+            assert child["child_id"] == f"file:///m/a.pst/{expect}"
+            assert child["bytes"] == payload
+            assert child["container_s"] == "file:///m/a.pst"
+
+    check()
