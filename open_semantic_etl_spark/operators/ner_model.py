@@ -300,3 +300,58 @@ def with_ner(
     for facet in facets:
         out = out.withColumn(facet, facet_values(F.col(entities_col), facet, mapping))
     return out
+
+
+# ---------------------------------------------------------------------------
+# token-model path (enhance_ner_stanford.py:104-134): the model tags
+# every whitespace token (st.tag(text.split())), adjacent same-class
+# tokens merge into multi-word entities, then the label→facet mapping
+# filters — the complete Stanford plugin as one operator.
+# ---------------------------------------------------------------------------
+
+
+def with_ner_stanford(
+    df: DataFrame,
+    token_classifier: Callable[[str], str] | None = None,
+    mapping: dict[str, str] | None = None,
+    fields: Iterable[str] = ANALYSE_FIELDS,
+    facets: Iterable[str] = ("person_ss", "organization_ss", "location_ss"),
+    entities_col: str = "ner_entities",
+) -> DataFrame:
+    """Stanford-contract NER: per-token classification + adjacent merge.
+
+    ``token_classifier(token) -> class`` is the model seam (the
+    StanfordNERTagger stand-in); default = FakeNerModel's lexicon
+    tagger on the punctuation-stripped core, so 'Obama,' tags like
+    'Obama' — real CRF taggers handle punctuation the same way.
+    """
+    mapping = mapping if mapping is not None else STANFORD_NER_MAPPING
+    fake = FakeNerModel()
+    # the fake lexicon emits spaCy-style classes; Stanford CRF models
+    # use LOCATION for places — translate for the default seam
+    _to_stanford = {"GPE": "LOCATION"}
+
+    def _default_classify(tok: str) -> str:
+        cls = fake.classify_token(tok.strip(fake.PUNCT))
+        return _to_stanford.get(cls, cls)
+
+    classify = token_classifier or _default_classify
+    mapped = frozenset(mapping)
+
+    @F.pandas_udf(ENTITIES_TYPE)
+    def tag(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            ents = []
+            if text:
+                tagged = [(w, classify(w)) for w in text.split()]
+                for entity, cls in merge_adjacent_entities(tagged):
+                    if cls in mapped:  # unmapped classes (incl. 'O') dropped
+                        ents.append({"entity": entity, "label": cls})
+            out.append(ents)
+        return pd.Series(out)
+
+    out = df.withColumn(entities_col, tag(analysis_text_expr(df, fields)))
+    for facet in facets:
+        out = out.withColumn(facet, facet_values(F.col(entities_col), facet, mapping))
+    return out

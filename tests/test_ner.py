@@ -113,3 +113,21 @@ def test_with_ner_spark(spark):
     plan = with_ner(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+def test_with_ner_stanford_spark(spark):
+    """the token-model path end-to-end: whitespace tokens tagged,
+    adjacent merge, mapping filter — note the entity strings keep the
+    raw tokens (punctuation attached), like st.tag over text.split()."""
+    df = spark.createDataFrame(
+        [(1, "Barack Obama visited the United Nations in Paris today")],
+        "doc_id int, content_txt string",
+    )
+    from open_semantic_etl_spark.operators.ner_model import with_ner_stanford
+
+    row = with_ner_stanford(df).first()
+    assert row["person_ss"] == ["Barack Obama"]
+    assert row["organization_ss"] == ["United Nations"]
+    assert row["location_ss"] == ["Paris"]
+    plan = with_ner_stanford(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
