@@ -748,6 +748,39 @@ FROM documents
 """
 
 
+def q_ner_stanford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token-model path (enhance_ner_stanford.py:104-134): raw-token
+    entities — 'USA.' keeps its period, unlike the span path."""
+    from open_semantic_etl_spark.operators.ner_model import with_ner_stanford
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+    did = F.col("doc_id").cast("string")
+    txt = (
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("Barack Obama of the Democratic Party saw the USA. Ref "), did))
+        .otherwise(F.concat(F.lit("Tim Cook met Angela Merkel in Berlin. Nr "), did))
+    )
+    out = with_ner_stanford(d.withColumn("content_txt", txt))
+    return out.select(
+        "doc_id",
+        F.array_join("person_ss", ",").alias("persons"),
+        F.array_join("organization_ss", ",").alias("organizations"),
+        F.array_join("location_ss", ",").alias("locations"),
+    )
+
+
+SQL_NER_STANFORD = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'Barack Obama' ELSE 'Tim Cook,Angela Merkel' END AS persons,
+  CASE WHEN doc_id % 2 = 0 THEN 'Democratic Party' ELSE '' END AS organizations,
+  CASE WHEN doc_id % 2 = 0 THEN 'USA.' ELSE 'Berlin.' END AS locations
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # annotations join (enhance_annotations.py:21-39 + export_solr
 # add-distinct merge semantics) and sidecar metadata join
@@ -1307,6 +1340,7 @@ EXT_QUERIES = {
     "blacklist_filter": q_blacklist_filter,
     "entity_link": q_entity_link,
     "ner_model": q_ner_model,
+    "ner_stanford": q_ner_stanford,
     "annotations_join": q_annotations_join,
     "sidecar_join": q_sidecar_join,
     "neardup_embedding": q_neardup_embedding,
@@ -1340,6 +1374,7 @@ EXT_ORACLES = {
     "blacklist_filter": SQL_BLACKLIST,
     "entity_link": SQL_ENTITY_LINK,
     "ner_model": SQL_NER_MODEL,
+    "ner_stanford": SQL_NER_STANFORD,
     "annotations_join": SQL_ANNOTATIONS_JOIN,
     "sidecar_join": SQL_SIDECAR_JOIN,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,
