@@ -55,7 +55,12 @@ from open_semantic_etl_spark.schema import METRICS_SCHEMA
 
 #: url-hash bucket count for the enriched/checkpoint tables. At 10^12
 #: rows this would be O(10^5) (≈ tens of GB per bucket); the MERGE cost
-#: per batch is (batch urls / N_BUCKETS coverage) × bucket size.
+#: per batch is (touched buckets) × (bucket size) ≈ min(B, N)/N × table
+#: for B batch urls — proportional to the BATCH while B ≪ N (the
+#: steady incremental-recrawl regime N is sized for), degrading to a
+#: full rewrite for bulk B ≥ N batches, where a real Iceberg/Delta
+#: MERGE (file-level pruning, merge-on-read deltas) takes over behind
+#: the same call site.
 N_BUCKETS = 64
 
 
