@@ -195,15 +195,22 @@ def _run_scale_level(pages_path: str, cores: int) -> dict:
 # Weak-scaling efficiency = t_single_slice / makespan_4_slices.
 
 
-def _proxy_worker(slice_path: str, cores: int, ready_file: str, go_file: str) -> None:
+def _proxy_worker(slice_path: str, cores: int, ready_file: str, go_file: str,
+                  cpu_start: int = 0) -> None:
     from pyspark.sql import functions as F
 
     from open_semantic_etl_spark.plans.pipeline import enrich_pages
     from open_semantic_etl_spark.session import get_spark
 
-    # cap the JVM's view of the machine like a cgroup-limited executor
-    # would be — otherwise 4 co-located JVMs each size GC/JIT pools for
-    # all 32 cores and oversubscribe the box 4×.
+    # pin this "executor" to its own disjoint CPU range (what cgroups
+    # give a real executor): without the pin, 4 co-located JVMs × (task
+    # threads + Python workers) interleave across all cores and measure
+    # scheduler interference, not scaling. ActiveProcessorCount keeps
+    # GC/JIT pools sized to the slice.
+    try:
+        os.sched_setaffinity(0, set(range(cpu_start, cpu_start + cores)))
+    except (AttributeError, OSError):
+        pass
     spark = get_spark(
         app_name=f"proxy_{os.getpid()}",
         master=f"local[{cores}]",
@@ -272,7 +279,7 @@ def _run_proxy_group(slices: list[str], cores: int, tag: str) -> float:
         procs.append(
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--proxy-worker",
-                 sl, str(cores), ready, go],
+                 sl, str(cores), ready, go, str(i * cores)],
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -469,7 +476,8 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--proxy-worker":
-        _proxy_worker(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5])
+        _proxy_worker(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5],
+                      int(sys.argv[6]) if len(sys.argv) > 6 else 0)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
         _scale_worker(sys.argv[2], int(sys.argv[3]), sys.argv[4])
     else:
