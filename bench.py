@@ -175,15 +175,20 @@ def _run_scale_level(pages_path: str, cores: int) -> dict:
     import subprocess
     import tempfile
 
-    out = tempfile.mktemp(prefix=f"scale_{cores}_")
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scale-worker",
-         pages_path, str(cores), out],
-        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    )
-    with open(out) as f:
-        return json.load(f)
+    fd, out = tempfile.mkstemp(prefix=f"scale_{cores}_")
+    os.close(fd)
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-worker",
+             pages_path, str(cores), out],
+            check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        with open(out) as f:
+            return json.load(f)
+    finally:
+        if os.path.exists(out):
+            os.unlink(out)
 
 
 # --- executor-proxy scaling: 1 vs 4 CONCURRENT local[N] JVMs --------------

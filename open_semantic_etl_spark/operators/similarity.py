@@ -78,12 +78,25 @@ def signature_expr(vec: Column, planes: np.ndarray) -> Column:
         from pyspark.sql import types as T
 
         P = planes.astype(np.float64)
+        dim = P.shape[1]
 
         def sig_batch(batch):
-            M = np.array([np.asarray(v, dtype=np.float64) for v in batch])
-            bits = (M @ P.T) > 0  # (rows, n_planes)
-            weights = (1 << np.arange(P.shape[0], dtype=np.uint64)).astype(np.uint64)
-            return pd.Series((bits.astype(np.uint64) @ weights).view(np.int64))
+            # null / wrong-length vectors get a null signature (same
+            # semantics as the inline JVM path) instead of poisoning the
+            # whole batch matmul with an object-dtype array
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in batch),
+                dtype=bool, count=len(batch),
+            )
+            out = np.full(len(batch), None, dtype=object)
+            if ok.any():
+                M = np.array(
+                    [np.asarray(v, dtype=np.float64) for v, g in zip(batch, ok) if g]
+                )
+                bits = (M @ P.T) > 0  # (valid rows, n_planes)
+                weights = (1 << np.arange(P.shape[0], dtype=np.uint64)).astype(np.uint64)
+                out[ok] = [int(x) for x in (bits.astype(np.uint64) @ weights).view(np.int64)]
+            return pd.Series(out)
 
         return F.pandas_udf(sig_batch, T.LongType())(vec)
     bits = []

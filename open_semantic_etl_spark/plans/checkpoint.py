@@ -112,20 +112,58 @@ def _atomic_overwrite(df: DataFrame, path: str) -> None:
         shutil.rmtree(old)
 
 
+def _swap_root(path: str) -> str:
+    """sibling staging dir for in-flight bucket swaps — OUTSIDE the
+    table dir so partition discovery never sees half-swapped state."""
+    return f"{path}__swap"
+
+
+def recover_swaps(path: str) -> None:
+    """roll an interrupted _swap_buckets forward: a bucket whose live
+    dir went missing mid-swap is restored from its staged post-merge
+    copy (``new__*``); stale stage/old leftovers are dropped. Called at
+    the top of every merge/rewrite so replay-after-crash converges."""
+    sw = _swap_root(path)
+    if not os.path.isdir(sw):
+        return
+    for name in sorted(os.listdir(sw)):  # 'new' sorts before 'old'
+        full = os.path.join(sw, name)
+        parts = name.split("__", 2)
+        if len(parts) == 3 and parts[0] == "new":
+            dst = os.path.join(path, f"_bucket={parts[1]}")
+            if not os.path.isdir(dst):
+                os.rename(full, dst)
+                continue
+        shutil.rmtree(full, ignore_errors=True)
+    shutil.rmtree(sw, ignore_errors=True)
+
+
 def _swap_buckets(tmp: str, path: str, buckets: list[int]) -> None:
     """move tmp's bucket dirs over path's — only touched buckets change;
-    a bucket absent from tmp (all rows deleted) is removed."""
+    a bucket absent from tmp (all rows deleted) is removed.
+
+    Staged swap: each post-merge bucket dir is first parked in the
+    sibling ``__swap`` dir, so every crash window leaves either the old
+    or the complete new data for the bucket on disk; recover_swaps()
+    rolls an interrupted swap forward before the next merge reads the
+    table (Iceberg equivalent: snapshot commit, where this is free)."""
+    sw = _swap_root(path)
+    os.makedirs(sw, exist_ok=True)
+    token = uuid.uuid4().hex[:8]
     for b in buckets:
         src = os.path.join(tmp, f"_bucket={b}")
         dst = os.path.join(path, f"_bucket={b}")
-        old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+        stage = os.path.join(sw, f"new__{b}__{token}")
+        old = os.path.join(sw, f"old__{b}__{token}")
+        if os.path.isdir(src):
+            os.rename(src, stage)
         if os.path.isdir(dst):
             os.rename(dst, old)
-        if os.path.isdir(src):
-            os.rename(src, dst)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        if os.path.isdir(stage):
+            os.rename(stage, dst)
+        shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(sw, ignore_errors=True)
 
 
 def touched_buckets(new: DataFrame, n_buckets: int = N_BUCKETS) -> list[int]:
@@ -150,13 +188,18 @@ def merge_by_url(spark: SparkSession, new: DataFrame, path: str) -> None:
     if not Tables(os.path.dirname(path)).exists(path):
         new.write.mode("overwrite").partitionBy("_bucket").parquet(path)
         return
+    recover_swaps(path)
     buckets = [r[0] for r in new.select("_bucket").distinct().collect()]
     old = spark.read.parquet(path)
     if "_bucket" not in old.columns:  # legacy unbucketed layout
+        # migration rewrite: drop the batch's _bucket so _atomic_overwrite
+        # re-derives it for EVERY row — otherwise legacy rows land in the
+        # __HIVE_DEFAULT_PARTITION__ (NULL) bucket that later bucketed
+        # merges never read, and updating such a url duplicates it
         merged = old.join(new.select("url"), "url", "left_anti").unionByName(
-            new, allowMissingColumns=True
+            new.drop("_bucket"), allowMissingColumns=True
         )
-        _atomic_overwrite(merged, path)
+        _atomic_overwrite(merged.drop("_bucket"), path)
         return
     old_touched = old.filter(F.col("_bucket").isin(buckets))
     merged = old_touched.join(new.select("url"), "url", "left_anti").unionByName(

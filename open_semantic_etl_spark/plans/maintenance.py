@@ -16,7 +16,7 @@ Small utilities completing the reference's operator surface:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from open_semantic_etl_spark.functions.path import with_path_facets
@@ -26,6 +26,7 @@ from open_semantic_etl_spark.plans.checkpoint import (
     _swap_buckets,
     bucket_expr,
     read_table,
+    recover_swaps,
 )
 
 
@@ -47,6 +48,7 @@ def _rewrite_buckets(spark: SparkSession, path: str, buckets: list[int], transfo
     volume is a few buckets, never the table."""
     import uuid
 
+    recover_swaps(path)
     df = spark.read.parquet(path)
     if "_bucket" not in df.columns:  # legacy unbucketed layout
         _atomic_overwrite(transform(df), path)
@@ -60,26 +62,43 @@ def _rewrite_buckets(spark: SparkSession, path: str, buckets: list[int], transfo
 
 def delete_by_url(spark: SparkSession, root: str, urls: list[str]) -> int:
     """remove documents by id (etl_delete) — bucket-pruned rewrite
-    (Iceberg: ``DELETE FROM enriched WHERE url IN (…)``)."""
+    (Iceberg: ``DELETE FROM enriched WHERE url IN (…)``).
+
+    The deleted count is observed ON the rewrite pass itself (Spark
+    ``Observation`` = CollectMetrics in the write job), so the only
+    scans this plans are of the touched ``_bucket`` partitions — no
+    before/after full-table counts (plan-audited)."""
     tables = Tables(root)
-    n_before = spark.read.parquet(tables.enriched).count()
     buckets = _url_buckets(spark, urls)
-    drop = lambda df: df.filter(~F.col("url").isin(urls))  # noqa: E731
-    _rewrite_buckets(spark, tables.enriched, buckets, drop)
+    obs = Observation()
+
+    def drop_counting(df: DataFrame) -> DataFrame:
+        observed = df.observe(
+            obs, F.count(F.when(F.col("url").isin(urls), 1)).alias("deleted")
+        )
+        return observed.filter(~F.col("url").isin(urls))
+
+    _rewrite_buckets(spark, tables.enriched, buckets, drop_counting)
     if tables.exists(tables.checkpoint):
-        _rewrite_buckets(spark, tables.checkpoint, buckets, drop)
-    return n_before - spark.read.parquet(tables.enriched).count()
+        _rewrite_buckets(
+            spark, tables.checkpoint, buckets,
+            lambda df: df.filter(~F.col("url").isin(urls)),
+        )
+    return int(obs.get["deleted"])
 
 
 def delete_where(spark: SparkSession, root: str, predicate: Column) -> int:
     """empty-index / delete-by-query form (etl_delete.py:64-67) — an
     arbitrary predicate can hit any bucket, so this is the one
-    full-table rewrite (Iceberg: DELETE FROM … WHERE <predicate>)."""
+    full-table rewrite (Iceberg: DELETE FROM … WHERE <predicate>).
+    The deleted count comes from the single rewrite scan (Observation),
+    not separate before/after counts."""
     tables = Tables(root)
     df = read_table(spark, tables.enriched)
-    n_before = df.count()
-    _atomic_overwrite(df.filter(~predicate), tables.enriched)
-    return n_before - spark.read.parquet(tables.enriched).count()
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.when(predicate, 1)).alias("deleted"))
+    _atomic_overwrite(observed.filter(~predicate), tables.enriched)
+    return int(obs.get["deleted"])
 
 
 def move_url(spark: SparkSession, root: str, src: str, dst: str) -> None:

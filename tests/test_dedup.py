@@ -161,3 +161,36 @@ def test_signature_expr_udf_path_matches_jvm(spark):
     finally:
         S._MAX_INLINE_COEFFS = orig
     assert got_j == got_u
+
+
+def test_signature_expr_udf_path_null_and_ragged(spark):
+    """null or wrong-length embeddings must yield a NULL signature in the
+    numpy path (matching the inline JVM path's null semantics), not an
+    object-array matmul failure that kills the task (ADVICE r2)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from open_semantic_etl_spark.operators import similarity as S
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (0, [float(x) for x in rng.randn(24)]),
+        (1, None),
+        (2, [1.0, 2.0]),  # ragged: wrong dim
+        (3, [float(x) for x in rng.randn(24)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    planes = S.random_planes(24, 16, seed=42)
+    try:
+        orig = S._MAX_INLINE_COEFFS
+        S._MAX_INLINE_COEFFS = 1  # force the numpy path
+        got = {
+            r["vec_id"]: r["s"]
+            for r in df.select(
+                "vec_id", S.signature_expr(F.col("embedding"), planes).alias("s")
+            ).collect()
+        }
+    finally:
+        S._MAX_INLINE_COEFFS = orig
+    assert got[1] is None and got[2] is None
+    assert got[0] is not None and got[3] is not None

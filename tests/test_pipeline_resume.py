@@ -172,6 +172,79 @@ def test_merge_rewrites_only_touched_buckets(spark, root):
     assert enriched.filter(F.col("content_txt") != F.col("text")).count() == 0
 
 
+def test_legacy_unbucketed_migration(spark, root):
+    """a table created before bucketing must migrate cleanly: the first
+    merge re-derives _bucket for EVERY row (none in the NULL partition),
+    and a later merge updating a pre-migration url replaces — not
+    duplicates — it (ADVICE r2 high: NULL-bucket rows were invisible to
+    bucketed merges, so updates created stale+new url pairs)."""
+    import os
+
+    from open_semantic_etl_spark.plans.checkpoint import merge_by_url
+
+    path = os.path.join(root, "enriched")
+    legacy = spark.createDataFrame(
+        [(f"u{i}", f"old{i}") for i in range(20)], "url string, val string"
+    )
+    os.makedirs(root, exist_ok=True)
+    legacy.write.mode("overwrite").parquet(path)  # legacy: NOT bucketed
+
+    batch1 = spark.createDataFrame([("u100", "new100")], "url string, val string")
+    merge_by_url(spark, batch1, path)
+    migrated = spark.read.parquet(path)
+    assert "_bucket" in migrated.columns
+    assert migrated.filter(F.col("_bucket").isNull()).count() == 0
+    assert migrated.count() == 21
+
+    # update a PRE-migration url: must replace, not duplicate
+    batch2 = spark.createDataFrame([("u3", "updated3")], "url string, val string")
+    merge_by_url(spark, batch2, path)
+    after = spark.read.parquet(path)
+    assert after.count() == 21
+    assert after.filter(F.col("url") == "u3").count() == 1
+    assert after.filter(F.col("url") == "u3").first()["val"] == "updated3"
+    assert after.select("url").distinct().count() == 21
+
+
+def test_swap_crash_rolls_forward(spark, root):
+    """a crash mid-_swap_buckets (bucket dir renamed away, staged new
+    copy parked in __swap) must be recoverable: the next merge rolls the
+    staged data forward and no rows are lost (ADVICE r2: the old layout
+    orphaned the bucket's untouched rows)."""
+    import os
+    import shutil
+
+    from open_semantic_etl_spark.plans.checkpoint import (
+        merge_by_url,
+        recover_swaps,
+    )
+
+    path = os.path.join(root, "enriched")
+    os.makedirs(root, exist_ok=True)
+    df = spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(50)], "url string, val string"
+    )
+    merge_by_url(spark, df, path)
+
+    # simulate the crash window: one bucket's live dir has been moved to
+    # the swap area as old__*, its post-merge replacement staged as new__*
+    buckets = [d for d in os.listdir(path) if d.startswith("_bucket=")]
+    victim = buckets[0]
+    b = victim.split("=")[1]
+    sw = f"{path}__swap"
+    os.makedirs(sw, exist_ok=True)
+    shutil.copytree(os.path.join(path, victim), os.path.join(sw, f"new__{b}__deadbeef"))
+    os.rename(os.path.join(path, victim), os.path.join(sw, f"old__{b}__deadbeef"))
+    assert not os.path.isdir(os.path.join(path, victim))
+
+    recover_swaps(path)
+    assert os.path.isdir(os.path.join(path, victim))
+    assert not os.path.isdir(sw)
+    recovered = spark.read.parquet(path)
+    assert recovered.count() == 50
+    assert recovered.select("url").distinct().count() == 50
+
+
 def test_merge_plan_prunes_partitions(spark, root):
     """the merge's read of the existing table must carry a PartitionFilters
     clause on _bucket — i.e. partition pruning, not a full scan."""
