@@ -133,17 +133,32 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """candidate near-dup pairs (id_a < id_b) that share ≥1 LSH band.
 
     rows/bands trade precision for recall: 64 hashes in 16 bands of 4
     targets Jaccard ≳ (1/16)^(1/4) ≈ 0.5.
+
+    Shuffle shape (the 100 TB concern): the band exchange carries ONLY
+    ``(id, band, band_hash)`` — ~20 B/row, 16 rows/doc — never the
+    512 B signature (which the old plan shipped 16× per doc). The full
+    signatures are re-joined on the candidate PAIR set afterwards for
+    ``est_jaccard``; candidates ≪ corpus, so AQE broadcasts the pair
+    side and the signature table never shuffles at all. Production runs
+    pass ``signatures`` (``id, sig``) from a persisted signature table
+    so MinHash is computed once per doc; when omitted, the signature
+    plan is evaluated per join branch (fine at test scale).
     """
     rows = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    sig = signatures
+    if sig is None:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        )
+    else:
+        sig = sig.select(F.col(id_col).alias("_id"), F.col("sig"))
     # one nested expression: band b → hash of its signature slice
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -157,28 +172,30 @@ def lsh_candidate_pairs(
             ).alias("bh"),
         ),
     )
-    exploded = sig.select("_id", "sig", F.explode(band_arr).alias("bb")).select(
-        "_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    exploded = sig.select("_id", F.explode(band_arr).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
-    # one shuffle: bucket-join on (band, band_hash)
+    # one short-key shuffle: bucket-join on (band, band_hash)
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
         a.join(b, on=["band", "bh"], how="inner")
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    # signatures re-join ONLY the candidate set (broadcast-able)
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(num_hashes)
     )
-    return pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,8 +49,11 @@ def run_backfill(
     """
     tables = Tables(root)
     todo_urls = missing_stage(spark, tables, stage)
-    n = todo_urls.count()
-    if n == 0:
+    # gate with a limit-1 existence probe, NOT a full count — an
+    # all-done table must cost one short-circuiting job, and the
+    # processed count is read off the (already materialized)
+    # localCheckpoint below instead
+    if todo_urls.isEmpty():
         return 0
     pruned = (
         spark.read.parquet(tables.enriched)
@@ -71,4 +74,4 @@ def run_backfill(
         .withColumn("stages_done", F.array_union(F.col("stages_done"), F.array(F.lit(stage))))
     )
     merge_by_url(spark, updated, tables.checkpoint)
-    return n
+    return result.count()  # served from the checkpointed blocks

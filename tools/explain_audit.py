@@ -289,6 +289,62 @@ def main() -> int:
             ],
         )
 
+    # 11. MinHash-LSH: the band exchange ships (id, band, band_hash)
+    # keys only — the 512 B signature never rides a shuffle; full sigs
+    # re-join the (small) candidate pair set for est_jaccard
+    from open_semantic_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    lsh = lsh_candidate_pairs(docs)
+
+    def no_sig_in_shuffle(p: str) -> bool:
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p):
+            if "sig" in m.group(1):
+                return False
+        return True
+
+    section(
+        "minhash LSH — shuffles carry keys only; signatures join candidates",
+        lsh,
+        [
+            ("no sig column in any shuffle Exchange input", no_sig_in_shuffle),
+            (
+                "signatures re-joined on the candidate set (sig_a/sig_b post-pairs)",
+                lambda p: "sig_a" in p and "sig_b" in p,
+            ),
+        ],
+    )
+
+    # 12. delete_by_url: the rewrite frame (the ONLY scan the delete
+    # plans — its count is Observation-collected on this same pass)
+    # prunes to the touched _bucket partitions
+    with tempfile.TemporaryDirectory() as root:
+        from pyspark.sql import functions as F
+
+        from open_semantic_etl_spark.plans.maintenance import _url_buckets
+
+        run_incremental(spark, pages, root)
+        t = Tables(root)
+        victims = [r["url"] for r in spark.read.parquet(t.enriched).limit(2).collect()]
+        buckets = _url_buckets(spark, victims)
+        df = spark.read.parquet(t.enriched)
+        part = df.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
+        delete_frame = part.filter(~F.col("url").isin(victims))
+        section(
+            "delete_by_url — single bucket-pruned scan, count observed on it",
+            delete_frame,
+            [
+                (
+                    "PartitionFilters on _bucket in the scan",
+                    lambda p: bool(re.search(r"PartitionFilters: \[[^\]]*_bucket", p)),
+                ),
+                (
+                    "exactly one scan of the enriched table",
+                    lambda p: len(re.findall(r"\(\d+\) Scan parquet", p)) == 1,
+                ),
+            ],
+        )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:
