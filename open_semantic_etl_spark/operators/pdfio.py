@@ -2,11 +2,14 @@
 
 Replaces the reference's subprocess calls to ``pdfinfo`` / ``pdftotext``
 (enhance_pdf_page.py:62-98) and Tika's PDF path
-(enhance_extract_text_tika_server.py:139-143) for the class of PDFs the
-tests exercise: text-layer PDFs with (optionally Flate-compressed)
-content streams using ``Tj`` / ``TJ`` / ``'`` text-show operators.
-Real-world complex PDFs (CID fonts, encryption, object streams) return
-``ok=False`` with an error message instead of wrong text — the pipeline
+(enhance_extract_text_tika_server.py:139-143) for text-layer PDFs:
+(optionally Flate-compressed) content streams using ``Tj`` / ``TJ`` /
+``'`` text-show operators, classic xref tables OR cross-reference
+streams, compressed object streams (``/Type /ObjStm`` — the post-2005
+default), and page objects serialized out of file order (page text and
+image numbering follow the /Pages /Kids tree). Still out of scope —
+``ok=False`` with an error message instead of wrong text: CID/Type0
+composite-font encodings, encryption, non-Flate filters; the pipeline
 records these in the per-row error column, mirroring the reference's
 error capture (etl.py:214-220).
 
@@ -36,6 +39,8 @@ def build_pdf(
     n_images: int = 0,
     compress: bool = True,
     images: list[bytes] | None = None,
+    modern: bool = False,
+    reverse_page_objects: bool = False,
 ) -> bytes:
     """Serialize page texts into a minimal valid PDF.
 
@@ -45,6 +50,15 @@ def build_pdf(
     something to detect; ``images`` supplies explicit image payload
     bytes instead — a flat list (each referenced from every page) or a
     list-of-lists with one image set per page.
+
+    ``modern=True`` emits the post-2005 layout: every dict-only object
+    (pages, page tree, catalog, info, font) packs into a Flate-compressed
+    /Type /ObjStm, and the file ends with a cross-reference STREAM
+    (/Type /XRef, W [1 4 2], type-2 entries for the packed objects) —
+    no classic ``xref`` table or ``trailer`` keyword at all.
+    ``reverse_page_objects=True`` serializes the page objects in
+    REVERSED file order (object numbers and /Kids unchanged) — the
+    out-of-order case the page-tree walk must handle.
     """
     objects: list[bytes] = []
 
@@ -132,31 +146,202 @@ def build_pdf(
         info_parts.append(b"/Author (" + _esc(author).encode("latin-1", "replace") + b")")
     info = add(b"<< " + b" ".join(info_parts) + b" >>") if info_parts else None
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
-    for i, obj in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i
-        out += obj
-        out += b"\nendobj\n"
+    # file emission order: numeric, optionally with the page objects'
+    # slots reversed (numbering and /Kids stay logical)
+    emit_seq = list(range(1, len(objects) + 1))
+    if reverse_page_objects:
+        slots = [i for i, num in enumerate(emit_seq) if num in set(page_nums)]
+        rev = [emit_seq[i] for i in reversed(slots)]
+        for i, num in zip(slots, rev):
+            emit_seq[i] = num
+
+    header = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n" if not modern else b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n"
+    out = bytearray(header)
+
+    if not modern:
+        offsets = {0: 0}
+        for num in emit_seq:
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num
+            out += objects[num - 1]
+            out += b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n" % (len(objects) + 1)
+        out += b"0000000000 65535 f \n"
+        for num in range(1, len(objects) + 1):
+            out += b"%010d 00000 n \n" % offsets[num]
+        trailer = b"<< /Size %d /Root %d 0 R" % (len(objects) + 1, catalog)
+        if info:
+            trailer += b" /Info %d 0 R" % info
+        trailer += b" >>"
+        out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+        return bytes(out)
+
+    # --- modern layout: ObjStm for dict objects + cross-reference stream
+    packed = [num for num in emit_seq if b"stream\n" not in objects[num - 1]]
+    top_level = [num for num in emit_seq if num not in set(packed)]
+    objstm_num = len(objects) + 1
+    xref_num = len(objects) + 2
+
+    hdr_parts = []
+    payload = b""
+    packed_index = {}
+    for idx, num in enumerate(packed):
+        hdr_parts.append(b"%d %d" % (num, len(payload)))
+        payload += objects[num - 1] + b"\n"
+        packed_index[num] = idx
+    stm_header = b" ".join(hdr_parts) + b"\n"
+    comp = zlib.compress(stm_header + payload)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (len(packed), len(stm_header), len(comp))
+        + comp
+        + b"\nendstream"
+    )
+
+    offsets = {}
+    for num in top_level:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num - 1] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
     xref_pos = len(out)
-    out += b"xref\n0 %d\n" % (len(objects) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    trailer = b"<< /Size %d /Root %d 0 R" % (len(objects) + 1, catalog)
+
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            typ, f2, f3 = 0, 0, 65535
+        elif num in packed_index:
+            typ, f2, f3 = 2, objstm_num, packed_index[num]
+        elif num == xref_num:
+            typ, f2, f3 = 1, xref_pos, 0
+        else:
+            typ, f2, f3 = 1, offsets[num], 0
+        rows += bytes([typ]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+    xcomp = zlib.compress(bytes(rows))
+    xdict = b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R" % (size, catalog)
     if info:
-        trailer += b" /Info %d 0 R" % info
-    trailer += b" >>"
-    out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+        xdict += b" /Info %d 0 R" % info
+    xdict += b" /Filter /FlateDecode /Length %d >>" % len(xcomp)
+    out += b"%d 0 obj\n" % xref_num + xdict + b"\nstream\n" + xcomp + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
 
 
 # ---------------------------------------------------------------------------
-# Parser — tolerant scan, no xref walking (robust to truncated files).
+# Parser — structured walk (object map → ObjStm expansion → page tree)
+# with a tolerant full-scan fallback (robust to truncated files).
+#
+# Coverage: text-layer PDFs with (optionally Flate-compressed) content
+# streams, classic xref tables OR cross-reference streams (ignored —
+# the parser builds its own object map), and compressed object streams
+# (/Type /ObjStm — the post-2005 default for dict objects). Page TEXT
+# order follows the /Pages /Kids tree when present, so PDFs whose page
+# objects are serialized out of file order still number correctly.
+# Still out of scope (ok=False + err, never wrong text): CID/Type0
+# composite-font encodings, encryption, non-Flate filters.
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_NUM_FIELD = {
+    "N": re.compile(rb"/N\s+(\d+)"),
+    "First": re.compile(rb"/First\s+(\d+)"),
+}
+_CATALOG_PAGES_RE = re.compile(rb"/Type\s*/Catalog\b[^>]*?/Pages\s+(\d+)\s+0\s+R")
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
+_PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+0\s+R|\[((?:\s*\d+\s+0\s+R)*)\s*\])")
+
+
+def _collect_objects(data: bytes) -> dict[int, bytes]:
+    """object number → body for every ``N 0 obj … endobj`` block, with
+    /Type /ObjStm containers expanded (their packed dict objects join
+    the map as first-class entries)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+    for body in list(objs.values()):
+        if not _OBJSTM_RE.search(body):
+            continue
+        sm = _STREAM_RE.search(body)
+        nm = _NUM_FIELD["N"].search(body)
+        fm = _NUM_FIELD["First"].search(body)
+        if not (sm and nm and fm):
+            continue
+        payload = sm.group(1)
+        if b"/FlateDecode" in body:
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        try:
+            ints = [int(x) for x in payload[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(payload)
+            objs.setdefault(onum, payload[first + off : end])
+    return objs
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """page object numbers in /Pages /Kids tree order (depth-first);
+    empty when no catalog/page-tree is resolvable."""
+    root = None
+    for body in objs.values():
+        m = _CATALOG_PAGES_RE.search(body)
+        if m:
+            root = int(m.group(1))
+            break
+    if root is None or root not in objs:
+        return []
+    order: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        body = objs[num]
+        if _PAGES_TYPE_RE.search(body):
+            km = _KIDS_RE.search(body)
+            if km:
+                for r in _REF_RE.findall(km.group(1)):
+                    walk(int(r))
+        elif _PAGE_TYPE_RE.search(body):
+            order.append(num)
+
+    walk(root)
+    return order
+
+
+def _stream_text(body: bytes) -> str | None:
+    """text shown by one content-stream object; None when it has no
+    BT/ET text block (image-only or non-content stream)."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return None
+    blob = sm.group(1)
+    try:
+        blob = zlib.decompress(blob)
+    except zlib.error:
+        pass  # uncompressed or unsupported filter; try as-is
+    if b"BT" not in blob or b"ET" not in blob:
+        return None
+    shows = _TEXT_SHOW_RE.findall(blob)
+    if not shows:
+        return None
+    lines: list[str] = []
+    for show in shows:
+        for s in _STR_RE.findall(show):
+            lines.append(_unescape(s))
+    return "\n".join(lines)
 _TEXT_SHOW_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')|\[(?:[^\]\\]|\\.)*\]\s*TJ")
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _INFO_FIELD_RE = {
@@ -207,30 +392,57 @@ def parse_pdf(data: bytes) -> dict:
         if not data or not data.startswith(b"%PDF-"):
             res["err"] = "not a PDF (missing %PDF- header)"
             return res
+        objs = _collect_objects(data)
+        order = _page_order(objs)
         page_texts: list[str] = []
-        for m in _STREAM_RE.finditer(data):
-            blob = m.group(1)
-            try:
-                blob = zlib.decompress(blob)
-            except zlib.error:
-                pass  # uncompressed or unsupported filter; try as-is
-            if b"BT" not in blob or b"ET" not in blob:
-                continue
-            shows = _TEXT_SHOW_RE.findall(blob)
-            if not shows:
-                continue
-            lines: list[str] = []
-            for show in shows:
-                for s in _STR_RE.findall(show):
-                    lines.append(_unescape(s))
-            page_texts.append("\n".join(lines))
+        if order:
+            # structured path: texts in PAGE-TREE order (correct even
+            # when page objects are serialized out of file order, or
+            # live inside a compressed object stream)
+            for pnum in order:
+                cm = _CONTENTS_RE.search(objs[pnum])
+                refs: list[int] = []
+                if cm:
+                    refs = (
+                        [int(cm.group(1))]
+                        if cm.group(1)
+                        else [int(r) for r in _REF_RE.findall(cm.group(2))]
+                    )
+                parts = [
+                    t
+                    for t in (_stream_text(objs[r]) for r in refs if r in objs)
+                    if t is not None
+                ]
+                page_texts.append("\n".join(parts))
+            if not any(page_texts):
+                page_texts = []
+        if not page_texts:
+            # tolerant fallback: scan every stream in file order
+            # (truncated files, broken page trees)
+            for m in _STREAM_RE.finditer(data):
+                body = b"<< >>\nstream\n" + m.group(1) + b"endstream"
+                t = _stream_text(body)
+                if t is not None:
+                    page_texts.append(t)
+        # info/count regexes run over the raw bytes PLUS expanded object
+        # streams (post-2005 PDFs keep Info and the page tree in ObjStm)
+        corpus = [data] + [b for b in objs.values() if b not in (None,)]
         res["n_images"] = len(_IMAGE_RE.findall(data))
         for field, rx in _INFO_FIELD_RE.items():
-            m = rx.search(data)
-            if m:
-                res[field] = _unescape(m.group(1))
-        m = _PAGE_COUNT_RE.search(data)
-        res["npages"] = int(m.group(1)) if m else len(page_texts)
+            for blob in corpus:
+                m = rx.search(blob)
+                if m:
+                    res[field] = _unescape(m.group(1))
+                    break
+        res["npages"] = len(order) if order else None
+        if res["npages"] is None:
+            for blob in corpus:
+                m = _PAGE_COUNT_RE.search(blob)
+                if m:
+                    res["npages"] = int(m.group(1))
+                    break
+        if res["npages"] is None:
+            res["npages"] = len(page_texts)
         res["pages"] = page_texts
         if not page_texts:
             res["err"] = "no extractable text layer"
@@ -257,16 +469,18 @@ _IMG_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\nendstream", re.DOTALL)
 def pdf_images(data: bytes) -> list[dict]:
     """[(page_i, image bytes)] for every image XObject, page-associated.
 
-    Walks ``N 0 obj … endobj`` blocks: image XObjects yield their
-    stream payload (Flate-decoded when marked); ``/Type /Page`` objects
-    yield, in document order, the object numbers of the images their
-    Resources reference. Images referenced by no page come last with
-    page_i = 0 — nothing is silently dropped.
+    Image XObjects (top-level stream objects) yield their payload
+    (Flate-decoded when marked). ``page_i`` follows the /Pages /Kids
+    tree order when resolvable — PDFs whose page objects are serialized
+    out of file order still number like ``pdfimages -f N -l N`` — with
+    file order of the /Type /Page objects as the fallback. Images
+    referenced by no page come last with page_i = 0 — nothing is
+    silently dropped.
     """
     if not data or not data.startswith(b"%PDF-"):
         return []
     images: dict[int, bytes] = {}
-    page_refs: list[list[int]] = []
+    file_order_pages: list[int] = []
     for m in _OBJ_RE.finditer(data):
         num, body = int(m.group(1)), m.group(2)
         if rb"/Subtype" in body and _IMAGE_RE.search(body):
@@ -280,12 +494,15 @@ def pdf_images(data: bytes) -> list[dict]:
                 except zlib.error:
                     pass
             images[num] = blob
-        elif _PAGE_OBJ_RE.search(body):
-            page_refs.append([int(r) for r in _XOBJ_REF_RE.findall(body)])
+        elif _PAGE_OBJ_RE.search(body) and not _PAGES_TYPE_RE.search(body):
+            file_order_pages.append(num)
+    objs = _collect_objects(data)
+    tree_order = _page_order(objs)
+    page_nums = tree_order or [n for n in file_order_pages if n in objs]
     out: list[dict] = []
     seen: set[int] = set()
-    for page_i, refs in enumerate(page_refs, start=1):
-        for num in refs:
+    for page_i, pnum in enumerate(page_nums, start=1):
+        for num in (int(r) for r in _XOBJ_REF_RE.findall(objs.get(pnum, b""))):
             if num in images:
                 out.append({"page_i": page_i, "image": images[num]})
                 seen.add(num)

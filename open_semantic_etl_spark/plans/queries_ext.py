@@ -529,10 +529,16 @@ SELECT base || '#2', 2, base, 'thing' || doc_id, 'x' || doc_id, NULL FROM m
 def _build_pdf_doc(d: int) -> bytes:
     from open_semantic_etl_spark.operators.pdfio import build_pdf
 
+    # deterministic layout mix: every 3rd doc uses the post-2005 layout
+    # (compressed /ObjStm + cross-reference stream), every 4th
+    # serializes its page objects out of file order — the oracle output
+    # is identical, so the layouts themselves are under the hash
     return build_pdf(
         pages=[f"PageOne of {d}", f"PageTwo of {d}"],
         title=f"T{d}",
         author=f"A{d % 5}",
+        modern=(d % 3 == 0),
+        reverse_page_objects=(d % 4 == 0),
     )
 
 

@@ -114,6 +114,38 @@ def test_pdf_escapes_and_plain():
     assert r["pages"] == ["Hello (world)\nline \\two"]
 
 
+def test_pdf_modern_layout_roundtrip():
+    """post-2005 layout: dict objects packed in a compressed /ObjStm,
+    cross-reference STREAM instead of a classic xref table/trailer —
+    page text, info dict, and page count must round-trip identically
+    (VERDICT r2 item 6)."""
+    pages = ["ModernPage1 text", "ModernPage2 text", "ModernPage3 text"]
+    classic = parse_pdf(build_pdf(pages, title="MT", author="MA"))
+    m = build_pdf(pages, title="MT", author="MA", modern=True)
+    assert b"/ObjStm" in m and b"/Type /XRef" in m and b"trailer" not in m
+    r = parse_pdf(m)
+    assert r["ok"], r["err"]
+    assert r["pages"] == classic["pages"] == pages
+    assert r["title"] == "MT" and r["author"] == "MA" and r["npages"] == 3
+
+
+def test_pdf_out_of_order_page_objects():
+    """page objects serialized in reversed file order (numbering and
+    /Kids unchanged): page text AND pdf_images page_i must follow the
+    page-tree order, not file order (ADVICE r2 pdfio)."""
+    from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+    pages = ["OrderPage1", "OrderPage2", "OrderPage3"]
+    for modern in (False, True):
+        pdf = build_pdf(pages, modern=modern, reverse_page_objects=True)
+        r = parse_pdf(pdf)
+        assert r["ok"] and r["pages"] == pages, (modern, r["pages"])
+    imgs = [[b"img-p1"], [b"img-p2"]]
+    pdf = build_pdf(["t1", "t2"], images=imgs, reverse_page_objects=True)
+    got = {(d["page_i"], bytes(d["image"])) for d in pdf_images(pdf)}
+    assert got == {(1, b"img-p1"), (2, b"img-p2")}, got
+
+
 def test_generator_closed_loop_pure():
     """Every generator variant byte-matches the extractor (no Spark)."""
     for i in range(300):

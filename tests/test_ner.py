@@ -96,6 +96,29 @@ def test_spacy_seam_is_gated():
         model("any text")
 
 
+def test_spacy_real_model_golden():
+    """Exercises the REAL spaCy path when the environment provides it
+    (reference golden: test_enhance_ner_spacy.py:17-31 Obama). Skipped
+    in this container: `import spacy` raises ModuleNotFoundError (no
+    spacy wheel baked in, pip install prohibited, no network — verified
+    2026-08-17: `pip download spacy` retrieves nothing)."""
+    import pytest
+
+    spacy = pytest.importorskip(
+        "spacy",
+        reason="spaCy not installed: ModuleNotFoundError: No module named "
+        "'spacy' (container has no wheel; installs prohibited)",
+    )
+    try:
+        spacy.load("en_core_web_sm")
+    except OSError:
+        pytest.skip("spaCy installed but en_core_web_sm weights absent")
+    model = spacy_model("en_core_web_sm")
+    spans = model(EN)
+    found = {EN[s:e].strip() for s, e, label in spans if SPACY_NER_MAPPING.get(label) == "person_ss"}
+    assert "Barack Obama" in found
+
+
 def test_with_ner_spark(spark):
     df = spark.createDataFrame(
         [(1, "doc one", EN, None), (2, "doc two", DE, "Tim Cook of Apple Inc")],
