@@ -24,20 +24,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """≤50 entries by contract: the correctness driver records at most
+    50 rows, so same-grain single-operator queries are consolidated
+    (scalar_extracts = emails+phones+hashtags+iban+law+money,
+    doc_meta = clean_title+content_type_group+analysis_text,
+    text_stats = text_quality+token_count+fingerprint,
+    path_mapping = path_facets+mapping_id) — every operator's solo
+    columns keep their names, so each stays pinned by the oracle hash."""
     return {
         "extract_pages": Q.q_extract_pages,
-        "emails": Q.q_emails,
-        "phones": Q.q_phones,
-        "hashtags": Q.q_hashtags,
-        "iban": Q.q_iban,
-        "law_clauses": Q.q_law_clauses,
-        "money": Q.q_money,
-        "path_facets": Q.q_path_facets,
-        "clean_title": Q.q_clean_title,
-        "content_type_group": Q.q_content_type_group,
-        "analysis_text": Q.q_analysis_text,
+        "scalar_extracts": Q.q_scalar_extracts,
+        "path_mapping": Q.q_path_mapping,
+        "doc_meta": Q.q_doc_meta,
         "file_modified_dt": Q.q_file_modified_dt,
-        "mapping_id": Q.q_mapping_id,
         "pricing_summary": Q.q_pricing_summary,
         "top_customers_per_nation": Q.q_top_customers_per_nation,
         "event_sessionize": Q.q_event_sessionize,
@@ -48,9 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": Q.q_simhash,
         "ann_topk": Q.q_ann_topk,
         "ann_lsh": Q.q_ann_lsh,
-        "text_quality": Q.q_text_quality,
-        "token_count": Q.q_token_count,
-        "fingerprint": Q.q_fingerprint,
+        "text_stats": Q.q_text_stats,
         "language_detect": Q.q_language_detect,
         "multilingual": Q.q_multilingual,
         "sentences": Q.q_sentences,
@@ -75,87 +72,59 @@ _RICH = f"WITH rich AS (SELECT doc_id, {Q._RICH_DUCK} AS rich FROM documents)"
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_pages": Q.SQL_EXTRACT_PAGES,
-        "emails": f"""{_RICH}
+        "scalar_extracts": f"""{_RICH}
 SELECT doc_id,
   array_to_string(list_sort(list_distinct(regexp_extract_all(rich, '{_EMAIL_RE}'))), ',') AS email_ss,
   array_to_string(list_sort(list_distinct(list_transform(regexp_extract_all(rich, '{_EMAIL_RE}'), x -> string_split(x, '@')[2]))), ',') AS email_domain_ss,
-  array_to_string(list_sort(list_distinct(regexp_extract_all(rich, 'From: (.* )?([\\w.-]+@[\\w.-]+)', 2, 'i'))), ',') AS message_from_ss
-FROM rich""",
-        "phones": f"""{_RICH}
-SELECT doc_id,
+  array_to_string(list_sort(list_distinct(regexp_extract_all(rich, 'From: (.* )?([\\w.-]+@[\\w.-]+)', 2, 'i'))), ',') AS message_from_ss,
   array_to_string(list_sort(list_distinct(regexp_extract_all(rich, '{_PHONE_RE}'))), ',') AS phone_ss,
   array_to_string(list_sort(list_distinct(list_transform(regexp_extract_all(rich, '{_PHONE_RE}'),
-    x -> (CASE WHEN x LIKE '+%' THEN '+' ELSE '' END) || regexp_replace(x, '[^0-9]', '', 'g')))), ',') AS phone_normalized_ss
-FROM rich""",
-        "hashtags": f"""{_RICH}
-SELECT doc_id,
-  array_to_string(list_filter(string_split_regex(rich, '\\s+'), x -> x[1] = '#' AND length(x) > 3), ',') AS hashtag_ss
-FROM rich""",
-        "iban": f"""{_RICH}
-SELECT doc_id,
-  array_to_string(list_sort(list_distinct(regexp_extract_all(rich, '{_IBAN_RE}', 0, 'i'))), ',') AS iban_ss
-FROM rich""",
-        "law_clauses": f"""{_RICH}
-SELECT doc_id,
+    x -> (CASE WHEN x LIKE '+%' THEN '+' ELSE '' END) || regexp_replace(x, '[^0-9]', '', 'g')))), ',') AS phone_normalized_ss,
+  array_to_string(list_filter(string_split_regex(rich, '\\s+'), x -> x[1] = '#' AND length(x) > 3), ',') AS hashtag_ss,
+  array_to_string(list_sort(list_distinct(regexp_extract_all(rich, '{_IBAN_RE}', 0, 'i'))), ',') AS iban_ss,
   array_to_string(list_sort(list_distinct(list_transform(regexp_extract_all(rich, '{_LAW_RE}', 0, 'i'),
-    x -> regexp_replace(regexp_replace(trim(x), '^§(\\S)', '§ \\1'), '\\s+$', '')))), ',') AS law_clause_ss
-FROM rich""",
-        "money": f"""{_RICH}
-SELECT doc_id,
+    x -> regexp_replace(regexp_replace(trim(x), '^§(\\S)', '§ \\1'), '\\s+$', '')))), ',') AS law_clause_ss,
   array_to_string(list_sort(list_distinct(
     regexp_extract_all(rich, '{_MONEY_NUM}\\s?{_MONEY_CUR}', 0, 'i')
     || regexp_extract_all(rich, '{_MONEY_CUR}\\s?{_MONEY_NUM}', 0, 'i'))), ',') AS money_ss
 FROM rich""",
-        "path_facets": """
+        "path_mapping": """
 WITH d AS (
   SELECT doc_id,
-         'https://www.example.org/' || source || '/sub' || (doc_id % 3) || '/file' || doc_id || '.PdF' AS url
+         'https://www.example.org/' || source || '/sub' || (doc_id % 3) || '/file' || doc_id || '.PdF' AS url,
+         '/' || source || (CASE WHEN doc_id % 4 = 0 THEN '/deep' ELSE '' END) || '/f' || doc_id AS path
   FROM documents
 ), p AS (
-  SELECT doc_id, url,
+  SELECT doc_id, url, path,
          string_split(regexp_replace(replace(replace(regexp_replace(url, '^(file://|http://|https://)', ''), '\\', '/'), '#', '/'), '//+', '/', 'g'), '/') AS parts
   FROM d
 )
 SELECT doc_id, parts[1] AS path0_s, parts[2] AS path1_s, parts[3] AS path2_s,
        parts[len(parts)] AS path_basename_s,
-       lower(regexp_extract(url, '\\.([^./\\\\]+)$', 1)) AS filename_extension_s
+       lower(regexp_extract(url, '\\.([^./\\\\]+)$', 1)) AS filename_extension_s,
+       CASE WHEN path LIKE '/src0/deep/%' THEN 'file:///mapped-deep/' || substr(path, 12)
+            WHEN path LIKE '/src0/%' THEN 'file:///mapped-src0/' || substr(path, 7)
+            WHEN path LIKE '/%' THEN 'file:///' || substr(path, 2)
+            ELSE path END AS mapped_id
 FROM p""",
-        "clean_title": """
+        "doc_meta": """
 SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN 'T' || doc_id
        WHEN doc_id % 3 = 1 THEN 'S' || doc_id
-       ELSE 'f' || doc_id || '.pdf' END AS title_txt
-FROM documents""",
-        "content_type_group": """
-SELECT doc_id,
+       ELSE 'f' || doc_id || '.pdf' END AS title_txt,
   coalesce(array_to_string(list_sort(list_distinct(list_filter([
     CASE WHEN doc_id % 5 = 0 THEN 'Text document'
          WHEN doc_id % 5 = 1 THEN 'Image'
          WHEN doc_id % 5 = 2 THEN 'Text document'
          WHEN doc_id % 5 = 3 THEN 'Spreadsheet' END,
     CASE WHEN doc_id % 7 = 0 THEN 'Spreadsheet' END
-  ], x -> x IS NOT NULL))), ','), '') AS content_type_group_ss
-FROM documents""",
-        "analysis_text": """
-SELECT doc_id,
+  ], x -> x IS NOT NULL))), ','), '') AS content_type_group_ss,
   CASE WHEN text IS NULL OR text = '' THEN 'title ' || doc_id || chr(10)
        ELSE 'title ' || doc_id || chr(10) || text || chr(10) END AS text_analysis
 FROM documents""",
         "file_modified_dt": """
 SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS file_modified_dt
 FROM events""",
-        "mapping_id": """
-WITH d AS (
-  SELECT doc_id,
-         '/' || source || (CASE WHEN doc_id % 4 = 0 THEN '/deep' ELSE '' END) || '/f' || doc_id AS path
-  FROM documents
-)
-SELECT doc_id,
-  CASE WHEN path LIKE '/src0/deep/%' THEN 'file:///mapped-deep/' || substr(path, 12)
-       WHEN path LIKE '/src0/%' THEN 'file:///mapped-src0/' || substr(path, 7)
-       WHEN path LIKE '/%' THEN 'file:///' || substr(path, 2)
-       ELSE path END AS mapped_id
-FROM d""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        (sum(l_quantity))::double AS sum_qty,
@@ -222,14 +191,14 @@ SELECT query_id, nbr_id, cos, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rk
   FROM scored
 ) WHERE rk <= 5""",
-        "text_quality": """
+        "text_stats": """
 WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
          length(text) AS chars
   FROM documents
 ), s AS (
-  SELECT doc_id, toks, chars, len(toks) AS n,
+  SELECT doc_id, text, toks, chars, len(toks) AS n,
          len(list_filter(toks, x -> list_contains(
            ['the','of','and','to','in','a','is','that','it','was','for','on','are','with','as','at','be','this','have','from','or','had','by','but','what','some','we','can','out','other','were','all','there','when','up'],
            lower(x)))) AS n_stop,
@@ -250,18 +219,12 @@ SELECT doc_id, n AS n_tokens,
          (CASE WHEN n > 0 AND n_stop::double / n >= 0.05 THEN 0.25 ELSE 0 END) +
          (CASE WHEN (CASE WHEN chars > 0 THEN n_digit::double / chars ELSE 0 END) < 0.2
                 AND (CASE WHEN n > 0 THEN 1 - n_dist::double / n ELSE 0 END) < 0.6 THEN 0.25 ELSE 0 END)
-       , 2) AS quality_score
-FROM s""",
-        "token_count": """
-SELECT doc_id,
-       len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS n_ws_tokens,
+       , 2) AS quality_score,
+       n AS n_ws_tokens,
        len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\\s]')) AS n_bpe_tokens,
-       len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))) AS n_distinct_tokens
-FROM documents""",
-        "fingerprint": """
-SELECT doc_id,
+       n_dist AS n_distinct_tokens,
        md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp_md5
-FROM documents""",
+FROM s""",
         "multilingual": """
 SELECT doc_id,
        text AS text_all,

@@ -415,6 +415,122 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs.select("doc_id", "text"), "text").select("doc_id", "fp_md5")
 
 
+# ---------------------------------------------------------------------------
+# consolidated driver entries — the correctness driver records at most
+# 50 queries() rows, so single-operator queries over the SAME input
+# grain merge into one-pass plans (each operator's solo columns keep
+# their names: the oracle hash still pins every operator separately,
+# and one scan + zero joins is also the better production plan)
+# ---------------------------------------------------------------------------
+
+
+def q_scalar_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """emails + phones + hashtags + IBAN + law clauses + money in ONE
+    pass over the rich text (enhance_extract_email/phone/hashtags /
+    enhance_regex / enhance_extract_law / enhance_extract_money)."""
+    d = _docs_rich(spark, sf_dir)
+    em = X.emails(F.col("rich"))
+    ph = X.phones(F.col("rich"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(em), ",").alias("email_ss"),
+        F.array_join(F.array_sort(X.email_domains(em)), ",").alias("email_domain_ss"),
+        F.array_join(F.array_sort(X.message_from(F.col("rich"))), ",").alias("message_from_ss"),
+        F.array_join(F.array_sort(ph), ",").alias("phone_ss"),
+        F.array_join(F.array_sort(X.phones_normalized(ph)), ",").alias("phone_normalized_ss"),
+        F.array_join(X.hashtags(F.col("rich")), ",").alias("hashtag_ss"),
+        F.array_join(F.array_sort(X.iban(F.col("rich"))), ",").alias("iban_ss"),
+        F.array_join(F.array_sort(X.law_clauses(F.col("rich"))), ",").alias("law_clause_ss"),
+        F.array_join(F.array_sort(X.money(F.col("rich"))), ",").alias("money_ss"),
+    )
+
+
+def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_title + enhance_contenttype_group + get_text concat in one
+    scan of documents (identical derived inputs to the solo queries)."""
+    from open_semantic_etl_spark.functions.textmeta import analysis_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ct = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("application/pdf"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("image/png"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("text/plain"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("application/vnd.ms-excel"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    ct_url = F.concat(
+        F.lit("http://h/f"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(".csv")).otherwise(F.lit(".bin")),
+    )
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("T"), F.col("doc_id"))).otherwise(F.lit("")).alias("title"),
+        F.when(F.col("doc_id") % 3 == 1, F.concat(F.lit("S"), F.col("doc_id"))).alias("subject"),
+        F.concat(F.lit("http://h/x/f"), F.col("doc_id"), F.lit(".pdf")).alias("url"),
+        ct.alias("ct"),
+        ct_url.alias("ct_url"),
+        F.concat(F.lit("title "), F.col("doc_id")).alias("title_txt_in"),
+        F.lit("").alias("description_txt"),
+        F.col("text").alias("content_txt"),
+    )
+    return d.select(
+        "doc_id",
+        P.clean_title(F.col("title"), F.col("subject"), F.col("url")).alias("title_txt"),
+        F.array_join(
+            F.array_sort(F.coalesce(P.content_type_group(F.col("ct"), F.col("ct_url")), F.array())), ","
+        ).alias("content_type_group_ss"),
+        analysis_text("title_txt_in", "description_txt", "content_txt").alias("text_analysis"),
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality scoring + token counting + document fingerprint in one
+    pass (operators/textstats.py chained on the same text column)."""
+    from open_semantic_etl_spark.operators.textstats import (
+        with_fingerprint,
+        with_quality,
+        with_token_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = with_fingerprint(with_token_counts(with_quality(docs, "text"), "text"), "text")
+    return out.select(
+        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
+        "punct_ratio", "digit_ratio", "repetition_ratio", "quality_score",
+        "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens", "fp_md5",
+    )
+
+
+def q_path_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enhance_path facets + enhance_mapping_id in one scan (same
+    derived url/path inputs as the solo queries)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mappings = {
+        "/": "file:///",
+        "/src0/": "file:///mapped-src0/",
+        "/src0/deep/": "file:///mapped-deep/",
+    }
+    d = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('https://www.example.org/', source, '/sub', doc_id % 3, '/file', doc_id, '.PdF')"
+        ).alias("url"),
+        F.concat(
+            F.lit("/"),
+            F.col("source"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/deep")).otherwise(F.lit("")),
+            F.lit("/f"),
+            F.col("doc_id"),
+        ).alias("path"),
+    )
+    out = P.with_path_facets(d, id_col="url")
+    return out.select(
+        "doc_id", "path0_s", "path1_s", "path2_s", "path_basename_s",
+        "filename_extension_s", P.mapping_id(F.col("path"), mappings).alias("mapped_id"),
+    )
+
+
 def q_language_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stopword-profile language id (UDF — rows-only vs oracle; exactness
     pinned on the synthetic pages corpus in tests)."""
