@@ -49,7 +49,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": Q.q_ann_lsh,
         "text_stats": Q.q_text_stats,
         "language_detect": Q.q_language_detect,
-        "multilingual": Q.q_multilingual,
         "sentences": Q.q_sentences,
         # --- container explodes, filters, joins, NER, RDF, OCR ---
         **QX.EXT_QUERIES,
@@ -120,7 +119,12 @@ SELECT doc_id,
     CASE WHEN doc_id % 7 = 0 THEN 'Spreadsheet' END
   ], x -> x IS NOT NULL))), ','), '') AS content_type_group_ss,
   CASE WHEN text IS NULL OR text = '' THEN 'title ' || doc_id || chr(10)
-       ELSE 'title ' || doc_id || chr(10) || text || chr(10) END AS text_analysis
+       ELSE 'title ' || doc_id || chr(10) || text || chr(10) END AS text_analysis,
+  text AS text_all,
+  CASE WHEN lang = 'en' THEN text END AS text_txt_en,
+  CASE WHEN lang = 'de' THEN text END AS text_txt_de,
+  CASE WHEN lang = 'de' THEN text END AS text_txt_hunspell_de,
+  text AS text_txt_fr
 FROM documents""",
         "file_modified_dt": """
 SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS file_modified_dt
@@ -225,14 +229,6 @@ SELECT doc_id, n AS n_tokens,
        n_dist AS n_distinct_tokens,
        md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp_md5
 FROM s""",
-        "multilingual": """
-SELECT doc_id,
-       text AS text_all,
-       CASE WHEN lang = 'en' THEN text END AS text_txt_en,
-       CASE WHEN lang = 'de' THEN text END AS text_txt_de,
-       CASE WHEN lang = 'de' THEN text END AS text_txt_hunspell_de,
-       text AS text_txt_fr
-FROM documents""",
         "sentences": """
 WITH d AS (
   SELECT 'd' || doc_id AS parent_id,

@@ -236,6 +236,54 @@ def jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """flag corpus documents sharing any word n-gram with an evaluation
+    benchmark (the GPT-3 training-set decontamination scheme — Brown et
+    al. 2020, appendix C uses 13-grams; ``n`` is configurable for
+    shorter corpora).
+
+    Adds ``n_overlap`` (distinct shared n-grams) and
+    ``is_contaminated`` to ``df``. Scale shape: the benchmark's gram
+    set is tiny relative to the corpus → hashed (xxhash64, 8 B/gram)
+    and BROADCAST, so the corpus side is one map pass (shingle +
+    explode + hash) with no corpus-wide shuffle; only the hit rows
+    (corpus grams matching a benchmark gram) reach the per-doc
+    aggregation.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(bench_text_col), n)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    ).select("_id", F.xxhash64("g").alias("gh"))
+    hits = (
+        grams.join(F.broadcast(bench), "gh")
+        .groupBy("_id")
+        .agg(F.count_distinct("gh").alias("n_overlap"))
+    )
+    out = df.join(hits, df[id_col] == hits["_id"], "left").drop("_id")
+    return out.withColumn(
+        "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0)).cast("int")
+    ).withColumn("is_contaminated", (F.col("n_overlap") > 0).cast("int"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -6,10 +6,12 @@ Replaces the reference's subprocess calls to ``pdfinfo`` / ``pdftotext``
 (optionally Flate-compressed) content streams using ``Tj`` / ``TJ`` /
 ``'`` text-show operators, classic xref tables OR cross-reference
 streams, compressed object streams (``/Type /ObjStm`` — the post-2005
-default), and page objects serialized out of file order (page text and
-image numbering follow the /Pages /Kids tree). Still out of scope —
-``ok=False`` with an error message instead of wrong text: CID/Type0
-composite-font encodings, encryption, non-Flate filters; the pipeline
+default), page objects serialized out of file order (page text and
+image numbering follow the /Pages /Kids tree), and Type0/CID composite
+fonts (Identity-H 2-byte hex shows decoded through the /ToUnicode CMap,
+with per-stream Tf font tracking). Still out of scope — ``ok=False``
+with an error message instead of wrong text: Type0 text WITHOUT a
+usable ToUnicode CMap, encryption, non-Flate filters; the pipeline
 records these in the per-row error column, mirroring the reference's
 error capture (etl.py:214-220).
 
@@ -41,6 +43,7 @@ def build_pdf(
     images: list[bytes] | None = None,
     modern: bool = False,
     reverse_page_objects: bool = False,
+    type0: bool = False,
 ) -> bytes:
     """Serialize page texts into a minimal valid PDF.
 
@@ -59,6 +62,11 @@ def build_pdf(
     ``reverse_page_objects=True`` serializes the page objects in
     REVERSED file order (object numbers and /Kids unchanged) — the
     out-of-order case the page-tree walk must handle.
+    ``type0=True`` emits a composite Type0/CIDFontType2 font with
+    /Encoding /Identity-H and a /ToUnicode CMap: page text is shown as
+    2-byte-CID HEX strings (``<…> Tj``, CID = the char's BMP code
+    point) — the layout real-world CJK/unicode PDFs use, so the parser
+    must decode through the CMap rather than the literal-string path.
     """
     objects: list[bytes] = []
 
@@ -66,7 +74,40 @@ def build_pdf(
         objects.append(obj)
         return len(objects)  # 1-based object number
 
-    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if type0:
+        used = sorted({ch for t in pages for ch in t.replace("\n", "")})
+        if any(ord(c) > 0xFFFF for c in used):
+            raise ValueError("type0 fixture writer covers BMP code points only")
+        bf_lines = []
+        for i in range(0, len(used), 100):  # ≤100 pairs per bfchar block
+            chunk = used[i : i + 100]
+            bf_lines.append(b"%d beginbfchar" % len(chunk))
+            bf_lines += [
+                b"<%04X> <%04X>" % (ord(c), ord(c)) for c in chunk
+            ]
+            bf_lines.append(b"endbfchar")
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+            b"/CMapName /SparkGraft-UCS def\n/CMapType 2 def\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            + b"\n".join(bf_lines)
+            + b"\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+        )
+        tounicode_num = add(
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        desc_num = add(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SparkGraftCID "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> >>"
+        )
+        font_num = add(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SparkGraftCID "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] /ToUnicode %d 0 R >>"
+            % (desc_num, tounicode_num)
+        )
+    else:
+        font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     def add_image(img_data: bytes) -> int:
         return add(
@@ -99,7 +140,11 @@ def build_pdf(
         for j, line in enumerate(lines):
             if j:
                 ops.append(b"T*")
-            ops.append(b"(" + _esc(line).encode("latin-1", "replace") + b") Tj")
+            if type0:
+                hexs = "".join(f"{ord(c):04X}" for c in line).encode("ascii")
+                ops.append(b"<" + hexs + b"> Tj")
+            else:
+                ops.append(b"(" + _esc(line).encode("latin-1", "replace") + b") Tj")
         for img in page_img_nums[pg]:
             ops.append(b"q 1 0 0 1 0 0 cm /Im%d Do Q" % img)
         ops.append(b"ET")
@@ -235,12 +280,14 @@ def build_pdf(
 #
 # Coverage: text-layer PDFs with (optionally Flate-compressed) content
 # streams, classic xref tables OR cross-reference streams (ignored —
-# the parser builds its own object map), and compressed object streams
-# (/Type /ObjStm — the post-2005 default for dict objects). Page TEXT
-# order follows the /Pages /Kids tree when present, so PDFs whose page
-# objects are serialized out of file order still number correctly.
-# Still out of scope (ok=False + err, never wrong text): CID/Type0
-# composite-font encodings, encryption, non-Flate filters.
+# the parser builds its own object map), compressed object streams
+# (/Type /ObjStm — the post-2005 default for dict objects), and
+# Type0/CID fonts (2-byte Identity-H hex shows via /ToUnicode CMap,
+# Tf-tracked per stream). Page TEXT order follows the /Pages /Kids
+# tree when present, so PDFs whose page objects are serialized out of
+# file order still number correctly. Still out of scope (ok=False +
+# err, never wrong text): Type0 without a usable ToUnicode CMap,
+# encryption, non-Flate filters.
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
@@ -321,9 +368,15 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     return order
 
 
-def _stream_text(body: bytes) -> str | None:
+def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> str | None:
     """text shown by one content-stream object; None when it has no
-    BT/ET text block (image-only or non-content stream)."""
+    BT/ET text block (image-only or non-content stream).
+
+    Ordered token scan with Tf font tracking: literal ``(…) Tj`` pieces
+    decode as before; ``<hex> Tj`` pieces are Type0/CID shows decoded
+    through the active font's ToUnicode CMap (``fonts`` maps resource
+    name → cmap; None entry = simple font). Hex text with no usable
+    cmap raises (parse_pdf converts that to ok=False + err)."""
     sm = _STREAM_RE.search(body)
     if not sm:
         return None
@@ -334,16 +387,138 @@ def _stream_text(body: bytes) -> str | None:
         pass  # uncompressed or unsupported filter; try as-is
     if b"BT" not in blob or b"ET" not in blob:
         return None
-    shows = _TEXT_SHOW_RE.findall(blob)
-    if not shows:
-        return None
+    cur_cmap: dict[int, str] | None = None
+    if fonts and len(fonts) == 1:  # single-font page: active before any Tf
+        cur_cmap = next(iter(fonts.values()))
     lines: list[str] = []
-    for show in shows:
-        for s in _STR_RE.findall(show):
-            lines.append(_unescape(s))
-    return "\n".join(lines)
-_TEXT_SHOW_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')|\[(?:[^\]\\]|\\.)*\]\s*TJ")
+    found = False
+    for m in _CONTENT_TOKEN_RE.finditer(blob):
+        tok = m.group(0)
+        tf = _TF_RE.match(tok)
+        if tf and tok.endswith(b"Tf"):
+            if fonts is not None:
+                cur_cmap = fonts.get(tf.group(1).decode("latin-1"))
+            continue
+        found = True
+        if tok.startswith(b"("):  # literal show — never scan for hex
+            for s in _STR_RE.findall(tok):
+                lines.append(_unescape(s))
+        elif tok.startswith(b"<"):  # CID hex show
+            for hx in _HEXSTR_RE.findall(tok):
+                lines.append(_decode_cid_hex(hx, cur_cmap))
+        else:  # [array] TJ — items in order; literals consume their <…>
+            for im in re.finditer(
+                rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>", tok
+            ):
+                if im.group(1) is not None:
+                    lines.append(_unescape(im.group(1)))
+                elif im.group(2):
+                    lines.append(_decode_cid_hex(im.group(2), cur_cmap))
+    return "\n".join(lines) if found else None
+_TEXT_SHOW_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')"      # (literal) Tj / '
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"           # [array] TJ (literal or hex items)
+    rb"|<[0-9A-Fa-f\s]+>\s*(?:Tj|')"         # <hex> Tj (Type0/CID strings)
+)
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+_TF_RE = re.compile(rb"/(\w+)\s+[\d.]+\s+Tf")
+_CONTENT_TOKEN_RE = re.compile(_TF_RE.pattern + rb"|" + _TEXT_SHOW_RE.pattern)
+
+# --- Type0/CID fonts: ToUnicode CMap machinery (PDF 32000-1 §9.10) ---------
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+0\s+R")
+_FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE3_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(<[0-9A-Fa-f]+>|\[(?:\s*<[0-9A-Fa-f]+>)*\s*\])"
+)
+
+
+def _parse_tounicode(body: bytes) -> dict[int, str]:
+    """CID → unicode map from a /ToUnicode CMap stream: bfchar pairs
+    plus bfrange in both increment (<lo> <hi> <dst0>) and array
+    (<lo> <hi> [<d0> <d1> …]) forms; dst values are UTF-16BE."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return {}
+    s = sm.group(1)
+    if b"/FlateDecode" in body:
+        try:
+            s = zlib.decompress(s)
+        except zlib.error:
+            pass
+    cmap: dict[int, str] = {}
+
+    def dst_str(hexs: bytes) -> str:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+    for block in _BFCHAR_RE.findall(s):
+        for src, dst in _HEXPAIR_RE.findall(block):
+            cmap[int(src, 16)] = dst_str(dst)
+    for block in _BFRANGE_RE.findall(s):
+        for lo_h, hi_h, dst in _RANGE3_RE.findall(block):
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if dst.startswith(b"["):
+                items = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for code, d in zip(range(lo, hi + 1), items):
+                    cmap[code] = dst_str(d)
+            else:
+                d0 = dst.strip(b"<>")
+                base, width = int(d0, 16), len(d0)
+                for code in range(lo, hi + 1):
+                    cmap[code] = dst_str(format(base + code - lo, f"0{width}x").encode())
+    return cmap
+
+
+#: sentinel for a Type0 font lacking a usable ToUnicode CMap — its hex
+#: shows cannot be decoded and must surface as an error, not mojibake
+_NO_CMAP = object()
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict:
+    """font resource name → ToUnicode cmap (None for simple fonts,
+    ``_NO_CMAP`` for Type0 without one); resources may be inline or an
+    indirect /Resources N 0 R."""
+    rm = _RESOURCES_REF_RE.search(page_body)
+    res = objs.get(int(rm.group(1)), b"") if rm else page_body
+    fm = _FONT_RES_RE.search(res)
+    if not fm:
+        return {}
+    fonts: dict = {}
+    for name, num in _FONT_ENTRY_RE.findall(fm.group(1)):
+        fb = objs.get(int(num), b"")
+        cmap = None
+        if _TYPE0_RE.search(fb):
+            tm = _TOUNICODE_RE.search(fb)
+            if tm and int(tm.group(1)) in objs:
+                cmap = _parse_tounicode(objs[int(tm.group(1))])
+            else:
+                cmap = _NO_CMAP
+        fonts[name.decode("latin-1")] = cmap
+    return fonts
+
+
+def _decode_cid_hex(hexbytes: bytes, cmap) -> str:
+    """decode one <hex> show: via the ToUnicode map for Type0 fonts
+    (2-byte CIDs), as a latin-1 hex literal for simple fonts (the spec
+    treats <…> as an alternative literal-string syntax); raises for a
+    Type0 font with no usable CMap — ok=False beats silently wrong text."""
+    h = re.sub(rb"\s+", b"", hexbytes)
+    if cmap is _NO_CMAP or (isinstance(cmap, dict) and len(h) % 4):
+        raise ValueError("CID text without a usable 2-byte ToUnicode CMap")
+    if isinstance(cmap, dict):
+        return "".join(
+            cmap.get(int(h[i : i + 4], 16), "�") for i in range(0, len(h), 4)
+        )
+    if len(h) % 2:  # odd digit count: spec pads with trailing 0
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 _INFO_FIELD_RE = {
     "title": re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)"),
     "author": re.compile(rb"/Author\s*\(((?:[^()\\]|\\.)*)\)"),
@@ -408,9 +583,10 @@ def parse_pdf(data: bytes) -> dict:
                         if cm.group(1)
                         else [int(r) for r in _REF_RE.findall(cm.group(2))]
                     )
+                fonts = _page_fonts(objs, objs[pnum])
                 parts = [
                     t
-                    for t in (_stream_text(objs[r]) for r in refs if r in objs)
+                    for t in (_stream_text(objs[r], fonts) for r in refs if r in objs)
                     if t is not None
                 ]
                 page_texts.append("\n".join(parts))

@@ -446,9 +446,13 @@ def q_scalar_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clean_title + enhance_contenttype_group + get_text concat in one
-    scan of documents (identical derived inputs to the solo queries)."""
-    from open_semantic_etl_spark.functions.textmeta import analysis_text
+    """clean_title + enhance_contenttype_group + get_text concat +
+    enhance_multilingual fan-out in one scan of documents (identical
+    derived inputs to the solo queries each replaces)."""
+    from open_semantic_etl_spark.functions.textmeta import (
+        analysis_text,
+        with_multilingual,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ct = (
@@ -473,14 +477,23 @@ def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("title "), F.col("doc_id")).alias("title_txt_in"),
         F.lit("").alias("description_txt"),
         F.col("text").alias("content_txt"),
+        # multilingual fan-out inputs (same derivation as the solo query)
+        F.col("text").alias("ml_text"),
+        F.col("lang").alias("ml_lang"),
     )
-    return d.select(
+    ml = with_multilingual(
+        d, langs=("en", "de"), langs_hunspell=("de",), langs_force=("fr",),
+        text_col="ml_text", lang_col="ml_lang",
+    )
+    return ml.select(
         "doc_id",
         P.clean_title(F.col("title"), F.col("subject"), F.col("url")).alias("title_txt"),
         F.array_join(
             F.array_sort(F.coalesce(P.content_type_group(F.col("ct"), F.col("ct_url")), F.array())), ","
         ).alias("content_type_group_ss"),
         analysis_text("title_txt_in", "description_txt", "content_txt").alias("text_analysis"),
+        "text_all", "text_txt_en", "text_txt_de",
+        "text_txt_hunspell_de", "text_txt_fr",
     )
 
 

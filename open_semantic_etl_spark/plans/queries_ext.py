@@ -531,14 +531,17 @@ def _build_pdf_doc(d: int) -> bytes:
 
     # deterministic layout mix: every 3rd doc uses the post-2005 layout
     # (compressed /ObjStm + cross-reference stream), every 4th
-    # serializes its page objects out of file order — the oracle output
-    # is identical, so the layouts themselves are under the hash
+    # serializes its page objects out of file order, every 5th shows
+    # its text as Type0/Identity-H CID hex through a ToUnicode CMap —
+    # the oracle output is identical, so the layouts themselves are
+    # under the hash
     return build_pdf(
         pages=[f"PageOne of {d}", f"PageTwo of {d}"],
         title=f"T{d}",
         author=f"A{d % 5}",
         modern=(d % 3 == 0),
         reverse_page_objects=(d % 4 == 0),
+        type0=(d % 5 == 0),
     )
 
 
@@ -1328,7 +1331,84 @@ FROM documents WHERE doc_id < 150
 """
 
 
+# ---------------------------------------------------------------------------
+# crawl frontier (etl_web_crawl.py engine side) + n-gram decontamination
+# ---------------------------------------------------------------------------
+
+_SITE_N = 200  # binary-tree site size (doc_id < 200 pages)
+
+
+def _build_site_page(d: int) -> bytes:
+    """deterministic binary-tree site page: /p{d}.html links to its two
+    children (one root-relative, one relative href), an off-site page
+    (same-host policy must drop it), junk schemes, and a duplicate."""
+    links = []
+    if 2 * d + 1 < _SITE_N:
+        links.append(f'<a href="/p{2 * d + 1}.html">c1</a>')
+        links.append(f'<a class="n" href="/p{2 * d + 1}.html#sec">dup</a>')
+    if 2 * d + 2 < _SITE_N:
+        links.append(f'<a href="p{2 * d + 2}.html">c2</a>')
+    links.append('<a href="https://other.example.net/x.html">ext</a>')
+    links.append('<a href="mailto:a@b.c">m</a>')
+    return ("<html><body>" + "".join(links) + "</body></html>").encode()
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS crawl-frontier expansion to depth 6 over the synthetic
+    binary-tree site (first-discovery depth = floor(log2(id+1)))."""
+    from open_semantic_etl_spark.sources.crawl import crawl_frontier
+
+    src = _binary_source(
+        spark, sf_dir, _SITE_N, _build_site_page, "https://crawl.example.com/p{d}.html"
+    )
+    out = crawl_frontier(
+        src, ["https://crawl.example.com/p0.html"], max_depth=6
+    )
+    return out.select("url", F.col("depth").cast("int").alias("depth"))
+
+
+SQL_LINK_GRAPH = """
+SELECT 'https://crawl.example.com/p' || doc_id || '.html' AS url,
+       CAST(floor(log2(doc_id + 1)) AS int) AS depth
+FROM documents WHERE doc_id < 127
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style benchmark decontamination: flag documents sharing
+    any 5-gram with the 'benchmark' subset (doc_id % 97 == 0)."""
+    from open_semantic_etl_spark.operators.dedup import ngram_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = ngram_decontaminate(docs, bench, n=5)
+    return out.select("doc_id", "n_overlap", "is_contaminated")
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         (CASE WHEN len(w) >= 5
+               THEN list_distinct(list_transform(range(1, len(w) - 3),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+               ELSE [w[1]] END) AS sh
+  FROM w
+), bench AS (
+  SELECT list(DISTINCT g) AS bl
+  FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0)
+)
+SELECT doc_id,
+       len(list_intersect(sh, bl))::int AS n_overlap,
+       (len(list_intersect(sh, bl)) > 0)::int AS is_contaminated
+FROM sh, bench
+"""
+
+
 EXT_QUERIES = {
+    "link_graph": q_link_graph,
+    "decontaminate": q_decontaminate,
     "zip_explode": q_zip_explode,
     "pst_explode": q_pst_explode,
     "pdf_ocr": q_pdf_ocr,
@@ -1363,6 +1443,8 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLES = {
+    "link_graph": SQL_LINK_GRAPH,
+    "decontaminate": SQL_DECONTAMINATE,
     "zip_explode": SQL_ZIP_EXPLODE,
     "pst_explode": SQL_PST_EXPLODE,
     "pdf_ocr": SQL_PDF_OCR,

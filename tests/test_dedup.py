@@ -194,3 +194,31 @@ def test_signature_expr_udf_path_null_and_ragged(spark):
         S._MAX_INLINE_COEFFS = orig
     assert got[1] is None and got[2] is None
     assert got[0] is not None and got[3] is not None
+
+
+def test_ngram_decontaminate(spark):
+    """benchmark-overlap flagging: docs sharing an n-gram with the
+    benchmark set are contaminated; clean docs get n_overlap 0."""
+    from open_semantic_etl_spark.operators.dedup import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a totally different sentence with no shared window here"),
+            (2, "xx quick brown fox jumps zz"),  # shares one 3-gram span
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["is_contaminated"])
+        for r in ngram_decontaminate(docs, bench, n=3).collect()
+    }
+    # bench 3-grams: {the quick brown, quick brown fox, brown fox jumps}
+    assert out[0] == (3, 1)
+    assert out[1] == (0, 0)
+    assert out[2] == (2, 1)  # quick brown fox + brown fox jumps
+    assert out[3] == (0, 0)

@@ -106,3 +106,74 @@ def test_rss_incremental_skip(spark):
     indexed = spark.createDataFrame([("https://n/1",), ("https://n/3",)], "url string")
     fresh = new_items(items, indexed).collect()
     assert [r["url"] for r in fresh] == ["https://n/2"]
+
+
+# --- crawl frontier (sources/crawl.py — etl_web_crawl.py engine side) -----
+
+
+def _site_page(i: int, n: int = 64) -> bytes:
+    """binary-tree site: /p{i}.html links to 2i+1 (root-relative),
+    2i+2 (relative form), an off-site page, junk links, and a dup."""
+    links = []
+    if 2 * i + 1 < n:
+        links.append(f'<a href="/p{2 * i + 1}.html">c1</a>')
+        links.append(f'<a class="x" href="/p{2 * i + 1}.html#frag">dup</a>')
+    if 2 * i + 2 < n:
+        links.append(f'<a href="p{2 * i + 2}.html">c2</a>')
+    links.append('<a href="https://other.example.net/ext.html">ext</a>')
+    links.append('<a href="mailto:a@b.c">mail</a>')
+    links.append('<a href="javascript:void(0)">js</a>')
+    return ("<html><body>" + "".join(links) + "</body></html>").encode()
+
+
+def test_crawl_frontier_bfs_depths(spark):
+    from open_semantic_etl_spark.sources.crawl import crawl_frontier
+
+    n = 64
+    pages = spark.createDataFrame(
+        [(f"https://crawl.example.com/p{i}.html", _site_page(i, n)) for i in range(n)],
+        "url string, html binary",
+    )
+    out = {
+        r["url"]: r["depth"]
+        for r in crawl_frontier(
+            pages, ["https://crawl.example.com/p0.html"], max_depth=3
+        ).collect()
+    }
+    import math
+
+    expected = {
+        f"https://crawl.example.com/p{i}.html": int(math.floor(math.log2(i + 1)))
+        for i in range(n)
+        if math.floor(math.log2(i + 1)) <= 3
+    }
+    assert out == expected  # BFS first-discovery depth, binary tree
+    assert not any("other.example.net" in u for u in out)  # same-host policy
+
+
+def test_crawl_frontier_unfetched_and_offsite(spark):
+    from open_semantic_etl_spark.sources.crawl import crawl_frontier, page_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://h.example.com/a.html",
+                b'<a href="/b.html">b</a><a href="//h.example.com/c.html">c</a>'
+                b'<a href="https://off.example.net/x">x</a>',
+            )
+        ],
+        "url string, html binary",
+    )
+    # unfetched urls (no html row) still surface at their discovery depth
+    out = {
+        r["url"]: r["depth"]
+        for r in crawl_frontier(pages, ["https://h.example.com/a.html"], 2).collect()
+    }
+    assert out == {
+        "https://h.example.com/a.html": 0,
+        "https://h.example.com/b.html": 1,
+        "https://h.example.com/c.html": 1,  # protocol-relative resolved
+    }
+    # with the host policy off, the off-site edge is kept
+    edges = {r["dst"] for r in page_links(pages, same_host=False).collect()}
+    assert "https://off.example.net/x" in edges

@@ -213,3 +213,22 @@ def test_heavy_profile_byte_identity():
         sizes.append(len(r["html"]))
         assert extract_html(r["html"])["content"] == r["text"], r["url"]
     assert sum(sizes) / len(sizes) > 25_000  # genuinely heavy pages
+
+
+def test_pdf_type0_cid_tounicode_roundtrip():
+    """Type0/Identity-H composite font: 2-byte-CID hex shows decode
+    through the /ToUnicode CMap — full-unicode page text round-trips in
+    classic AND modern layouts; a Type0 font with no usable ToUnicode
+    errors (ok=False) instead of emitting mojibake."""
+    pages = ["Unicode: Grüße, 東京 2026!", "Second ページ mixed", "züröck §42"]
+    for modern in (False, True):
+        r = parse_pdf(build_pdf(pages, title="UT", type0=True, modern=modern))
+        assert r["ok"], (modern, r["err"])
+        assert r["pages"] == pages and r["title"] == "UT" and r["npages"] == 3
+    # literal text containing an angle-bracket hex lookalike stays literal
+    r3 = parse_pdf(build_pdf(["see <FFFE> marker"]))
+    assert r3["ok"] and r3["pages"] == ["see <FFFE> marker"]
+    # CID text without a ToUnicode CMap → error, never wrong text
+    broken = build_pdf(["abc"], type0=True).replace(b"/ToUnicode", b"/NoUnicode")
+    rb = parse_pdf(broken)
+    assert rb["ok"] is False and "ToUnicode" in rb["err"]
