@@ -9,9 +9,11 @@ streams, compressed object streams (``/Type /ObjStm`` — the post-2005
 default), page objects serialized out of file order (page text and
 image numbering follow the /Pages /Kids tree), and Type0/CID composite
 fonts (Identity-H 2-byte hex shows decoded through the /ToUnicode CMap,
-with per-stream Tf font tracking). Still out of scope — ``ok=False``
-with an error message instead of wrong text: Type0 text WITHOUT a
-usable ToUnicode CMap, encryption, non-Flate filters; the pipeline
+with per-stream Tf font tracking), and RC4-encrypted files (standard
+security handler V1/V2 R2/R3, empty user password — transparently
+decrypted). Still out of scope — ``ok=False`` with an error message
+instead of wrong text: Type0 text WITHOUT a usable ToUnicode CMap,
+AES/R4+ encryption, non-empty passwords, non-Flate filters; the pipeline
 records these in the per-row error column, mirroring the reference's
 error capture (etl.py:214-220).
 
@@ -44,6 +46,7 @@ def build_pdf(
     modern: bool = False,
     reverse_page_objects: bool = False,
     type0: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Serialize page texts into a minimal valid PDF.
 
@@ -191,6 +194,55 @@ def build_pdf(
         info_parts.append(b"/Author (" + _esc(author).encode("latin-1", "replace") + b")")
     info = add(b"<< " + b" ".join(info_parts) + b" >>") if info_parts else None
 
+    # standard-security-handler encryption (fixture knob, classic
+    # layout only): "rc4-40" = V1/R2, "rc4-128" = V2/R3; empty user +
+    # owner passwords, streams and dict strings RC4'd per object
+    enc_num = None
+    id0 = None
+    if encrypt:
+        if modern:
+            raise ValueError("fixture writer: encrypt + modern not combined")
+        import binascii
+        import hashlib
+
+        R, V, bits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
+        if encrypt not in ("rc4-40", "rc4-128"):
+            raise ValueError(f"unknown encrypt mode {encrypt!r}")
+        keylen = bits // 8
+        id0 = hashlib.md5(
+            b"|".join(p.encode("utf-8", "replace") for p in pages)
+        ).digest()
+        O = _std_owner_entry(R, keylen)
+        key = _std_file_key(O, -1, id0, R, keylen)
+        U = _std_user_entry(key, R, id0)
+        enc_num = add(
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P -1 /O <%s> /U <%s> >>"
+            % (V, R, bits, binascii.hexlify(O).upper(), binascii.hexlify(U).upper())
+        )
+
+        def enc_obj(body: bytes, ok: bytes) -> bytes:
+            sm = _STREAM_RE.search(body)
+            dict_part = body[: sm.start()] if sm else body
+            dict_part = _STR_RE.sub(
+                lambda m: b"<"
+                + binascii.hexlify(_rc4(ok, _unescape(m.group(1)).encode("latin-1"))).upper()
+                + b">",
+                dict_part,
+            )
+            if not sm:
+                return dict_part
+            return (
+                dict_part
+                + b"stream\n"
+                + _rc4(ok, sm.group(1))
+                + b"endstream"
+                + body[sm.end():]
+            )
+
+        for i in range(len(objects)):
+            if i + 1 != enc_num:
+                objects[i] = enc_obj(objects[i], _obj_key(key, i + 1))
+
     # file emission order: numeric, optionally with the page objects'
     # slots reversed (numbering and /Kids stay logical)
     emit_seq = list(range(1, len(objects) + 1))
@@ -218,6 +270,11 @@ def build_pdf(
         trailer = b"<< /Size %d /Root %d 0 R" % (len(objects) + 1, catalog)
         if info:
             trailer += b" /Info %d 0 R" % info
+        if enc_num:
+            import binascii
+
+            idh = binascii.hexlify(id0).upper()
+            trailer += b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idh, idh)
         trailer += b" >>"
         out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
         return bytes(out)
@@ -287,7 +344,9 @@ def build_pdf(
 # tree when present, so PDFs whose page objects are serialized out of
 # file order still number correctly. Still out of scope (ok=False +
 # err, never wrong text): Type0 without a usable ToUnicode CMap,
-# encryption, non-Flate filters.
+# AES/R4+ or password-protected encryption, non-Flate filters.
+# RC4 standard-security files (V1/V2, R2/R3, empty user password) are
+# transparently decrypted up front (_maybe_decrypt).
 # ---------------------------------------------------------------------------
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
@@ -476,6 +535,186 @@ def _parse_tounicode(body: bytes) -> dict[int, str]:
     return cmap
 
 
+# --- standard security handler (PDF 32000-1 §7.6.3): RC4 V1/V2, R2/R3 -----
+# 32-byte padding constant from the public spec (Algorithm 2 step a)
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_DICT_HEXSTR_RE = re.compile(rb"(?<!<)<([0-9A-Fa-f\s]+)>(?!>)")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """plain RC4 (public algorithm) — used only for PDF standard-
+    security-handler compatibility, not as a security primitive."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(O: bytes, P: int, id0: bytes, R: int, keylen: int) -> bytes:
+    """Algorithm 2 file key for the EMPTY user password."""
+    import hashlib
+
+    h = hashlib.md5(
+        _PW_PAD + O[:32] + (P & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if R >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    return h[:keylen]
+
+
+def _std_user_check(key: bytes, U: bytes, R: int, id0: bytes) -> bool:
+    """Algorithms 4/5: does the empty user password open this file?"""
+    import hashlib
+
+    if R == 2:
+        return _rc4(key, _PW_PAD) == U[:32]
+    x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == U[:16]
+
+
+def _std_owner_entry(R: int, keylen: int) -> bytes:
+    """Algorithm 3 /O for empty owner+user passwords (fixture writer)."""
+    import hashlib
+
+    h = hashlib.md5(_PW_PAD).digest()
+    if R >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    o = _rc4(h[:keylen], _PW_PAD)
+    if R >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in h[:keylen]), o)
+    return o
+
+
+def _std_user_entry(key: bytes, R: int, id0: bytes) -> bytes:
+    import hashlib
+
+    if R == 2:
+        return _rc4(key, _PW_PAD)
+    x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x + b"\x00" * 16  # padded to 32 bytes per spec
+
+
+def _obj_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1 per-object RC4 key."""
+    import hashlib
+
+    k = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return k[: min(len(file_key) + 5, 16)]
+
+
+def _parse_enc_string(body: bytes, name: bytes) -> bytes | None:
+    """/O or /U value: hex string or escaped literal."""
+    m = re.search(name + rb"\s*<([0-9A-Fa-f\s]+)>", body)
+    if m:
+        return bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode("ascii"))
+    m = re.search(name + rb"\s*\(((?:[^()\\]|\\.)*)\)", body)
+    if m:
+        return _unescape(m.group(1)).encode("latin-1")
+    return None
+
+
+def _maybe_decrypt(data: bytes) -> bytes:
+    """transparently decrypt a standard-security-handler RC4 file with
+    an empty user password, rewriting stream payloads and dict strings
+    in place; raises for password-protected or non-RC4 encryption (the
+    caller converts that to ok=False + err)."""
+    em = _ENCRYPT_REF_RE.search(data)
+    if not em:
+        return data
+    enc_num = int(em.group(1))
+    enc_body = None
+    for m in _OBJ_RE.finditer(data):
+        if int(m.group(1)) == enc_num:
+            enc_body = m.group(2)
+            break
+    if enc_body is None or b"/Standard" not in enc_body:
+        raise ValueError("unsupported /Encrypt handler")
+    vm = re.search(rb"/V\s+(\d+)", enc_body)
+    rm = re.search(rb"/R\s+(\d+)", enc_body)
+    V = int(vm.group(1)) if vm else 0
+    R = int(rm.group(1)) if rm else 2
+    if V not in (1, 2) or R not in (2, 3):
+        raise ValueError(f"unsupported encryption (V={V} R={R}; RC4 V1/V2 only)")
+    lm = re.search(rb"/Length\s+(\d+)", enc_body)
+    keylen = (int(lm.group(1)) if lm else 40) // 8
+    O = _parse_enc_string(enc_body, rb"/O")
+    U = _parse_enc_string(enc_body, rb"/U")
+    pm = re.search(rb"/P\s+(-?\d+)", enc_body)
+    idm = _ID_RE.search(data)
+    if O is None or U is None or pm is None or idm is None:
+        raise ValueError("malformed /Encrypt dictionary")
+    id0 = bytes.fromhex(idm.group(1).decode("ascii"))
+    key = _std_file_key(O, int(pm.group(1)), id0, R, keylen)
+    if not _std_user_check(key, U, R, id0):
+        raise ValueError("password-protected PDF (empty user password rejected)")
+
+    def decrypt_block(num: int, body: bytes) -> bytes:
+        if num == enc_num:
+            return body
+        ok = _obj_key(key, num)
+        sm = _STREAM_RE.search(body)
+        dict_part = body[: sm.start()] if sm else body
+
+        # dict strings: hex and literal forms both decrypt to literals —
+        # ONE combined pass so a freshly decrypted literal is never
+        # re-matched and double-decrypted
+        def _string_repl(m: re.Match) -> bytes:
+            if m.group(1) is not None:
+                raw = bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode("ascii"))
+            else:
+                raw = _unescape(m.group(2)).encode("latin-1")
+            return b"(" + _esc(_rc4(ok, raw).decode("latin-1")).encode("latin-1") + b")"
+
+        combined = re.compile(_DICT_HEXSTR_RE.pattern + rb"|" + _STR_RE.pattern)
+        dict_part = combined.sub(_string_repl, dict_part)
+        if not sm:
+            return dict_part
+        return (
+            dict_part
+            + b"stream\n"
+            + _rc4(ok, sm.group(1))
+            + b"endstream"
+            + body[sm.end():]
+        )
+
+    pos = 0
+    pieces: list[bytes] = []
+    for m in _OBJ_RE.finditer(data):
+        pieces.append(data[pos : m.start()])
+        num = int(m.group(1))
+        pieces.append(b"%d 0 obj" % num + decrypt_block(num, m.group(2)) + b"endobj")
+        pos = m.end()
+    pieces.append(data[pos:])
+    return b"".join(pieces)
+
+
 #: sentinel for a Type0 font lacking a usable ToUnicode CMap — its hex
 #: shows cannot be decoded and must surface as an error, not mojibake
 _NO_CMAP = object()
@@ -567,6 +806,7 @@ def parse_pdf(data: bytes) -> dict:
         if not data or not data.startswith(b"%PDF-"):
             res["err"] = "not a PDF (missing %PDF- header)"
             return res
+        data = _maybe_decrypt(data)
         objs = _collect_objects(data)
         order = _page_order(objs)
         page_texts: list[str] = []
@@ -655,6 +895,10 @@ def pdf_images(data: bytes) -> list[dict]:
     """
     if not data or not data.startswith(b"%PDF-"):
         return []
+    try:
+        data = _maybe_decrypt(data)
+    except ValueError:
+        return []  # unsupported/locked encryption: no images, no wrong bytes
     images: dict[int, bytes] = {}
     file_order_pages: list[int] = []
     for m in _OBJ_RE.finditer(data):

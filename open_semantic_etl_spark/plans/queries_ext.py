@@ -542,6 +542,7 @@ def _build_pdf_doc(d: int) -> bytes:
         modern=(d % 3 == 0),
         reverse_page_objects=(d % 4 == 0),
         type0=(d % 5 == 0),
+        encrypt=("rc4-128" if (d % 3 != 0 and d % 7 == 1) else None),
     )
 
 

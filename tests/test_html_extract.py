@@ -232,3 +232,32 @@ def test_pdf_type0_cid_tounicode_roundtrip():
     broken = build_pdf(["abc"], type0=True).replace(b"/ToUnicode", b"/NoUnicode")
     rb = parse_pdf(broken)
     assert rb["ok"] is False and "ToUnicode" in rb["err"]
+
+
+def test_pdf_rc4_encrypted_roundtrip():
+    """standard security handler with empty user password: RC4 V1/R2
+    (40-bit) and V2/R3 (128-bit) files decrypt transparently — page
+    text, info strings, and per-page images round-trip; unsupported
+    revisions and wrong passwords yield ok=False, never garbage."""
+    import re as _re
+
+    from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+    pages = ["Secret page one text", "Another crypted page", "dritte Seite §7"]
+    for mode in ("rc4-40", "rc4-128"):
+        r = parse_pdf(build_pdf(pages, title="Enc T", author="Enc A", encrypt=mode))
+        assert r["ok"], (mode, r["err"])
+        assert r["pages"] == pages and r["title"] == "Enc T"
+    # composes with Type0/CID text
+    r2 = parse_pdf(build_pdf(["Grüße 東京"], type0=True, encrypt="rc4-128"))
+    assert r2["ok"] and r2["pages"] == ["Grüße 東京"]
+    # encrypted image payloads decrypt through pdf_images
+    p3 = build_pdf(["t1", "t2"], images=[[b"img-one"], [b"img-two"]], encrypt="rc4-128")
+    got = {(d["page_i"], bytes(d["image"])) for d in pdf_images(p3)}
+    assert got == {(1, b"img-one"), (2, b"img-two")}
+    # unsupported V → error; tampered /U (≠ empty-password file) → error
+    rb = parse_pdf(build_pdf(["x"], encrypt="rc4-128").replace(b"/V 2", b"/V 4"))
+    assert rb["ok"] is False and "unsupported encryption" in rb["err"]
+    rt = parse_pdf(_re.sub(rb"/U <([0-9A-F]{8})", rb"/U <00000000",
+                           build_pdf(["x"], encrypt="rc4-128")))
+    assert rt["ok"] is False and "password" in rt["err"]
