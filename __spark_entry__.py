@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- corpus-curation tier ---
         "dedup_exact": Q.q_dedup_exact,
         "dedup_jaccard": Q.q_dedup_jaccard,
+        "dup_clusters": Q.q_dup_clusters,
         "minhash_lsh": Q.q_minhash_lsh,
         "simhash": Q.q_simhash,
         "ann_topk": Q.q_ann_topk,
@@ -124,7 +125,12 @@ SELECT doc_id,
   CASE WHEN lang = 'en' THEN text END AS text_txt_en,
   CASE WHEN lang = 'de' THEN text END AS text_txt_de,
   CASE WHEN lang = 'de' THEN text END AS text_txt_hunspell_de,
-  text AS text_txt_fr
+  text AS text_txt_fr,
+  CASE doc_id % 4 WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf'
+       WHEN 2 THEN 'image/png' ELSE 'application/zip' END AS content_type_magic_s,
+  (CASE doc_id % 4
+       WHEN 0 THEN 27 WHEN 1 THEN 10
+       WHEN 2 THEN 9 ELSE 5 END + length(doc_id::varchar))::int AS file_size_i
 FROM documents""",
         "file_modified_dt": """
 SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS file_modified_dt
@@ -184,6 +190,32 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a, sh b
 WHERE a.doc_id < b.doc_id
   AND round(len(list_intersect(a.sh, b.sh))::double / len(list_distinct(a.sh || b.sh)), 4) >= 0.10""",
+        "dup_clusters": """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         (CASE WHEN len(w) >= 3
+               THEN list_distinct(list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               ELSE [w[1]] END) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+        FROM documents WHERE doc_id < 100)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.sh, b.sh))::double / len(list_distinct(a.sh || b.sh)), 4) >= 0.015
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a
+)
+SELECT id AS doc_id, min(r) AS cluster_id,
+       (min(r) = id)::int AS is_keeper
+FROM reach GROUP BY id""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (
@@ -210,6 +242,66 @@ WITH t AS (
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
          len(list_distinct(toks)) AS n_dist
   FROM t
+), line_u AS (
+  SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS l
+  FROM t
+), line_c AS (
+  SELECT doc_id, l, count(*) AS c FROM line_u GROUP BY doc_id, l
+), ls AS (
+  SELECT doc_id, sum(c) AS n_lines, count(*) AS n_dist_lines,
+         sum(c * length(l)) AS line_chars,
+         sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END) AS dup_line_chars
+  FROM line_c GROUP BY doc_id
+), g2_u AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2 + 2),
+                 i -> array_to_string(toks[i:i + 2 - 1], ' '))) AS g
+  FROM t
+), g2_c AS (
+  SELECT doc_id, g, count(*) AS c FROM g2_u GROUP BY doc_id, g
+), g2 AS (
+  SELECT doc_id, max(c * length(g)) AS top,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
+  FROM g2_c GROUP BY doc_id
+), g3_u AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3 + 2),
+                 i -> array_to_string(toks[i:i + 3 - 1], ' '))) AS g
+  FROM t
+), g3_c AS (
+  SELECT doc_id, g, count(*) AS c FROM g3_u GROUP BY doc_id, g
+), g3 AS (
+  SELECT doc_id, max(c * length(g)) AS top,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
+  FROM g3_c GROUP BY doc_id
+), g4_u AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 4 + 2),
+                 i -> array_to_string(toks[i:i + 4 - 1], ' '))) AS g
+  FROM t
+), g4_c AS (
+  SELECT doc_id, g, count(*) AS c FROM g4_u GROUP BY doc_id, g
+), g4 AS (
+  SELECT doc_id, max(c * length(g)) AS top,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
+  FROM g4_c GROUP BY doc_id
+), g5_u AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 5 + 2),
+                 i -> array_to_string(toks[i:i + 5 - 1], ' '))) AS g
+  FROM t
+), g5_c AS (
+  SELECT doc_id, g, count(*) AS c FROM g5_u GROUP BY doc_id, g
+), g5 AS (
+  SELECT doc_id, max(c * length(g)) AS top,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
+  FROM g5_c GROUP BY doc_id
+), g10_u AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 10 + 2),
+                 i -> array_to_string(toks[i:i + 10 - 1], ' '))) AS g
+  FROM t
+), g10_c AS (
+  SELECT doc_id, g, count(*) AS c FROM g10_u GROUP BY doc_id, g
+), g10 AS (
+  SELECT doc_id, max(c * length(g)) AS top,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
+  FROM g10_c GROUP BY doc_id
 )
 SELECT doc_id, n AS n_tokens,
        CASE WHEN n > 0 THEN round((chars - (n - 1))::double / n, 4) ELSE 0.0 END AS mean_word_len,
@@ -227,8 +319,21 @@ SELECT doc_id, n AS n_tokens,
        n AS n_ws_tokens,
        len(regexp_extract_all(text, '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\\s]')) AS n_bpe_tokens,
        n_dist AS n_distinct_tokens,
-       md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp_md5
-FROM s""",
+       md5(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), ' ')) AS fp_md5,
+       coalesce(round(CASE WHEN ls.n_lines > 0 THEN 1 - ls.n_dist_lines::double / ls.n_lines END, 4), 0.0) AS dup_line_frac,
+       coalesce(round(CASE WHEN ls.line_chars > 0 THEN ls.dup_line_chars::double / ls.line_chars END, 4), 0.0) AS dup_line_char_frac,
+       coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g2.top::double / chars) END, 4), 0.0) AS top2gram_char_frac,
+       coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g3.top::double / chars) END, 4), 0.0) AS top3gram_char_frac,
+       coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g4.top::double / chars) END, 4), 0.0) AS top4gram_char_frac,
+       coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g5.dup::double / chars) END, 4), 0.0) AS dup5gram_char_frac,
+       coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g10.dup::double / chars) END, 4), 0.0) AS dup10gram_char_frac
+FROM s
+LEFT JOIN ls USING (doc_id)
+LEFT JOIN g2 USING (doc_id)
+LEFT JOIN g3 USING (doc_id)
+LEFT JOIN g4 USING (doc_id)
+LEFT JOIN g5 USING (doc_id)
+LEFT JOIN g10 USING (doc_id)""",
         "sentences": """
 WITH d AS (
   SELECT 'd' || doc_id AS parent_id,

@@ -235,6 +235,73 @@ def jaccard_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """connected components over candidate-pair edges → canonical dup
+    clusters: ``(id, cluster_id, is_keeper)`` with ``cluster_id`` = the
+    smallest id in the component and ``is_keeper`` marking that one row
+    (the keep-one-per-cluster decision that turns near-dup PAIRS into
+    an actionable delete set — the final step of the dedup pipeline).
+
+    Iterative min-label propagation (hash-to-min): each round is one
+    shuffle of ``(node, label)`` keyed by node — labels only, never
+    text or signatures — and converges in O(component diameter)
+    rounds; ``max_iter`` bounds the driver loop for adversarial
+    chains. Each round ``localCheckpoint``s its label table, which
+    MATERIALIZES the rows and TRUNCATES the logical plan — ``cache()``
+    alone is not enough here: the analyzed plan nests the previous
+    round's plan and grows geometrically (a 10-round cached loop
+    produced a 2 GB plan string and drove the driver OOM). On a real
+    cluster prefer ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint()`` for executor-loss tolerance; localCheckpoint is
+    the right call in local mode and keeps per-round cost one shuffle.
+
+    Only ids that appear in ``pairs`` are returned; rows with no dup
+    edge are trivially their own singleton cluster and never enter the
+    shuffle (anti-join the delete set instead of materializing them).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint()  # eager: materializes + truncates lineage
+        )
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("id")).cast("int").alias("is_keeper"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination
 # ---------------------------------------------------------------------------

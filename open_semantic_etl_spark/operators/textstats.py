@@ -87,6 +87,122 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", F.round(score, 2))
 
 
+def _rep_stats(arr: Column) -> Column:
+    """``struct(top, dup)`` over an array<string>: ``top`` = the largest
+    ``count(g) * length(g)`` over distinct values g (characters covered
+    by the most frequent value, overlaps ignored), ``dup`` = total
+    characters in values occurring more than once (all occurrences
+    counted). One sort + one linear fold per row — no explode, no
+    shuffle, stays inside whole-stage codegen."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        glen = F.length(g).cast("long")
+        run = F.when(acc["prev"].eqNullSafe(g), acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        dup = acc["dup"] + (
+            F.when(run == 2, glen * 2).when(run > 2, glen).otherwise(zero)
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run * glen).alias("top"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(
+        F.array_sort(arr),
+        init,
+        merge,
+        lambda acc: F.struct(acc["top"].alias("top"), acc["dup"].alias("dup")),
+    )
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """space-joined word n-grams (empty array when fewer than n tokens)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def with_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1),
+    re-expressed as pure Column algebra — the repetition tier of the
+    quality filter a webtext-curation pipeline runs before training:
+
+    - ``dup_line_frac``: fraction of (trimmed, non-empty) lines that are
+      repeats of another line;
+    - ``dup_line_char_frac``: fraction of line characters inside lines
+      occurring more than once (all occurrences counted);
+    - ``top{n}gram_char_frac`` for n in ``top_ns``: characters covered
+      by the single most frequent word n-gram / total text chars;
+    - ``dup{n}gram_char_frac`` for n in ``dup_ns``: characters inside
+      word n-grams occurring more than once / total text chars.
+
+    The n-gram fractions count every occurrence (overlapping n-grams
+    multi-count their characters — the cheap upper-bound approximation
+    public curation pipelines use instead of exact position coverage),
+    clipped to 1.0 so the signal stays a [0,1] filterable ratio.
+
+    Everything is one sorted fold per signal (no explode → no Exchange):
+    the whole block composes with the extraction chain's zero-shuffle
+    invariant and scales as O(tokens·log tokens) per document.
+    """
+    t = F.col(text_col)
+    chars = F.length(t).cast("long")
+    toks = whitespace_tokens(t)
+    lines = F.filter(
+        F.transform(F.split(t, r"\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+
+    df = df.withColumn("_lines", lines).withColumn("_toks", toks)
+    n_lines = F.size("_lines")
+    line_chars = F.aggregate(
+        "_lines", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    line_stats = _rep_stats(F.col("_lines"))
+    df = df.withColumn(
+        "dup_line_frac",
+        F.when(
+            n_lines > 0,
+            F.round(1 - F.size(F.array_distinct("_lines")) / n_lines, 4),
+        ).otherwise(F.lit(0.0)),
+    ).withColumn(
+        "dup_line_char_frac",
+        F.when(line_chars > 0, F.round(line_stats["dup"] / line_chars, 4)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    for n in top_ns:
+        s = _rep_stats(_word_ngrams(F.col("_toks"), n))
+        df = df.withColumn(
+            f"top{n}gram_char_frac",
+            F.when(
+                chars > 0, F.round(F.least(F.lit(1.0), s["top"] / chars), 4)
+            ).otherwise(F.lit(0.0)),
+        )
+    for n in dup_ns:
+        s = _rep_stats(_word_ngrams(F.col("_toks"), n))
+        df = df.withColumn(
+            f"dup{n}gram_char_frac",
+            F.when(
+                chars > 0, F.round(F.least(F.lit(1.0), s["dup"] / chars), 4)
+            ).otherwise(F.lit(0.0)),
+        )
+    return df.drop("_lines", "_toks")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """stable document fingerprints:
     - fp_md5: md5 of whitespace-normalized lowercase text (exact identity);

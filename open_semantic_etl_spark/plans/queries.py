@@ -357,6 +357,21 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.10)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near-dup pairs → connected-component clusters + keep-one flag
+    (min-label propagation; the pair set is the same exact-Jaccard
+    verification block dedup_jaccard pins, so the oracle can rebuild
+    the identical graph with a recursive CTE). Threshold 0.015 over the
+    first 100 docs yields a multi-hop edge set at BOTH sf0.001 and
+    sf0.01, so the propagation loop is exercised non-trivially at
+    driver scale (0.10 would be an empty graph here)."""
+    from open_semantic_etl_spark.operators.dedup import dup_clusters, jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 100)
+    pairs = jaccard_pairs(docs, threshold=0.015)
+    return dup_clusters(pairs).withColumnRenamed("id", "doc_id")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (xxhash64 family — rows-only vs oracle;
     recall proven against exact Jaccard in tests/test_dedup.py)."""
@@ -447,10 +462,12 @@ def q_scalar_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_title + enhance_contenttype_group + get_text concat +
-    enhance_multilingual fan-out in one scan of documents (identical
-    derived inputs to the solo queries each replaces)."""
+    enhance_multilingual fan-out + enhance_mimetype magic-byte sniff +
+    enhance_file_size in one scan of documents (identical derived
+    inputs to the solo queries each replaces)."""
     from open_semantic_etl_spark.functions.textmeta import (
         analysis_text,
+        sniff_mimetype,
         with_multilingual,
     )
 
@@ -480,6 +497,16 @@ def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         # multilingual fan-out inputs (same derivation as the solo query)
         F.col("text").alias("ml_text"),
         F.col("lang").alias("ml_lang"),
+        # magic-byte payload (same fixture family the solo mimetype
+        # query used before consolidation)
+        F.encode(
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit("<html><body>M"), F.col("doc_id").cast("string"), F.lit("</body></html>")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("%PDF-1.4 M"), F.col("doc_id").cast("string")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("\x89PNG\r\n\x1a\nM"), F.col("doc_id").cast("string")))
+            .otherwise(F.concat(F.lit("PK\x03\x04M"), F.col("doc_id").cast("string"))),
+            "ISO-8859-1",
+        ).alias("_magic"),
     )
     ml = with_multilingual(
         d, langs=("en", "de"), langs_hunspell=("de",), langs_force=("fr",),
@@ -494,6 +521,8 @@ def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         analysis_text("title_txt_in", "description_txt", "content_txt").alias("text_analysis"),
         "text_all", "text_txt_en", "text_txt_de",
         "text_txt_hunspell_de", "text_txt_fr",
+        sniff_mimetype(F.col("_magic")).alias("content_type_magic_s"),
+        F.length(F.col("_magic")).alias("file_size_i"),
     )
 
 
@@ -503,15 +532,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_semantic_etl_spark.operators.textstats import (
         with_fingerprint,
         with_quality,
+        with_repetition,
         with_token_counts,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = with_fingerprint(with_token_counts(with_quality(docs, "text"), "text"), "text")
+    out = with_repetition(out, "text")
     return out.select(
         "doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
         "punct_ratio", "digit_ratio", "repetition_ratio", "quality_score",
         "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens", "fp_md5",
+        "dup_line_frac", "dup_line_char_frac",
+        "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
+        "dup5gram_char_frac", "dup10gram_char_frac",
     )
 
 

@@ -569,7 +569,9 @@ FROM p
 
 # ---------------------------------------------------------------------------
 # mimetype sniff + file size (enhance_mimetype.py:27-35,
-# enhance_file_size.py:25-31) — fully JVM-side
+# enhance_file_size.py:25-31) — fully JVM-side. Driver slot consolidated
+# into doc_meta (same doc grain; the 50-entry cap): q_mimetype stays the
+# solo form, SQL_MIMETYPE its oracle, both exercised via doc_meta's columns
 # ---------------------------------------------------------------------------
 
 
@@ -1423,7 +1425,6 @@ EXT_QUERIES = {
     "warc_explode": q_warc_explode,
     "csv_explode": q_csv_explode,
     "pdf_pages": q_pdf_pages,
-    "mimetype": q_mimetype,
     "blacklist_filter": q_blacklist_filter,
     "entity_link": q_entity_link,
     "ner_model": q_ner_model,
@@ -1459,7 +1460,6 @@ EXT_ORACLES = {
     "warc_explode": SQL_WARC_EXPLODE,
     "csv_explode": SQL_CSV_EXPLODE,
     "pdf_pages": SQL_PDF_PAGES,
-    "mimetype": SQL_MIMETYPE,
     "blacklist_filter": SQL_BLACKLIST,
     "entity_link": SQL_ENTITY_LINK,
     "ner_model": SQL_NER_MODEL,

@@ -222,3 +222,56 @@ def test_ngram_decontaminate(spark):
     assert out[1] == (0, 0)
     assert out[2] == (2, 1)  # quick brown fox + brown fox jumps
     assert out[3] == (0, 0)
+
+
+def test_dup_clusters(spark):
+    """connected components over pair edges: a 5-node chain (worst case
+    for min-label propagation — needs multiple rounds), a 2-clique, and
+    an isolated pair; keeper = min id per component."""
+    from open_semantic_etl_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 9-7-5-3-1 (edges listed high→low so labels must travel),
+        # clique {2,4}, pair {10,20}
+        [(9, 7), (7, 5), (5, 3), (3, 1), (2, 4), (4, 2), (10, 20)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dup_clusters(pairs).collect()
+    }
+    assert out == {
+        1: (1, 1), 3: (1, 0), 5: (1, 0), 7: (1, 0), 9: (1, 0),
+        2: (2, 1), 4: (2, 0),
+        10: (10, 1), 20: (10, 0),
+    }
+
+
+def test_repetition_signals(spark):
+    """Gopher repetition tier: hand-computed expectations on a crafted doc.
+
+    doc 1: "ab cd ab cd ab cd" — 17 chars, toks [ab,cd]*3:
+      2-grams: 'ab cd'×3, 'cd ab'×2  -> top2 = 3*5/17
+      5-grams: 'ab cd ab cd ab'×1, 'cd ab cd ab cd'×1 -> dup5 = 0
+    doc 2: three lines, 'same line' twice + 'other' once:
+      dup_line_frac = 1 - 2/3; dup_line_char_frac = 18/23
+    doc 3: 'x y '*6 (trailing strip) — 5-gram 'x y x y x'×4,
+      'y x y x y'×4 -> dup5 = 8*9/23, clipped to 1.0
+    """
+    rows = [
+        (1, "ab cd ab cd ab cd"),
+        (2, "same line\nother\nsame line"),
+        (3, ("x y " * 6).strip()),
+        (4, ""),  # all-zero row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in TS.with_repetition(df, "text").orderBy("doc_id").collect()
+    }
+    assert out[1]["top2gram_char_frac"] == round(15 / 17, 4)
+    assert out[1]["dup5gram_char_frac"] == 0.0
+    assert out[2]["dup_line_frac"] == round(1 - 2 / 3, 4)
+    assert out[2]["dup_line_char_frac"] == round(18 / 23, 4)
+    assert out[3]["dup5gram_char_frac"] == 1.0
+    assert all(out[4][c] == 0.0 for c in out[4].asDict() if c.endswith("_frac"))

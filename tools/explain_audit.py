@@ -345,6 +345,65 @@ def main() -> int:
             ],
         )
 
+    # 13. text_stats incl. the Gopher repetition tier: every signal is a
+    # sorted fold over in-row arrays — no explode, so the whole block
+    # stays a map-only plan (zero Exchange) with no Python eval
+    tstats = Q.q_text_stats(spark, sf)
+    section(
+        "text stats + repetition — map-only, no Python",
+        tstats,
+        [
+            (
+                "no Exchange anywhere in the plan",
+                lambda p: len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 0,
+            ),
+            (
+                "no Python eval in the plan",
+                lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+            ),
+        ],
+    )
+
+    # 14. dup_clusters propagation round: the per-iteration shuffle
+    # carries (node, label) longs only — localCheckpoint truncates the
+    # lineage so the plan of round k never nests round k-1 (the cached
+    # variant grew a 2 GB plan string by round ~10 and OOMed the driver)
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    ).localCheckpoint()
+    labels0 = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    one_round = (
+        edges.join(labels0, edges["src"] == labels0["id"])
+        .groupBy("dst")
+        .agg(F.min("label").alias("nbr_label"))
+    )
+
+    def shuffles_only_keys(p: str) -> bool:
+        for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", p):
+            cols = m.group(1)
+            if any(bad in cols for bad in ("text", "html", "sig")):
+                return False
+        return True
+
+    section(
+        "dup_clusters round — (node,label) shuffle, truncated lineage",
+        one_round,
+        [
+            ("shuffles carry id/label keys only", shuffles_only_keys),
+            (
+                "inputs are checkpointed RDD scans (lineage truncated)",
+                lambda p: "Scan ExistingRDD" in p,
+            ),
+        ],
+    )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:
