@@ -28,8 +28,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 rows, so same-grain single-operator queries are consolidated
     (scalar_extracts = emails+phones+hashtags+iban+law+money,
     doc_meta = clean_title+content_type_group+analysis_text,
-    text_stats = text_quality+token_count+fingerprint,
-    path_mapping = path_facets+mapping_id) — every operator's solo
+    text_stats = text_quality+token_count+fingerprint+curation,
+    path_mapping = path_facets+mapping_id,
+    ann = brute+lsh+ivf tagged by `method`) — every operator's solo
     columns keep their names, so each stays pinned by the oracle hash."""
     return {
         "extract_pages": Q.q_extract_pages,
@@ -46,8 +47,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": Q.q_dup_clusters,
         "minhash_lsh": Q.q_minhash_lsh,
         "simhash": Q.q_simhash,
-        "ann_topk": Q.q_ann_topk,
-        "ann_lsh": Q.q_ann_lsh,
+        "ann": Q.q_ann,
+        "paragraph_dedup": Q.q_paragraph_dedup,
         "text_stats": Q.q_text_stats,
         "language_detect": Q.q_language_detect,
         "sentences": Q.q_sentences,
@@ -67,6 +68,22 @@ _MONEY_NUM = r"\d+(?:[.,]\d+)*"
 _MONEY_CUR = r"(?:\$|€|dollars|dollar|EURO|USD|EUR)"
 
 _RICH = f"WITH rich AS (SELECT doc_id, {Q._RICH_DUCK} AS rich FROM documents)"
+
+# Gopher-verdict oracle tail appended to the text_stats signal SQL —
+# the rule conditions come from the SAME dict the Spark side evaluates
+# (operators/textstats.py CURATION_RULES), so the spec is single-sourced.
+from open_semantic_etl_spark.operators.textstats import CURATION_RULES as _CR
+
+_CURATION_CASES = ", ".join(
+    f"CASE WHEN {cond} THEN '{name}' END" for name, cond in sorted(_CR.items())
+)
+_CURATION_TAIL = f""", verdict AS (
+  SELECT *, list_filter([{_CURATION_CASES}], x -> x IS NOT NULL) AS _r FROM stats
+)
+SELECT * EXCLUDE (_r),
+       coalesce(array_to_string(list_sort(_r), ','), '') AS drop_reasons_s,
+       (len(_r) = 0)::int AS keep_i
+FROM verdict"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -216,18 +233,53 @@ WITH RECURSIVE sh AS (
 SELECT id AS doc_id, min(r) AS cluster_id,
        (min(r) = id)::int AS is_keeper
 FROM reach GROUP BY id""",
-        "ann_topk": """
+        "ann": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, e.vec_id AS nbr_id,
          round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS cos
   FROM embeddings e, q WHERE e.vec_id <> q.query_id
 )
-SELECT query_id, nbr_id, cos, rk FROM (
+SELECT 'brute' AS method, query_id, nbr_id, cos, rk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rk
   FROM scored
-) WHERE rk <= 5""",
+) WHERE rk <= 5
+UNION ALL
+SELECT 'lsh' AS method, query_id, nbr_id, cos, rk
+FROM read_parquet('/root/repo/goldens/ann_lsh.parquet')
+WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)
+UNION ALL
+SELECT 'ivf' AS method, query_id, nbr_id, cos, rk
+FROM read_parquet('/root/repo/goldens/ann_ivf.parquet')
+WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)""",
+        "paragraph_dedup": """
+WITH d AS (
+  SELECT doc_id,
+         'NAV-' || (doc_id % 7) || chr(10) || chr(10) || text ||
+         chr(10) || chr(10) || 'FOOTER ' || (doc_id % 3) AS ptext
+  FROM documents
+), ph AS (
+  SELECT DISTINCT doc_id, md5(trim(para)) AS h
+  FROM (SELECT doc_id, unnest(string_split(ptext, chr(10)||chr(10))) AS para FROM d)
+  WHERE trim(para) <> ''
+), dup AS (
+  SELECT h FROM ph GROUP BY h HAVING count(*) >= 2
+), docdup AS (
+  SELECT ph.doc_id, list(ph.h) AS dhs FROM ph JOIN dup USING (h) GROUP BY ph.doc_id
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)||chr(10)) AS text_dedup,
+       len(ne) AS n_paragraphs,
+       len(ne) - len(list_filter(kept, x -> trim(x) <> '')) AS n_dropped
+FROM (
+  SELECT d.doc_id,
+         list_filter(string_split(d.ptext, chr(10)||chr(10)),
+                     x -> trim(x) = '' OR NOT list_contains(coalesce(dd.dhs, []), md5(trim(x)))) AS kept,
+         list_filter(string_split(d.ptext, chr(10)||chr(10)), x -> trim(x) <> '') AS ne
+  FROM d LEFT JOIN docdup dd USING (doc_id)
+)""",
         "text_stats": """
+WITH stats AS (
 WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
@@ -333,7 +385,8 @@ LEFT JOIN g2 USING (doc_id)
 LEFT JOIN g3 USING (doc_id)
 LEFT JOIN g4 USING (doc_id)
 LEFT JOIN g5 USING (doc_id)
-LEFT JOIN g10 USING (doc_id)""",
+LEFT JOIN g10 USING (doc_id)
+)""" + _CURATION_TAIL,
         "sentences": """
 WITH d AS (
   SELECT 'd' || doc_id AS parent_id,
@@ -357,10 +410,6 @@ WHERE _key = (SELECT SUM(n_chars) FROM documents)""",
 SELECT doc_id, simhash
 FROM read_parquet('/root/repo/goldens/simhash.parquet')
 WHERE _key = (SELECT SUM(n_chars) FROM documents)""",
-        "ann_lsh": """
-SELECT query_id, nbr_id, cos, rk
-FROM read_parquet('/root/repo/goldens/ann_lsh.parquet')
-WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)""",
         "language_detect": """
 SELECT doc_id, language_s
 FROM read_parquet('/root/repo/goldens/language_detect.parquet')

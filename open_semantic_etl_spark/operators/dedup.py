@@ -55,6 +55,66 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """corpus-wide paragraph dedup (the CCNet / RefinedWeb line-dedup
+    recipe): drop every paragraph that appears — trimmed-exact — in
+    ``>= min_docs`` DISTINCT documents; boilerplate (nav bars, cookie
+    banners, footers) repeats across pages while body text does not.
+
+    Adds ``text_dedup`` (surviving paragraphs re-joined with ``sep``,
+    original order and whitespace-only paragraphs preserved),
+    ``n_paragraphs`` (non-empty), ``n_dropped``.
+
+    Scale shape: per-doc paragraph hashing and within-doc dedup are
+    map-side array algebra (``transform``/``array_distinct`` — no
+    explode-then-distinct shuffle); the only wide ops are the frequency
+    count keyed by the 128-bit hash and the doc-id regroup of the
+    (typically small) dup-hit set; the final filter runs JVM-side
+    against the original text via a left join, so docs with no shared
+    paragraph never shuffle their text.
+    """
+    paras = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    # empty/whitespace paragraphs are structure, not content: excluded
+    # from frequency counting and always kept on reassembly
+    phs = F.array_distinct(
+        F.filter(
+            F.transform(paras, lambda p: F.when(F.trim(p) != "", F.md5(F.trim(p)))),
+            lambda h: h.isNotNull(),
+        )
+    )
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(phs).alias("ph"))
+    dup_hashes = (
+        ex.groupBy("ph")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("ph")
+    )
+    doc_dups = (
+        ex.join(dup_hashes, "ph")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("ph")).alias("_dup_phs"))
+    )
+    out = df.join(doc_dups, df[id_col] == doc_dups["_id"], "left").drop("_id")
+    dup_set = F.coalesce(F.col("_dup_phs"), F.array().cast("array<string>"))
+    kept = F.filter(
+        paras,
+        lambda p: (F.trim(p) == "") | ~F.array_contains(dup_set, F.md5(F.trim(p))),
+    )
+    nonempty = lambda arr: F.size(F.filter(arr, lambda p: F.trim(p) != ""))  # noqa: E731
+    return (
+        out.withColumn("text_dedup", F.array_join(kept, sep))
+        .withColumn("n_paragraphs", nonempty(paras))
+        .withColumn("n_dropped", nonempty(paras) - nonempty(kept))
+        .drop("_dup_phs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash + LSH banding — all JVM-side expressions
 # ---------------------------------------------------------------------------

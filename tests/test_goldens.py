@@ -13,6 +13,7 @@ GOLD = "/root/repo/goldens"
 
 def test_goldens_match_generator():
     from tools.gen_goldens import (
+        ann_ivf_golden,
         ann_lsh_golden,
         language_golden,
         minhash_lsh_golden,
@@ -27,6 +28,7 @@ def test_goldens_match_generator():
         ("minhash_lsh", minhash_lsh_golden(docs), dkey),
         ("simhash", simhash_golden(docs), dkey),
         ("ann_lsh", ann_lsh_golden(emb), ekey),
+        ("ann_ivf", ann_ivf_golden(emb), ekey),
         ("language_detect", language_golden(docs), dkey),
     ):
         stored = pd.read_parquet(f"{GOLD}/{name}.parquet")

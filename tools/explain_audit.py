@@ -404,6 +404,51 @@ def main() -> int:
         ],
     )
 
+    # 15. IVF ANN: the exploded query side broadcasts into the cell
+    # join, so corpus vectors never ride an exchange — the only wide op
+    # left is the per-query top-k window over the (small) candidate set
+    from open_semantic_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    ivf = ivf_topk(emb, query_ids=list(range(10)), k=5)
+
+    def no_vec_in_shuffle(p: str) -> bool:
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p):
+            if re.search(r"\bv\b|embedding", m.group(1)):
+                return False
+        return True
+
+    section(
+        "ann IVF — broadcast probe join, corpus vectors never shuffle",
+        ivf,
+        [
+            ("query cell probe joins as BroadcastHashJoin", lambda p: "BroadcastHashJoin" in p),
+            ("no corpus vector column in any shuffle Exchange input", no_vec_in_shuffle),
+        ],
+    )
+
+    # 16. paragraph dedup: the frequency count shuffles 128-bit hashes
+    # only; the doc text never rides an exchange (the dup-hit set joins
+    # back as the small side)
+    from open_semantic_etl_spark.operators.dedup import dedup_paragraphs
+
+    pdd = dedup_paragraphs(docs.select("doc_id", "text"))
+
+    def no_text_in_shuffle(p: str) -> bool:
+        for m in re.finditer(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p):
+            if "text" in m.group(1):
+                return False
+        return True
+
+    section(
+        "paragraph dedup — shuffles carry paragraph hashes, never text",
+        pdd,
+        [
+            ("no text column in any shuffle Exchange input", no_text_in_shuffle),
+            ("dup-hit set joins back as broadcast", lambda p: "BroadcastHashJoin" in p),
+        ],
+    )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:

@@ -186,6 +186,60 @@ def ann_lsh_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN top-k (spec: operators/similarity.py train_centroids/ivf_topk —
+# deterministic Lloyd's: init = first k_cells vectors in id order,
+# squared-L2 assignment via ((X[:,None,:]-C[None,:,:])**2).sum(-1) with
+# argmin ties → lowest index, float64 np.mean update in id order, empty
+# cell keeps its centroid, exactly `iters` rounds, trained on the first
+# `sample` vectors in id order)
+# ---------------------------------------------------------------------------
+
+def ann_ivf_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
+                   k_cells=16, nprobe=4, iters=5, sample=4096) -> pd.DataFrame:
+    emb = emb.sort_values("vec_id")
+    ids = [int(v) for v in emb["vec_id"]]
+    vecs = {i: [float(x) for x in v] for i, v in zip(ids, emb["embedding"])}
+
+    X = np.array([vecs[i] for i in ids[:sample]], dtype=np.float64)
+    C = X[:k_cells].copy()
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        for c in range(k_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+
+    allX = np.array([vecs[i] for i in ids], dtype=np.float64)
+    dists = ((allX[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cell = dists.argmin(axis=1)
+    by_cell: dict[int, list[int]] = {}
+    for i, c in zip(ids, cell):
+        by_cell.setdefault(int(c), []).append(i)
+    probe = np.argsort(dists, axis=1, kind="stable")[:, :nprobe]
+    probe_of = {i: [int(c) for c in row] for i, row in zip(ids, probe)}
+
+    def cosine(a, b):
+        dot = left_fold_dot(a, b)
+        return dot / (left_fold_dot(a, a) ** 0.5 * left_fold_dot(b, b) ** 0.5)
+
+    out = []
+    for q in query_ids:
+        cands = set()
+        for c in probe_of[q]:
+            cands.update(by_cell.get(c, ()))
+        cands.discard(q)
+        scored = sorted(
+            ((spark_round(cosine(vecs[q], vecs[n])), n) for n in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rk, (cos, n) in enumerate(scored, 1):
+            out.append((q, n, cos, rk))
+    return pd.DataFrame(out, columns=["query_id", "nbr_id", "cos", "rk"]).astype(
+        {"query_id": "int64", "nbr_id": "int64", "cos": "float64", "rk": "int32"}
+    )
+
+
+# ---------------------------------------------------------------------------
 # language id (spec: operators/langdetect.py stopword-profile scoring;
 # the word lists ARE the spec so they are imported as data, but the
 # scoring loop below is an independent per-language re-derivation)
@@ -228,7 +282,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
     sf_dirs = sf_dirs or SF_DIRS
     os.makedirs(out_dir, exist_ok=True)
     parts: dict[str, list[pd.DataFrame]] = {k: [] for k in
-        ("minhash_lsh", "simhash", "ann_lsh", "language_detect")}
+        ("minhash_lsh", "simhash", "ann_lsh", "ann_ivf", "language_detect")}
     keys_seen: dict[str, set] = {"docs": set(), "emb": set()}
     for sf in sf_dirs:
         docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
@@ -243,6 +297,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
             ("minhash_lsh", minhash_lsh_golden(docs), dkey),
             ("simhash", simhash_golden(docs), dkey),
             ("ann_lsh", ann_lsh_golden(emb), ekey),
+            ("ann_ivf", ann_ivf_golden(emb), ekey),
             ("language_detect", language_golden(docs), dkey),
         ):
             df["_key"] = np.int64(key)
