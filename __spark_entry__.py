@@ -103,7 +103,11 @@ SELECT doc_id,
     x -> regexp_replace(regexp_replace(trim(x), '^§(\\S)', '§ \\1'), '\\s+$', '')))), ',') AS law_clause_ss,
   array_to_string(list_sort(list_distinct(
     regexp_extract_all(rich, '{_MONEY_NUM}\\s?{_MONEY_CUR}', 0, 'i')
-    || regexp_extract_all(rich, '{_MONEY_CUR}\\s?{_MONEY_NUM}', 0, 'i'))), ',') AS money_ss
+    || regexp_extract_all(rich, '{_MONEY_CUR}\\s?{_MONEY_NUM}', 0, 'i'))), ',') AS money_ss,
+  regexp_replace(regexp_replace(regexp_replace(rich,
+    '{_EMAIL_RE}', '<EMAIL>', 'g'),
+    '{_IBAN_RE}', '<IBAN>', 'gi'),
+    '{_PHONE_RE}', '<PHONE>', 'g') AS text_redacted_s
 FROM rich""",
         "path_mapping": """
 WITH d AS (

@@ -239,3 +239,33 @@ def iban(text: Column) -> Column:
         .when(text.rlike(r"[0-9]{7}"), regex_rule(text, IBAN_RULE, 0))
         .otherwise(F.array().cast("array<string>"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — composes the extractor patterns above into a
+# training-data scrub pass (the C4/RefinedWeb-style PII step; the
+# reference only EXTRACTS these fields — enhance_extract_email.py:22,
+# enhance_extract_phone.py:12, regex/iban.tsv — redaction is the
+# beyond-reference curation tier built on the same single-sourced
+# patterns, so extract and redact can never disagree on what is PII)
+# ---------------------------------------------------------------------------
+PII_EMAIL_TOKEN = "<EMAIL>"
+PII_IBAN_TOKEN = "<IBAN>"
+PII_PHONE_TOKEN = "<PHONE>"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IBANs, and phone numbers with fixed tokens.
+
+    Pure JVM ``regexp_replace`` chain (codegen, no Python). Order is
+    part of the contract: emails first (their local parts contain
+    digit runs the phone pattern would otherwise chew on), then IBANs
+    (whose account-number tail is itself a ≥9-digit run the phone
+    pattern matches), then phones — each later pattern sees the
+    earlier tokens, which contain no digits and cannot re-match.
+    NULL in → NULL out.
+    """
+    out = F.regexp_replace(text, EMAIL_RE, PII_EMAIL_TOKEN)
+    out = F.regexp_replace(out, "(?i)" + IBAN_RULE, PII_IBAN_TOKEN)
+    out = F.regexp_replace(out, PHONE_RE, PII_PHONE_TOKEN)
+    return out

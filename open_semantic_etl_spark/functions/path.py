@@ -210,3 +210,105 @@ def web_mtime_cascade(
     last-modified → HTTP Last-Modified → HTTP Date → 'now', which in
     the landed-table model is the crawl time (warc_ts)."""
     return F.coalesce(meta_ts, http_last_modified, http_date, crawl_ts)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup — beyond-reference
+# curation tier (the reference keys everything on the raw uri,
+# etl_web.py:136-140 only prepends a scheme; web pipelines crawl the
+# same resource under scheme/host-case/tracking-param/fragment
+# variants, so canonical-URL dedup is the FIRST dedup pass every
+# public pipeline (CCNet, C4, RefinedWeb via courlan) runs — cheaper
+# than any content hash because it needs no payload bytes).
+# ---------------------------------------------------------------------------
+
+#: query parameters that never change the resource: click/campaign
+#: tracking ids. Names prefixed ``utm_`` are dropped wholesale.
+TRACKING_PARAMS: tuple[str, ...] = (
+    "gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid",
+    "ref_src", "spm", "yclid", "wbraid", "gbraid",
+)
+
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://"
+
+
+def canonical_url(
+    url: Column, tracking_params: tuple[str, ...] = TRACKING_PARAMS
+) -> Column:
+    """RFC 3986-style canonical form, pure JVM Column algebra:
+
+    - lowercase scheme (absent → ``http``) and host; strip userinfo,
+      trailing host dots, and the scheme's default port (80/443);
+    - drop the fragment;
+    - path: collapse ``//`` runs and ``.`` segments, strip the
+      trailing slash (root stays ``/``) — one split/filter/join does
+      all three.  ``..`` segments are kept literal (crawler frontiers
+      emit resolved URLs; documented non-goal);
+    - query: drop ``utm_*`` and known tracking params, sort the rest
+      byte-wise, drop the ``?`` when nothing survives.
+
+    Every step is a regexp/array expression with an exact DuckDB twin
+    (the driver oracle re-derives the whole chain in SQL), so the
+    canonicalization SPEC is pinned by the correctness gate, not just
+    exercised by it. NULL in → NULL out.
+    """
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    raw_scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    scheme = F.when(raw_scheme == "", F.lit("http")).otherwise(raw_scheme)
+    rest = F.regexp_replace(u, _SCHEME_RE, "")
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1)), r"^[^@]*@", ""
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    bare = F.regexp_replace(F.regexp_replace(hostport, r":[0-9]+$", ""), r"\.+$", "")
+    default_port = (
+        F.when(scheme == "https", F.lit("443"))
+        .when(scheme == "http", F.lit("80"))
+        .otherwise(F.lit(""))
+    )
+    host = F.when(
+        (port == "") | (port == default_port), bare
+    ).otherwise(F.concat(bare, F.lit(":"), port))
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    segs = F.filter(
+        F.split(F.regexp_extract(pathq, r"^([^?]*)", 1), "/"),
+        lambda s: (s != "") & (s != "."),
+    )
+    path = F.concat(F.lit("/"), F.array_join(segs, "/"))
+    q = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.split(p, "=").getItem(0)).startswith("utm_")
+        & ~F.lower(F.split(p, "=").getItem(0)).isin(*tracking_params),
+    )
+    qc = F.array_join(F.array_sort(keep), "&")
+    out = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qc == "", F.lit("")).otherwise(F.concat(F.lit("?"), qc)),
+    )
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def with_url_dedup(
+    df, url_col: str = "url", order_col: str = "doc_id"
+) -> "DataFrame":
+    """canonical-URL dedup: adds ``canonical_url_s`` and
+    ``is_url_keeper_i`` (1 on the first row per canonical form,
+    ordered by ``order_col`` then raw url — deterministic keeper).
+
+    Scale shape: the window shuffles url-grain scalar rows keyed by
+    the canonical string (payload columns should not be on this frame
+    — dedup the url table, then semi-join keepers against the corpus);
+    at 10^12 rows key the exchange on ``xxhash64(canonical_url_s)``
+    via repartition before the window if canonical strings are long.
+    """
+    from pyspark.sql import Window
+
+    out = df.withColumn("canonical_url_s", canonical_url(F.col(url_col)))
+    w = Window.partitionBy("canonical_url_s").orderBy(
+        F.col(order_col).asc(), F.col(url_col).asc()
+    )
+    return out.withColumn(
+        "is_url_keeper_i", (F.row_number().over(w) == 1).cast("int")
+    )

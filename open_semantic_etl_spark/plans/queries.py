@@ -497,6 +497,10 @@ def q_scalar_extracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(X.iban(F.col("rich"))), ",").alias("iban_ss"),
         F.array_join(F.array_sort(X.law_clauses(F.col("rich"))), ",").alias("law_clause_ss"),
         F.array_join(F.array_sort(X.money(F.col("rich"))), ",").alias("money_ss"),
+        # PII scrub built from the SAME patterns the extractors above
+        # use (functions/extract.py redact_pii) — extract & redact can
+        # never disagree on what counts as PII
+        X.redact_pii(F.col("rich")).alias("text_redacted_s"),
     )
 
 

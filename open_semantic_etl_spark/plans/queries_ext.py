@@ -357,6 +357,7 @@ def q_web_mtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_uri,
         parse_http_date,
         web_mtime_cascade,
+        with_url_dedup,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
@@ -373,18 +374,90 @@ def q_web_mtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         did.cast("string"),
     )
-    return docs.select(
+    # messy crawl-variant URLs for the canonicalization/dedup tier:
+    # %4∈{0,1} differ only by host case, default port, // and .
+    # segments, a trailing slash, tracking params, query order, and a
+    # fragment → same canonical form; %4∈{2,3} differ by missing
+    # scheme / trailing host dot / userinfo / default port → same
+    # canonical form (distinct from the first pair: no query).
+    k = F.floor(did / 4).cast("long").cast("string")
+    messy = (
+        F.when(did % 4 == 0,
+               F.concat(F.lit("HTTP://WWW.Example.org:80//a/./p"), k,
+                        F.lit("/?utm_source=feed&b=2&a=1#frag")))
+        .when(did % 4 == 1,
+              F.concat(F.lit("http://www.example.org/a/p"), k,
+                       F.lit("?a=1&b=2&fbclid=XYZ")))
+        .when(did % 4 == 2,
+              F.concat(F.lit("www.example.org./a/p"), k, F.lit("/")))
+        .otherwise(
+            F.concat(F.lit("http://user@www.example.org:80/a/p"), k,
+                     F.lit("?gclid=1")))
+    )
+    base = docs.select(
         "doc_id",
         normalize_uri(raw_uri).alias("url"),
+        messy.alias("crawl_url"),
         file_modified_dt(
             web_mtime_cascade(
                 meta_ts, parse_http_date(last_mod), parse_http_date(date_hdr), crawl_ts
             )
         ).alias("file_modified_dt"),
     )
+    return with_url_dedup(base, url_col="crawl_url", order_col="doc_id").drop(
+        "crawl_url"
+    )
 
 
+# the oracle re-derives the ENTIRE canonicalization chain in SQL (it
+# is the independent spec for functions/path.py canonical_url, pinned
+# by the driver hash) — coalesce() wraps every list join because
+# DuckDB's array_to_string on an empty list yields NULL, not ''
 SQL_WEB_MTIME = """
+WITH d AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://WWW.Example.org:80//a/./p' || (doc_id // 4) || '/?utm_source=feed&b=2&a=1#frag'
+      WHEN 1 THEN 'http://www.example.org/a/p' || (doc_id // 4) || '?a=1&b=2&fbclid=XYZ'
+      WHEN 2 THEN 'www.example.org./a/p' || (doc_id // 4) || '/'
+      ELSE 'http://user@www.example.org:80/a/p' || (doc_id // 4) || '?gclid=1'
+    END AS crawl_url
+  FROM documents
+), c AS (
+  SELECT doc_id, regexp_replace(trim(crawl_url), '#.*$', '') AS u FROM d
+), p1 AS (
+  SELECT doc_id, u,
+    CASE WHEN coalesce(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '') = '' THEN 'http'
+         ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) END AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM c
+), p2 AS (
+  SELECT *,
+    regexp_replace(lower(coalesce(regexp_extract(rest, '^([^/?]+)', 1), '')), '^[^@]*@', '') AS hostport,
+    regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM p1
+), p3 AS (
+  SELECT *,
+    coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '') AS port,
+    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '\\.+$', '') AS bare,
+    CASE scheme WHEN 'https' THEN '443' WHEN 'http' THEN '80' ELSE '' END AS dport,
+    '/' || coalesce(array_to_string(list_filter(
+        string_split(coalesce(regexp_extract(pathq, '^([^?]*)', 1), ''), '/'),
+        s -> s <> '' AND s <> '.'), '/'), '') AS path,
+    coalesce(array_to_string(list_sort(list_filter(
+        string_split(coalesce(regexp_extract(pathq, '\\?(.*)$', 1), ''), '&'),
+        p -> p <> '' AND NOT starts_with(lower(string_split(p, '=')[1]), 'utm_')
+          AND lower(string_split(p, '=')[1]) NOT IN
+            ('gclid','fbclid','msclkid','igshid','mc_cid','mc_eid','ref_src','spm','yclid','wbraid','gbraid'))),
+      '&'), '') AS qc
+  FROM p2
+), canon AS (
+  SELECT doc_id,
+    scheme || '://' ||
+    (CASE WHEN port = '' OR port = dport THEN bare ELSE bare || ':' || port END) ||
+    path || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url_s
+  FROM p3
+)
 SELECT doc_id,
   CASE WHEN doc_id % 2 = 0 THEN 'http://example.org/p' || doc_id
        ELSE 'HTTPS://example.org/p' || doc_id END AS url,
@@ -392,8 +465,10 @@ SELECT doc_id,
     WHEN 0 THEN '2024-05-01T10:00:00Z'
     WHEN 1 THEN '2024-04-02T08:30:00Z'
     WHEN 2 THEN '2024-04-03T09:45:00Z'
-    ELSE '2024-04-04T00:00:00Z' END AS file_modified_dt
-FROM documents
+    ELSE '2024-04-04T00:00:00Z' END AS file_modified_dt,
+  canonical_url_s,
+  (row_number() OVER (PARTITION BY canonical_url_s ORDER BY doc_id) = 1)::int AS is_url_keeper_i
+FROM canon
 """
 
 

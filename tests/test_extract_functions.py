@@ -298,3 +298,64 @@ def test_file_modified_dt(spark):
         df.select(P.file_modified_dt(F.col("ts")).alias("v")).first()["v"]
         == "2024-03-05T10:11:12Z"
     )
+
+
+def test_canonical_url(spark):
+    cases = {
+        # case, default port, // and . segments, trailing slash,
+        # tracking params, param sort, fragment
+        "HTTP://WWW.Example.org:80//a/./p7/?utm_source=f&b=2&a=1#x":
+            "http://www.example.org/a/p7?a=1&b=2",
+        # userinfo, trailing host dot, missing scheme
+        "www.example.org./a/p7/": "http://www.example.org/a/p7",
+        "http://user@www.example.org:80/a/p7?gclid=1":
+            "http://www.example.org/a/p7",
+        # non-default port and bare-name params survive; utm_* and
+        # tracking ids drop case-insensitively
+        "HTTPS://Host.COM:443/x?z=1&UTM_CAMPAIGN=x&y&a=&Gclid=9":
+            "https://host.com/x?a=&y&z=1",
+        "https://host.com:8443/x?b=2&a=1": "https://host.com:8443/x?a=1&b=2",
+        # empty path → root; non-http scheme keeps its port
+        "http://host": "http://host/",
+        "ftp://Host:21/": "ftp://host:21/",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["c"] for r in df.select(
+        "u", P.canonical_url(F.col("u")).alias("c")).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, raw
+    assert df.select(P.canonical_url(F.lit(None).cast("string")).alias("c")).first()["c"] is None
+
+
+def test_with_url_dedup_keeper(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_source=1"),
+            (2, "HTTP://A.COM/x"),
+            (3, "http://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: (r["canonical_url_s"], r["is_url_keeper_i"])
+           for r in P.with_url_dedup(df).collect()}
+    assert got[1] == ("http://a.com/x", 1)
+    assert got[2] == ("http://a.com/x", 0)  # same canonical, later doc_id
+    assert got[3] == ("http://a.com/y", 1)
+
+
+def test_redact_pii(spark):
+    from open_semantic_etl_spark.functions.extract import redact_pii
+
+    df = spark.createDataFrame(
+        [("write to a.b@mail.org, IBAN DE75512108001245126199, "
+          "call +49 30 901820 42 now",)],
+        "t string",
+    )
+    out = df.select(redact_pii(F.col("t")).alias("r")).first()["r"]
+    assert "<EMAIL>" in out and "<IBAN>" in out and "<PHONE>" in out
+    assert "a.b@mail.org" not in out
+    assert "512108001245" not in out
+    assert "901820" not in out
+    # order contract: the IBAN digit run must not be half-eaten by the
+    # phone pattern, and tokens must not re-match each other
+    assert out == "write to <EMAIL>, IBAN <IBAN>, call <PHONE> now"
