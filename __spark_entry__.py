@@ -396,10 +396,23 @@ WITH d AS (
   SELECT 'd' || doc_id AS parent_id,
          ['First part ' || doc_id || '.', 'Second part ' || doc_id || '!', 'Third part ' || doc_id || '?'] AS sents
   FROM documents
+), w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
 )
 SELECT parent_id || '#sentence' || i AS url, i::int AS sentence_i,
-       sents[i] AS sentence_txt, parent_id
-FROM d, unnest(range(1, 4)) AS t(i)""",
+       sents[i] AS sentence_txt, parent_id,
+       'sentence' AS kind, NULL::int AS n_tokens_i
+FROM d, unnest(range(1, 4)) AS t(i)
+UNION ALL
+SELECT 'd' || doc_id || '#chunk' || ((s - 1) // 24) AS url,
+       ((s - 1) // 24)::int AS sentence_i,
+       array_to_string(w[s : s + 31], ' ') AS sentence_txt,
+       'd' || doc_id AS parent_id,
+       'chunk' AS kind,
+       least(32, len(w) - s + 1)::int AS n_tokens_i
+FROM w, unnest(range(1, greatest(len(w), 0) + 1, 24)) AS t(s)""",
         # golden-file oracles for the seeded kernels DuckDB cannot
         # express (MinHash/SimHash families, random hyperplanes,
         # stopword profiles). Goldens are computed by an INDEPENDENT

@@ -121,14 +121,23 @@ def dedup_paragraphs(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """lowercased word n-grams (distinct), pure Column expression."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    k = F.size(words) - (n - 1)
-    grams = F.when(k >= 1, F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
-    )).otherwise(F.array(words[0]))
-    return F.array_distinct(grams)
+    """lowercased word n-grams (distinct), pure Column expression.
+
+    The token array is let-bound (functions/binding.py) so the
+    tokenizing split runs once per row — captured free in the
+    per-gram lambda it re-ran per ELEMENT (~230×/doc, the single
+    hottest line of the decontamination scan before binding)."""
+    from open_semantic_etl_spark.functions.binding import let
+
+    def shingles(words: Column) -> Column:
+        k = F.size(words) - (n - 1)
+        grams = F.when(k >= 1, F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
+        )).otherwise(F.array(words[0]))
+        return F.array_distinct(grams)
+
+    return let(F.split(F.lower(F.trim(text)), r"\s+"), shingles)
 
 
 def _minhash_batch_factory(num_hashes: int, shingle_n: int):

@@ -269,3 +269,52 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn(
         "fp_rolling", F.xxhash64(norm)
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """sliding token-window chunking — the LM-training segmentation
+    step (split each document into ``size``-token windows every
+    ``stride`` tokens, ``size - stride`` tokens of overlap so no
+    boundary context is lost). Beyond-reference curation tier; the
+    reference's closest operator is sentence segmentation
+    (enhance_sentence_segmentation.py), which this composes with.
+
+    Output grain: one row per (document, window) — ``chunk_i``
+    (0-based), ``chunk_txt`` (tokens re-joined with single spaces),
+    ``n_chunk_tokens`` (≤ size; the final window keeps the tail).
+    Empty/whitespace-only documents emit zero rows.
+
+    Scale shape: tokenize → window starts → slice → posexplode is all
+    in-row JVM array algebra (one codegen stage, no Python, no
+    shuffle); output size is input tokens × size/stride, and the
+    explode happens AFTER slicing so no quadratic intermediate exists.
+    """
+    from open_semantic_etl_spark.functions.binding import let
+
+    def windows(toks: Column) -> Column:
+        # toks is let-bound: captured free in the per-window lambda the
+        # tokenizer split would re-run per window (functions/binding.py)
+        n = F.size(toks)
+        starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(starts, lambda s: F.slice(toks, s + 1, size))
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(let(whitespace_tokens(F.col(text_col)), windows)).alias(
+            "chunk_i", "_ctoks"
+        ),
+    )
+    return ex.select(
+        id_col,
+        "chunk_i",
+        F.array_join(F.col("_ctoks"), " ").alias("chunk_txt"),
+        F.size(F.col("_ctoks")).alias("n_chunk_tokens"),
+    )

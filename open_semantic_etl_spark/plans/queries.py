@@ -650,9 +650,12 @@ def q_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sentence explode (#sentenceN child ids) over a derived punctuated
+    """document segmentation, both grains tagged by ``kind``:
+    sentence explode (#sentenceN child ids) over a derived punctuated
     text — SQL-expressible because the derived text has single-space
-    separators and terminal punctuation."""
+    separators and terminal punctuation — UNION the sliding
+    token-window chunking (chunk_tokens, size=32/stride=24) over the
+    real document text (#chunkN child ids, 0-based, tail window kept)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     d = docs.select(
         F.concat(F.lit("d"), F.col("doc_id")).alias("url"),
@@ -660,6 +663,22 @@ def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat('First part ', doc_id, '. Second part ', doc_id, '! Third part ', doc_id, '?')"
         ).alias("content_txt"),
     )
+    from open_semantic_etl_spark.operators.textstats import chunk_tokens
     from open_semantic_etl_spark.sources.explode import explode_sentences
 
-    return explode_sentences(d).select("url", "sentence_i", "sentence_txt", "parent_id")
+    sent = (
+        explode_sentences(d)
+        .select("url", "sentence_i", "sentence_txt", "parent_id")
+        .withColumn("kind", F.lit("sentence"))
+        .withColumn("n_tokens_i", F.lit(None).cast("int"))
+    )
+    ch = chunk_tokens(docs.select("doc_id", "text"), size=32, stride=24)
+    chunks = ch.select(
+        F.concat(F.lit("d"), F.col("doc_id"), F.lit("#chunk"), F.col("chunk_i")).alias("url"),
+        F.col("chunk_i").cast("int").alias("sentence_i"),
+        F.col("chunk_txt").alias("sentence_txt"),
+        F.concat(F.lit("d"), F.col("doc_id")).alias("parent_id"),
+        F.lit("chunk").alias("kind"),
+        F.col("n_chunk_tokens").cast("int").alias("n_tokens_i"),
+    )
+    return sent.unionByName(chunks)

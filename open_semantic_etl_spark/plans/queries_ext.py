@@ -1442,13 +1442,46 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = crawl_frontier(
         src, ["https://crawl.example.com/p0.html"], max_depth=6
     )
-    return out.select("url", F.col("depth").cast("int").alias("depth"))
+    # RFC 9309 gate over the discovered frontier: /p1* disallowed,
+    # /p12* re-allowed by the longer prefix, /p3* exercises the
+    # equal-length tie (Allow wins)
+    from open_semantic_etl_spark.sources.crawl import robots_gate
+
+    rules = spark.createDataFrame(
+        [
+            ("crawl.example.com", "/p1", False),
+            ("crawl.example.com", "/p12", True),
+            ("crawl.example.com", "/p3", False),
+            ("crawl.example.com", "/p3", True),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    return robots_gate(out, rules).select(
+        "url", F.col("depth").cast("int").alias("depth"), "robots_allowed_i"
+    )
 
 
 SQL_LINK_GRAPH = """
-SELECT 'https://crawl.example.com/p' || doc_id || '.html' AS url,
-       CAST(floor(log2(doc_id + 1)) AS int) AS depth
-FROM documents WHERE doc_id < 127
+WITH urls AS (
+  SELECT 'https://crawl.example.com/p' || doc_id || '.html' AS url,
+         CAST(floor(log2(doc_id + 1)) AS int) AS depth
+  FROM documents WHERE doc_id < 127
+), rules(host, prefix, allow) AS (
+  VALUES ('crawl.example.com', '/p1', false),
+         ('crawl.example.com', '/p12', true),
+         ('crawl.example.com', '/p3', false),
+         ('crawl.example.com', '/p3', true)
+), m AS (
+  SELECT u.url, r.allow,
+         row_number() OVER (PARTITION BY u.url
+                            ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+  FROM urls u JOIN rules r
+    ON r.host = lower(regexp_extract(u.url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+   AND starts_with(coalesce(nullif(regexp_extract(u.url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1), ''), '/'),
+                   r.prefix)
+)
+SELECT u.url, u.depth, coalesce(m.allow, true)::int AS robots_allowed_i
+FROM urls u LEFT JOIN (SELECT url, allow FROM m WHERE rn = 1) m USING (url)
 """
 
 

@@ -129,3 +129,70 @@ def crawl_frontier(
         visited = visited.unionByName(nxt.select("url"))
         frontier = nxt
     return out
+
+
+# ---------------------------------------------------------------------------
+# robots.txt Robots-Exclusion-Protocol gate (RFC 9309) — the frontier
+# policy step the reference delegates to scrapy's ROBOTSTXT_OBEY
+# (etl_web_crawl.py settings); here it is pure dataflow over a rules
+# dim table so the gate composes with crawl_frontier/expand_sitemaps.
+# ---------------------------------------------------------------------------
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Evaluate RFC 9309 path rules: adds ``robots_allowed_i``.
+
+    ``rules`` is a dim table ``(host string, prefix string, allow
+    boolean)`` — one row per Allow/Disallow line for the matched
+    user-agent group. Decision per URL: among rules of the URL's host
+    whose ``prefix`` is a prefix of the URL path(+query), the LONGEST
+    octet-prefix wins; on equal length Allow wins; no matching rule →
+    allowed (RFC 9309 §2.2.2). ``$``/``*`` wildcard rules are expanded
+    upstream when the robots.txt is parsed (non-goal here).
+
+    Scale shape: rules are per-host and broadcast (robots files are
+    tiny; even 10^8 hosts × few rules fits a few GB — shard by host
+    bucketing if not); the winner is resolved with a single
+    partial-aggregatable ``max(struct(len, allow))`` groupBy on the
+    url — no window — then joined back to the input on the url key,
+    so payload columns never ride the aggregation or the broadcast.
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1), F.lit("")),
+        F.lit("/"),
+    )
+    keyed = urls.select(u.alias("_u"), host.alias("_host"), path.alias("_path"))
+    r = rules.select(
+        F.lower(F.col("host")).alias("_host"),
+        F.col("prefix").alias("_prefix"),
+        F.col("allow").cast("boolean").alias("_allow"),
+    )
+    verdict = (
+        keyed.join(
+            F.broadcast(r),
+            (keyed["_host"] == r["_host"]) & keyed["_path"].startswith(r["_prefix"]),
+            "left",
+        )
+        .groupBy("_u")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("_prefix").alias("l"),
+                    F.col("_allow").cast("int").alias("a"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "_u",
+            F.coalesce(F.col("_m.a") == 1, F.lit(True)).cast("int").alias(
+                "robots_allowed_i"
+            ),
+        )
+    )
+    return urls.join(verdict, urls[url_col] == verdict["_u"]).drop("_u")

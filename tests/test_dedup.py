@@ -344,3 +344,40 @@ def test_curation_lang_gate(spark):
     out = {r["doc_id"]: r for r in TS.with_curation(df, "text", lang_col="lang").collect()}
     assert "lang" not in out[1]["drop_reasons_s"].split(",")
     assert "lang" in out[2]["drop_reasons_s"].split(",")
+
+
+def test_chunk_tokens_windows(spark):
+    from open_semantic_etl_spark.operators.textstats import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = chunk_tokens(df, size=4, stride=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9 → windows of 4,4,4 and the 1-token tail
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_i"])
+    assert [r["chunk_txt"] for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    # short doc: single window, tail kept
+    assert [(r["chunk_txt"], r["n_chunk_tokens"]) for r in by_doc[2]] == [("a b", 2)]
+    # empty / null docs emit zero rows
+    assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_chunk_overlap_is_size_minus_stride(spark):
+    from open_semantic_etl_spark.operators.textstats import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(300)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_tokens(df, size=128, stride=96).collect(), key=lambda r: r["chunk_i"]
+    )
+    a, b = rows[0]["chunk_txt"].split(" "), rows[1]["chunk_txt"].split(" ")
+    assert a[96:] == b[:32]  # 128-96 = 32 tokens of shared context

@@ -177,3 +177,36 @@ def test_crawl_frontier_unfetched_and_offsite(spark):
     # with the host policy off, the off-site edge is kept
     edges = {r["dst"] for r in page_links(pages, same_host=False).collect()}
     assert "https://off.example.net/x" in edges
+
+
+def test_robots_gate_longest_match_and_tie(spark):
+    from open_semantic_etl_spark.sources.crawl import robots_gate
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h.com/p1.html",),     # /p1 disallow
+            ("https://h.com/p12.html",),    # /p12 allow (longer wins)
+            ("https://h.com/p3.html",),     # equal length: allow wins
+            ("https://h.com/other.html",),  # no rule → allowed
+            ("https://x.org/p1.html",),     # other host → allowed
+            ("https://h.com",),             # empty path → '/'
+        ],
+        "url string",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h.com", "/p1", False),
+            ("h.com", "/p12", True),
+            ("h.com", "/p3", False),
+            ("h.com", "/p3", True),
+            ("h.com", "/", True),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    got = {r["url"]: r["robots_allowed_i"] for r in robots_gate(urls, rules).collect()}
+    assert got["https://h.com/p1.html"] == 0
+    assert got["https://h.com/p12.html"] == 1
+    assert got["https://h.com/p3.html"] == 1
+    assert got["https://h.com/other.html"] == 1
+    assert got["https://x.org/p1.html"] == 1
+    assert got["https://h.com"] == 1

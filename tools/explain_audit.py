@@ -449,6 +449,66 @@ def main() -> int:
         ],
     )
 
+    # 17. token-window chunking: one codegen stage, no Python, no
+    # Exchange; the tokenizer split is LET-BOUND (functions/binding.py)
+    # so it appears exactly once in the plan — a free lambda capture
+    # duplicates the split per window and re-evaluates it per element
+    # (the 18 s → 1.5 s decontamination regression class)
+    from open_semantic_etl_spark.operators.textstats import chunk_tokens
+
+    ch = chunk_tokens(docs.select("doc_id", "text"), size=32, stride=24)
+    section(
+        "token chunking — map-only, split let-bound once",
+        ch,
+        [
+            (
+                "no Exchange anywhere in the plan",
+                lambda p: len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE)) == 0,
+            ),
+            (
+                "no Python eval in the plan",
+                lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+            ),
+            (
+                "tokenizer split appears exactly once (let-bound)",
+                lambda p: p.count("split(") == 1,
+            ),
+        ],
+    )
+
+    # 17b. same let-binding guard on the shingle scan feeding
+    # decontamination/jaccard (word_shingles)
+    from open_semantic_etl_spark.operators.dedup import word_shingles
+
+    sh = docs.select(F.explode(word_shingles(F.col("text"), 5)).alias("g")).select(
+        F.xxhash64("g").alias("gh")
+    )
+    section(
+        "word shingles — split let-bound once",
+        sh,
+        [("tokenizer split appears exactly once", lambda p: p.count("split(") == 1)],
+    )
+
+    # 18. robots gate: the rules dim broadcasts; the winner resolution
+    # is a partial-aggregatable groupBy (no window)
+    from open_semantic_etl_spark.sources.crawl import robots_gate
+
+    rules = spark.createDataFrame(
+        [("h.com", "/p1", False), ("h.com", "/p12", True)],
+        "host string, prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame([("https://h.com/p1.html",)], "url string")
+    rb = robots_gate(urls, rules)
+    section(
+        "robots gate — broadcast rules, partial-agg winner",
+        rb,
+        [
+            ("rules join as BroadcastHashJoin", lambda p: "BroadcastHashJoin" in p),
+            ("partial aggregation present (map-side combine)", lambda p: "partial_" in p),
+            ("no Window in the plan", lambda p: "Window" not in p),
+        ],
+    )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:
