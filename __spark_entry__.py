@@ -73,6 +73,12 @@ _RICH = f"WITH rich AS (SELECT doc_id, {Q._RICH_DUCK} AS rich FROM documents)"
 # the rule conditions come from the SAME dict the Spark side evaluates
 # (operators/textstats.py CURATION_RULES), so the spec is single-sourced.
 from open_semantic_etl_spark.operators.textstats import CURATION_RULES as _CR
+from open_semantic_etl_spark.operators.textstats import (
+    QUALITY_CLF_DIM as _CLF_DIM,
+    quality_clf_weights as _clf_weights,
+)
+
+_CLF_W = ", ".join(repr(w) for w in _clf_weights())
 
 _CURATION_CASES = ", ".join(
     f"CASE WHEN {cond} THEN '{name}' END" for name, cond in sorted(_CR.items())
@@ -282,9 +288,25 @@ FROM (
          list_filter(string_split(d.ptext, chr(10)||chr(10)), x -> trim(x) <> '') AS ne
   FROM d LEFT JOIN docdup dd USING (doc_id)
 )""",
-        "text_stats": """
+        "text_stats": f"""
 WITH stats AS (
-WITH t AS (
+WITH clf_f AS (
+  SELECT doc_id,
+         lt || (CASE WHEN len(lt) >= 2
+                THEN list_transform(range(1, len(lt)), i -> lt[i] || ' ' || lt[i+1])
+                ELSE [] END) AS feats
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lt
+        FROM documents)
+), clf AS (
+  SELECT doc_id,
+         CASE WHEN len(feats) > 0 THEN
+           round(1.0 / (1.0 + exp(-(list_sum(list_transform(feats,
+             x -> ([{_CLF_W}])[((('0x' || substr(md5(x), 1, 15))::UBIGINT % {_CLF_DIM})::int + 1)]
+           )) / len(feats)))), 6)
+         END AS clf_score
+  FROM clf_f
+), t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
          length(text) AS chars
@@ -359,7 +381,7 @@ WITH t AS (
          sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
   FROM g10_c GROUP BY doc_id
 )
-SELECT doc_id, n AS n_tokens,
+SELECT doc_id, clf.clf_score, n AS n_tokens,
        CASE WHEN n > 0 THEN round((chars - (n - 1))::double / n, 4) ELSE 0.0 END AS mean_word_len,
        CASE WHEN n > 0 THEN round(n_stop::double / n, 4) ELSE 0.0 END AS stopword_ratio,
        CASE WHEN chars > 0 THEN round(n_punct::double / chars, 4) ELSE 0.0 END AS punct_ratio,
@@ -390,6 +412,7 @@ LEFT JOIN g3 USING (doc_id)
 LEFT JOIN g4 USING (doc_id)
 LEFT JOIN g5 USING (doc_id)
 LEFT JOIN g10 USING (doc_id)
+LEFT JOIN clf USING (doc_id)
 )""" + _CURATION_TAIL,
         "sentences": """
 WITH d AS (

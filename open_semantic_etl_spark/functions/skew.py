@@ -53,3 +53,66 @@ def salted_agg(
 def host_of(url: Column) -> Column:
     """host extraction for host-level rollups (parse_url is JVM-side)."""
     return F.parse_url(url, F.lit("HOST"))
+
+
+def top_k_per_key(
+    df: DataFrame,
+    key: str | Column,
+    k: int,
+    order_col: str,
+    id_col: str,
+    buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """bounded top-``k`` rows per (possibly hot) key — the per-host
+    frequency-cap primitive of a crawl-diversification pass (keep at
+    most K pages per host so one boilerplate-heavy domain cannot
+    dominate a training corpus).
+
+    Adds ``kept_i`` (1 = within the key's top-k by ``(order_col,
+    id_col)`` ascending). The naive shapes both break at corpus scale:
+    a window over the key sends every row of the hottest key to one
+    task, and a plain ``collect_list`` groupBy buffers the whole key on
+    one reducer before slicing. Instead: two-phase salted candidate
+    selection —
+
+    1. group by (key, salt(id)) and keep each group's local top-k
+       (``slice(array_sort(collect_list(struct)))``): the hot key's
+       rows spread over ``buckets`` groups, every group's output is
+       ≤ k rows, and only (order, id) ride the shuffle;
+    2. reduce the ≤ buckets×k candidates per key to ONE row per key:
+       the k-th smallest (order, id) struct — the key's admission
+       CUTOFF;
+    3. join the cutoff dim back on the key (broadcast here; at 10^8
+       hosts the dim is a few GB — shard it, or co-locate the join by
+       bucketing the corpus on host as the enriched tables already do
+       on url) and keep rows whose (order, id) ≤ cutoff. Payload
+       columns never leave their input partitions.
+
+    Correctness is oracle-pinned against a row_number() window in
+    DuckDB.
+    """
+    keyc = F.col(key) if isinstance(key, str) else key
+    ids = df.select(
+        keyc.alias("_key"),
+        F.struct(F.col(order_col).alias("o"), F.col(id_col).alias("i")).alias("_s"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).alias("_salt"),
+    )
+    local = ids.groupBy("_key", "_salt").agg(
+        F.slice(F.array_sort(F.collect_list("_s")), 1, k).alias("_c")
+    )
+    cutoffs = (
+        local.select("_key", F.explode("_c").alias("_s"))
+        .groupBy("_key")
+        .agg(F.slice(F.array_sort(F.collect_list("_s")), 1, k).alias("_c"))
+        .select(
+            "_key",
+            F.element_at(F.col("_c"), F.least(F.lit(k), F.size("_c"))).alias("_cut"),
+        )
+    )
+    out = df.join(F.broadcast(cutoffs), keyc == cutoffs["_key"], "left")
+    verdict = (
+        F.struct(F.col(order_col).alias("o"), F.col(id_col).alias("i")) <= F.col("_cut")
+    )
+    return out.withColumn(
+        "kept_i", F.coalesce(verdict, F.lit(False)).cast("int")
+    ).drop("_key", "_cut")

@@ -318,3 +318,77 @@ def chunk_tokens(
         F.array_join(F.col("_ctoks"), " ").alias("chunk_txt"),
         F.size(F.col("_ctoks")).alias("n_chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier — the fastText-style model-based
+# quality gate (Joulin et al. 2016 hashing-trick featurization; the
+# CCNet / LLaMA "Wikipedia-reference" filter shape): logistic score
+# over hashed unigram+bigram counts. The WEIGHTS here are a
+# deterministic stand-in (quality_clf_weights) — a trained model is
+# exactly this vector and loads through the same parameter — while the
+# featurization, hashing, scoring, and plan shape are the real thing.
+# ---------------------------------------------------------------------------
+QUALITY_CLF_DIM = 256
+
+
+def quality_clf_weights(dim: int = QUALITY_CLF_DIM) -> list[float]:
+    """deterministic stand-in weight vector (Knuth-hash spread over
+    [-0.5, 0.5), rounded to 6 dp so the literal round-trips bit-equal
+    through both engines' decimal parsers)."""
+    return [round(((j * 2654435761) % 1997) / 1997 - 0.5, 6) for j in range(dim)]
+
+
+def with_quality_clf(
+    df: DataFrame, text_col: str = "text", weights: list[float] | None = None
+) -> DataFrame:
+    """Adds ``clf_score`` = sigmoid(mean weight of hashed features).
+
+    Features = lowercased whitespace tokens + adjacent bigrams; bucket
+    = first 60 bits of md5(feature) mod dim — md5 (not xxhash64)
+    precisely so the DuckDB oracle can re-derive the bucketing
+    independently (``('0x' || substr(md5(f),1,15))::UBIGINT``). The
+    weight vector rides the plan as a literal array (same pattern as
+    the LSH planes); everything is JVM Column algebra — zero shuffle,
+    zero Python — and the token array is let-bound so the tokenizer
+    runs once per row. Empty documents score NULL.
+    """
+    from open_semantic_etl_spark.functions.binding import let
+
+    W = weights if weights is not None else quality_clf_weights()
+    dim = len(W)
+    warr = F.array(*[F.lit(float(w)) for w in W])
+
+    def score(toks: Column) -> Column:
+        bis = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(toks, bis)
+        total = F.aggregate(
+            feats,
+            F.lit(0.0),
+            lambda acc, f: acc
+            + F.element_at(
+                warr,
+                (
+                    F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long")
+                    % dim
+                    + 1
+                ).cast("int"),
+            ),
+        )
+        mean = total / F.size(feats)
+        return F.when(
+            F.size(feats) > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+        )
+
+    return df.withColumn(
+        "clf_score",
+        F.round(let(whitespace_tokens(F.lower(F.col(text_col))), score), 6),
+    )

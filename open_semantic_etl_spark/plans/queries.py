@@ -578,6 +578,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_curation,
         with_fingerprint,
         with_quality,
+        with_quality_clf,
         with_repetition,
         with_token_counts,
     )
@@ -586,8 +587,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = with_fingerprint(with_token_counts(with_quality(docs, "text"), "text"), "text")
     out = with_repetition(out, "text")
     out = with_curation(out, "text")
+    out = with_quality_clf(out, "text")
     return out.select(
-        "doc_id", "n_tokens", "mean_word_len", "stopword_ratio",
+        "doc_id", "clf_score", "n_tokens", "mean_word_len", "stopword_ratio",
         "punct_ratio", "digit_ratio", "repetition_ratio", "quality_score",
         "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens", "fp_md5",
         "dup_line_frac", "dup_line_char_frac",

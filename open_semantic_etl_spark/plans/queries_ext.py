@@ -199,6 +199,69 @@ WHERE i % 2 = 0
 """
 
 
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image metadata + video frame-sample rows in ONE driver entry,
+    tagged by ``kind`` (driver caps CORRECTNESS at 50 queries; both
+    solo column sets keep their names so each stays oracle-pinned)."""
+    meta = q_multimodal_meta(spark, sf_dir).select(
+        F.lit("meta").alias("kind"), "url",
+        "width", "height", "n_bytes", "ok",
+        F.lit(None).cast("int").alias("frame_i"),
+        F.lit(None).cast("string").alias("frame_txt"),
+    )
+    frames = q_multimodal_frames(spark, sf_dir).select(
+        F.lit("frame").alias("kind"), "url",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("int").alias("ok"),
+        "frame_i", "frame_txt",
+    )
+    return meta.unionByName(frames)
+
+
+SQL_MULTIMODAL = f"""
+SELECT 'meta' AS kind, url, width, height, n_bytes, ok,
+       NULL::int AS frame_i, NULL::varchar AS frame_txt
+FROM ({SQL_MULTIMODAL_META})
+UNION ALL
+SELECT 'frame' AS kind, url, NULL::int AS width, NULL::int AS height,
+       NULL::bigint AS n_bytes, NULL::int AS ok, frame_i, frame_txt
+FROM ({SQL_MULTIMODAL_FRAMES})
+"""
+
+
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """per-host frequency cap (crawl diversification): keep ≤ 20 docs
+    per host, deterministic priority = lowest doc_id, over a synthetic
+    host map with one planted hot host (every even doc) — the skew
+    shape the two-phase salted top-k exists for."""
+    from open_semantic_etl_spark.functions.skew import top_k_per_key
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.org"))
+        .otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"),
+                            F.lit(".example.org")))
+    )
+    d = docs.select("doc_id", host.alias("host_s"))
+    out = top_k_per_key(d, "host_s", k=20, order_col="doc_id", id_col="doc_id")
+    return out.select("doc_id", "host_s", "kept_i")
+
+
+SQL_HOST_CAP = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'hot.example.org'
+         ELSE 'h' || (doc_id % 13) || '.example.org' END AS host_s
+  FROM documents
+)
+SELECT doc_id, host_s,
+       (row_number() OVER (PARTITION BY host_s ORDER BY doc_id, doc_id) <= 20)::int AS kept_i
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # export value model (export_json.py:16-31 + etl.py:296-300): dedupe +
 # single-value scalar collapse at the export boundary
@@ -1528,8 +1591,8 @@ EXT_QUERIES = {
     "hypothesis": q_hypothesis,
     "es_bulk": q_es_bulk,
     "neo4j_graph": q_neo4j_graph,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_frames": q_multimodal_frames,
+    "multimodal": q_multimodal,
+    "host_cap": q_host_cap,
     "warc_explode": q_warc_explode,
     "csv_explode": q_csv_explode,
     "pdf_pages": q_pdf_pages,
@@ -1563,8 +1626,8 @@ EXT_ORACLES = {
     "hypothesis": SQL_HYPOTHESIS,
     "es_bulk": SQL_ES_BULK,
     "neo4j_graph": SQL_NEO4J_GRAPH,
-    "multimodal_meta": SQL_MULTIMODAL_META,
-    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "multimodal": SQL_MULTIMODAL,
+    "host_cap": SQL_HOST_CAP,
     "warc_explode": SQL_WARC_EXPLODE,
     "csv_explode": SQL_CSV_EXPLODE,
     "pdf_pages": SQL_PDF_PAGES,

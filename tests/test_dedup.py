@@ -381,3 +381,67 @@ def test_chunk_overlap_is_size_minus_stride(spark):
     )
     a, b = rows[0]["chunk_txt"].split(" "), rows[1]["chunk_txt"].split(" ")
     assert a[96:] == b[:32]  # 128-96 = 32 tokens of shared context
+
+
+def test_top_k_per_key_hot_key(spark):
+    from open_semantic_etl_spark.functions.skew import top_k_per_key
+
+    rows = [(i, "hot" if i % 2 == 0 else f"h{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = top_k_per_key(df, "host", k=5, order_col="doc_id", id_col="doc_id")
+    got = {r["doc_id"]: r["kept_i"] for r in out.collect()}
+    assert len(got) == 100  # row-preserving: verdict column, no filtering
+    # hot host: the 5 lowest even doc_ids survive
+    assert [i for i in sorted(got) if i % 2 == 0 and got[i]] == [0, 2, 4, 6, 8]
+    # a sparse host with < k members keeps everything
+    h1 = [i for i in sorted(got) if i % 2 and i % 3 == 1]
+    assert all(got[i] for i in h1[:5]) and all(not got[i] for i in h1[5:])
+
+
+def test_top_k_per_key_matches_window(spark):
+    """salted two-phase result == the naive window semantics."""
+    from pyspark.sql import Window
+
+    from open_semantic_etl_spark.functions.skew import top_k_per_key
+
+    rows = [((i * 37) % 211, f"k{i % 7}") for i in range(211)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {
+        (r["doc_id"], r["key"]): r["kept_i"]
+        for r in top_k_per_key(df, "key", k=9, order_col="doc_id", id_col="doc_id", buckets=4).collect()
+    }
+    w = Window.partitionBy("key").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["key"]): int(r["rn"] <= 9)
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_quality_clf_score(spark):
+    from open_semantic_etl_spark.operators.textstats import (
+        quality_clf_weights,
+        with_quality_clf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, ""),
+            (4, None),
+            (5, "single"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clf_score"] for r in with_quality_clf(df).collect()}
+    # deterministic: identical text → identical score, inside (0, 1)
+    assert got[1] == got[2] and 0.0 < got[1] < 1.0
+    # empty / null text → NULL (no features)
+    assert got[3] is None and got[4] is None
+    # single token: unigram-only path works
+    assert got[5] is not None
+    # custom weights change the score (the model IS the vector)
+    w2 = [w * -1 for w in quality_clf_weights()]
+    got2 = {r["doc_id"]: r["clf_score"] for r in with_quality_clf(df, weights=w2).collect()}
+    assert abs(got2[1] - (1 - got[1])) < 1e-5  # sigmoid(-x) = 1 - sigmoid(x)

@@ -509,6 +509,29 @@ def main() -> int:
         ],
     )
 
+    # 19. per-host cap: the salted two-phase top-k shuffles (key, salt,
+    # struct(order,id)) only; the cutoff dim joins back as broadcast;
+    # map-side partial aggregation bounds every exchange to ≤k rows per
+    # (key, salt) group
+    from open_semantic_etl_spark.functions.skew import top_k_per_key
+
+    capdf = top_k_per_key(
+        docs.select(
+            "doc_id", "text", (F.col("doc_id") % 5).cast("string").alias("host")
+        ),
+        "host", k=3, order_col="doc_id", id_col="doc_id",
+    )
+    section(
+        "host cap — salted top-k, cutoff broadcast, text never shuffles",
+        capdf,
+        [
+            ("no text column in any shuffle Exchange input", no_text_in_shuffle),
+            ("cutoff dim joins as BroadcastHashJoin", lambda p: "BroadcastHashJoin" in p),
+            ("partial (map-side) aggregation present", lambda p: "partial_" in p),
+            ("no Window in the plan", lambda p: "Window" not in p),
+        ],
+    )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:
