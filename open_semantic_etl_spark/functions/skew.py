@@ -116,3 +116,37 @@ def top_k_per_key(
     return out.withColumn(
         "kept_i", F.coalesce(verdict, F.lit(False)).cast("int")
     ).drop("_key", "_cut")
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str | Column,
+    rates: dict[str, float],
+    id_col: str = "url",
+    default_rate: float = 0.0,
+    out: str = "sampled_i",
+) -> DataFrame:
+    """deterministic per-stratum Bernoulli sampling — the corpus-MIXING
+    step of a training-data pipeline (per-language / per-source quotas,
+    e.g. upsample books, downsample boilerplate-heavy domains).
+
+    Unlike ``df.sampleBy`` (seeded RNG over a row's partition/offset,
+    so results change under repartition or task retry), the verdict
+    here is a pure function of the ROW: keep iff
+    ``pmod(xxhash64(id), 10^6) < rate·10^6``. Deterministic across
+    retries, replays, and cluster layouts — the property the
+    checkpoint/resume tier requires — and, because xxhash64 spreads
+    uniformly, the realized rate converges to the quota per stratum.
+    Map-only Column algebra: zero shuffle, composes with any plan.
+
+    ``rates`` maps stratum value → keep fraction in [0, 1]; unmapped
+    strata get ``default_rate``.
+    """
+    sc = F.col(stratum) if isinstance(stratum, str) else stratum
+    rate = F.lit(float(default_rate))
+    for val, r in sorted(rates.items()):
+        rate = F.when(sc == val, F.lit(float(r))).otherwise(rate)
+    draw = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+    return df.withColumn(
+        out, (draw < (rate * 1_000_000).cast("long")).cast("int")
+    )

@@ -236,17 +236,24 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per host, deterministic priority = lowest doc_id, over a synthetic
     host map with one planted hot host (every even doc) — the skew
     shape the two-phase salted top-k exists for."""
-    from open_semantic_etl_spark.functions.skew import top_k_per_key
+    from open_semantic_etl_spark.functions.skew import stratified_sample, top_k_per_key
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
     host = (
         F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.org"))
         .otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"),
                             F.lit(".example.org")))
     )
-    d = docs.select("doc_id", host.alias("host_s"))
+    d = docs.select("doc_id", "lang", host.alias("host_s"))
     out = top_k_per_key(d, "host_s", k=20, order_col="doc_id", id_col="doc_id")
-    return out.select("doc_id", "host_s", "kept_i")
+    # corpus-mixing quotas: rates mirrored in tools/gen_goldens.py
+    # SAMPLE_RATES — the golden re-derives the xxhash64 draw
+    # independently, so any drift between the two mismatches the hash
+    out = stratified_sample(
+        out, "lang", {"en": 0.9, "de": 0.5, "fr": 0.25},
+        id_col="doc_id", default_rate=0.1,
+    )
+    return out.select("doc_id", "host_s", "kept_i", "sampled_i")
 
 
 SQL_HOST_CAP = """
@@ -256,9 +263,15 @@ WITH d AS (
          ELSE 'h' || (doc_id % 13) || '.example.org' END AS host_s
   FROM documents
 )
-SELECT doc_id, host_s,
-       (row_number() OVER (PARTITION BY host_s ORDER BY doc_id, doc_id) <= 20)::int AS kept_i
+SELECT d.doc_id, d.host_s,
+       (row_number() OVER (PARTITION BY d.host_s ORDER BY d.doc_id, d.doc_id) <= 20)::int AS kept_i,
+       g.sampled_i
 FROM d
+LEFT JOIN (
+  SELECT doc_id, sampled_i
+  FROM read_parquet('/root/repo/goldens/stratified_sample.parquet')
+  WHERE _key = (SELECT SUM(n_chars) FROM documents)
+) g USING (doc_id)
 """
 
 

@@ -18,6 +18,7 @@ def test_goldens_match_generator():
         language_golden,
         minhash_lsh_golden,
         simhash_golden,
+        stratified_sample_golden,
     )
 
     docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
@@ -30,6 +31,7 @@ def test_goldens_match_generator():
         ("ann_lsh", ann_lsh_golden(emb), ekey),
         ("ann_ivf", ann_ivf_golden(emb), ekey),
         ("language_detect", language_golden(docs), dkey),
+        ("stratified_sample", stratified_sample_golden(docs), dkey),
     ):
         stored = pd.read_parquet(f"{GOLD}/{name}.parquet")
         stored = stored[stored["_key"] == key].drop(columns="_key").reset_index(drop=True)
@@ -38,3 +40,16 @@ def test_goldens_match_generator():
             fresh.astype(dict(stored.dtypes)).sort_values(list(fresh.columns)).reset_index(drop=True),
             check_dtype=False,
         )
+
+
+def test_xxh64_long_matches_spark(spark):
+    """the golden generator's pure-Python XXH64 is bit-equal to Spark's
+    F.xxhash64 on longs (the hash the sampler verdict derives from)."""
+    from pyspark.sql import functions as F
+
+    from tools.gen_goldens import xxh64_long
+
+    vals = [0, 1, 42, -1, 123456789, 2**62, -(2**62), 999999999999]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["h"] for r in df.select("v", F.xxhash64("v").alias("h")).collect()}
+    assert all(got[v] == xxh64_long(v) for v in vals)

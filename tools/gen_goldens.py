@@ -276,13 +276,63 @@ def language_golden(docs: pd.DataFrame) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_M64 = (1 << 64) - 1
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_long(v: int, seed: int = 42) -> int:
+    """XXH64 of one 8-byte little-endian long (Collet's public spec,
+    len<32 path with a single 8-byte lane) — Spark's
+    ``F.xxhash64(longCol)`` with its default seed 42, re-derived
+    independently; signed-64 output like Spark's. Verified bit-equal
+    against Spark in tests/test_goldens.py."""
+    h = (seed + _XXP5 + 8) & _M64
+    k1 = _rotl64((v & _M64) * _XXP2 & _M64, 31) * _XXP1 & _M64
+    h ^= k1
+    h = (_rotl64(h, 27) * _XXP1 + _XXP4) & _M64
+    h ^= h >> 33
+    h = h * _XXP2 & _M64
+    h ^= h >> 29
+    h = h * _XXP3 & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+#: corpus-mixing quotas used by the host_cap driver query — the golden
+#: and the Spark plan share this dict (the rates are the spec; the
+#: HASH is what the golden independently re-derives)
+SAMPLE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def stratified_sample_golden(docs: pd.DataFrame) -> pd.DataFrame:
+    """independent twin of functions/skew.py stratified_sample:
+    keep iff pmod(xxh64(doc_id), 10^6) < rate(lang)·10^6."""
+    rows = []
+    for doc_id, lang in zip(docs["doc_id"], docs["lang"]):
+        rate = SAMPLE_RATES.get(lang, SAMPLE_DEFAULT_RATE)
+        draw = xxh64_long(int(doc_id)) % 1_000_000  # pmod: non-negative
+        rows.append((int(doc_id), int(draw < int(rate * 1_000_000))))
+    return pd.DataFrame(rows, columns=["doc_id", "sampled_i"]).astype(
+        {"doc_id": "int64", "sampled_i": "int32"}
+    )
+
+
 def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
     import os
 
     sf_dirs = sf_dirs or SF_DIRS
     os.makedirs(out_dir, exist_ok=True)
     parts: dict[str, list[pd.DataFrame]] = {k: [] for k in
-        ("minhash_lsh", "simhash", "ann_lsh", "ann_ivf", "language_detect")}
+        ("minhash_lsh", "simhash", "ann_lsh", "ann_ivf", "language_detect",
+         "stratified_sample")}
     keys_seen: dict[str, set] = {"docs": set(), "emb": set()}
     for sf in sf_dirs:
         docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
@@ -299,6 +349,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
             ("ann_lsh", ann_lsh_golden(emb), ekey),
             ("ann_ivf", ann_ivf_golden(emb), ekey),
             ("language_detect", language_golden(docs), dkey),
+            ("stratified_sample", stratified_sample_golden(docs), dkey),
         ):
             df["_key"] = np.int64(key)
             parts[name].append(df)
