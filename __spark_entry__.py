@@ -435,7 +435,11 @@ SELECT 'd' || doc_id || '#chunk' || ((s - 1) // 24) AS url,
        'd' || doc_id AS parent_id,
        'chunk' AS kind,
        least(32, len(w) - s + 1)::int AS n_tokens_i
-FROM w, unnest(range(1, greatest(len(w), 0) + 1, 24)) AS t(s)""",
+FROM w, unnest(range(1,
+         (CASE WHEN len(w) <= 32 THEN 0
+               ELSE ((len(w) - 32 + 23) // 24) * 24 END) + 2,
+         24)) AS t(s)
+WHERE len(w) > 0""",
         # golden-file oracles for the seeded kernels DuckDB cannot
         # express (MinHash/SimHash families, random hyperplanes,
         # stopword profiles). Goldens are computed by an INDEPENDENT

@@ -120,8 +120,14 @@ def dedup_paragraphs(
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
+def word_shingles(text: Column, n: int = 3, pad_short: bool = True) -> Column:
     """lowercased word n-grams (distinct), pure Column expression.
+
+    ``pad_short=True`` (the MinHash contract: a signature needs a
+    non-empty set) falls back to the first word when the text has
+    fewer than ``n`` tokens; set-membership semantics (decontamination)
+    pass ``pad_short=False`` so a sub-n document contributes NO grams —
+    a 1-word "13-gram" would otherwise flag false contamination.
 
     The token array is let-bound (functions/binding.py) so the
     tokenizing split runs once per row — captured free in the
@@ -131,10 +137,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     def shingles(words: Column) -> Column:
         k = F.size(words) - (n - 1)
+        short = F.array(words[0]) if pad_short else F.array().cast("array<string>")
         grams = F.when(k >= 1, F.transform(
             F.sequence(F.lit(1), k),
             lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)]),
-        )).otherwise(F.array(words[0]))
+        )).otherwise(short)
         return F.array_distinct(grams)
 
     return let(F.split(F.lower(F.trim(text)), r"\s+"), shingles)
@@ -318,9 +325,10 @@ def dup_clusters(
 
     Iterative min-label propagation (hash-to-min): each round is one
     shuffle of ``(node, label)`` keyed by node — labels only, never
-    text or signatures — and converges in O(component diameter)
-    rounds; ``max_iter`` bounds the driver loop for adversarial
-    chains. Each round ``localCheckpoint``s its label table, which
+    text or signatures — and converges in O(log component diameter)
+    rounds (min-label step + pointer-jumping compression per round);
+    ``max_iter`` bounds the driver loop and non-convergence RAISES
+    rather than returning keeper-less split clusters. Each round ``localCheckpoint``s its label table, which
     MATERIALIZES the rows and TRUNCATES the logical plan — ``cache()``
     alone is not enough here: the analyzed plan nests the previous
     round's plan and grows geometrically (a 10-round cached loop
@@ -345,25 +353,47 @@ def dup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            (F.col("nbr_label") < F.col("label")).alias("_chg"),
+        )
+        # pointer jumping: chase each node's label to ITS label's label
+        # (path compression) — turns O(diameter) rounds into
+        # O(log diameter), so a 10^6-long templated-page chain
+        # converges in ~20 rounds instead of 10^6
+        lab2 = stepped.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_llabel")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["dst"], "left")
+            stepped.join(lab2, stepped["label"] == lab2["_lid"], "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+                F.least(F.col("label"), F.coalesce("_llabel", "label")).alias("label"),
+                (F.col("_chg") | (F.col("_llabel") < F.col("label"))).alias("_chg"),
             )
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
         changed = new_labels.filter(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent partial result here is DANGEROUS: split clusters can
+        # come back keeper-less, and a keep-one-per-cluster delete
+        # would then drop every copy of those documents
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds; "
+            "raise max_iter (rounds needed ≈ log2(component diameter))"
+        )
     return labels.select(
         F.col("id"),
         F.col("label").alias("cluster_id"),
@@ -399,14 +429,14 @@ def ngram_decontaminate(
     """
     bench = (
         benchmark.select(
-            F.explode(word_shingles(F.col(bench_text_col), n)).alias("g")
+            F.explode(word_shingles(F.col(bench_text_col), n, pad_short=False)).alias("g")
         )
         .select(F.xxhash64("g").alias("gh"))
         .distinct()
     )
     grams = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+        F.explode(word_shingles(F.col(text_col), n, pad_short=False)).alias("g"),
     ).select("_id", F.xxhash64("g").alias("gh"))
     hits = (
         grams.join(F.broadcast(bench), "gh")

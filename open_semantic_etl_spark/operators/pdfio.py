@@ -434,8 +434,11 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
     Ordered token scan with Tf font tracking: literal ``(…) Tj`` pieces
     decode as before; ``<hex> Tj`` pieces are Type0/CID shows decoded
     through the active font's ToUnicode CMap (``fonts`` maps resource
-    name → cmap; None entry = simple font). Hex text with no usable
-    cmap raises (parse_pdf converts that to ok=False + err)."""
+    name → cmap; None entry = simple font, latin-1 hex literal). Hex
+    text with no usable cmap OR no known font context (``fonts=None``
+    tolerant fallback, or a multi-font page showing hex before any Tf)
+    raises — decoding 2-byte CIDs as latin-1 would yield mojibake with
+    ok=True; parse_pdf converts the raise to ok=False + err instead."""
     sm = _STREAM_RE.search(body)
     if not sm:
         return None
@@ -446,7 +449,7 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
         pass  # uncompressed or unsupported filter; try as-is
     if b"BT" not in blob or b"ET" not in blob:
         return None
-    cur_cmap: dict[int, str] | None = None
+    cur_cmap = _UNKNOWN_FONT  # until a Tf names a known resource
     if fonts and len(fonts) == 1:  # single-font page: active before any Tf
         cur_cmap = next(iter(fonts.values()))
     lines: list[str] = []
@@ -456,7 +459,10 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
         tf = _TF_RE.match(tok)
         if tf and tok.endswith(b"Tf"):
             if fonts is not None:
-                cur_cmap = fonts.get(tf.group(1).decode("latin-1"))
+                # a Tf naming an unlisted resource is UNKNOWN, not a
+                # simple font — None is reserved for fonts _page_fonts
+                # positively identified as simple
+                cur_cmap = fonts.get(tf.group(1).decode("latin-1"), _UNKNOWN_FONT)
             continue
         found = True
         if tok.startswith(b"("):  # literal show — never scan for hex
@@ -718,6 +724,7 @@ def _maybe_decrypt(data: bytes) -> bytes:
 #: sentinel for a Type0 font lacking a usable ToUnicode CMap — its hex
 #: shows cannot be decoded and must surface as an error, not mojibake
 _NO_CMAP = object()
+_UNKNOWN_FONT = object()  # hex show before any font context is known
 
 
 def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict:
@@ -749,6 +756,8 @@ def _decode_cid_hex(hexbytes: bytes, cmap) -> str:
     treats <…> as an alternative literal-string syntax); raises for a
     Type0 font with no usable CMap — ok=False beats silently wrong text."""
     h = re.sub(rb"\s+", b"", hexbytes)
+    if cmap is _UNKNOWN_FONT:
+        raise ValueError("hex show with unknown font context (no resolvable Tf)")
     if cmap is _NO_CMAP or (isinstance(cmap, dict) and len(h) % 4):
         raise ValueError("CID text without a usable 2-byte ToUnicode CMap")
     if isinstance(cmap, dict):

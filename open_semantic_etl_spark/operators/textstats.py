@@ -250,8 +250,12 @@ def with_curation(
     if "dup_line_frac" not in df.columns:
         df = with_repetition(df, text_col)
     if lang_col is not None:
+        # IS NULL kept explicit: `x NOT IN (...)` is NULL (not true)
+        # for NULL x, which would FAIL OPEN — an undetected-language
+        # document must drop, exactly like an out-of-set one (the
+        # Gopher recipe keeps only the allowed set)
         quoted = ", ".join(f"'{l}'" for l in allowed_langs)
-        rules["lang"] = f"{lang_col} NOT IN ({quoted})"
+        rules["lang"] = f"{lang_col} IS NULL OR {lang_col} NOT IN ({quoted})"
     reasons = F.array_compact(
         F.array(*[F.when(F.expr(cond), F.lit(name)) for name, cond in sorted(rules.items())])
     )
@@ -299,9 +303,18 @@ def chunk_tokens(
 
     def windows(toks: Column) -> Column:
         # toks is let-bound: captured free in the per-window lambda the
-        # tokenizer split would re-run per window (functions/binding.py)
+        # tokenizer split would re-run per window (functions/binding.py).
+        # Last start = the smallest stride multiple whose window reaches
+        # the end (ceil((n-size)/stride)·stride): striding all the way
+        # to n-1 would emit tail windows fully CONTAINED in the previous
+        # one — duplicated training text, the very thing dedup removes.
         n = F.size(toks)
-        starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        last = F.when(
+            n <= size, F.lit(0)
+        ).otherwise(
+            F.floor((n - size + stride - 1) / stride).cast("int") * stride
+        )
+        starts = F.when(n > 0, F.sequence(F.lit(0), last, F.lit(stride))).otherwise(
             F.array().cast("array<int>")
         )
         return F.transform(starts, lambda s: F.slice(toks, s + 1, size))

@@ -94,6 +94,11 @@ def delete_where(spark: SparkSession, root: str, predicate: Column) -> int:
     The deleted count comes from the single rewrite scan (Observation),
     not separate before/after counts."""
     tables = Tables(root)
+    # park-recovery FIRST: a merge crash can leave a bucket's live rows
+    # only in the __swap staging dir — reading without recovery would
+    # rewrite the table without them (row loss), and the NEXT merge's
+    # recovery would then resurrect rows this delete removed
+    recover_swaps(tables.enriched)
     df = read_table(spark, tables.enriched)
     obs = Observation()
     observed = df.observe(obs, F.count(F.when(predicate, 1)).alias("deleted"))

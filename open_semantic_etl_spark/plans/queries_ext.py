@@ -1580,7 +1580,7 @@ WITH w AS (
          (CASE WHEN len(w) >= 5
                THEN list_distinct(list_transform(range(1, len(w) - 3),
                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
-               ELSE [w[1]] END) AS sh
+               ELSE []::varchar[] END) AS sh
   FROM w
 ), bench AS (
   SELECT list(DISTINCT g) AS bl

@@ -50,7 +50,15 @@ def extract_links(html: Column, base_url: Column) -> Column:
     )
     scheme = F.parse_url(base_url, F.lit("PROTOCOL"))
     host = F.parse_url(base_url, F.lit("HOST"))
-    base_dir = F.regexp_replace(base_url, "[^/]*$", "")
+    # a host-only base ('https://h.example.com') has no path slash:
+    # stripping [^/]*$ there would eat the hostname and resolve
+    # relative links to 'https://x.html' — normalize to a '/' root
+    # first (RFC 3986 §5.2.3: base with empty path ⇒ merged path is
+    # '/' + reference)
+    base_norm = F.when(
+        base_url.rlike(r"(?i)^https?://[^/]*$"), F.concat(base_url, F.lit("/"))
+    ).otherwise(base_url)
+    base_dir = F.regexp_replace(base_norm, "[^/]*$", "")
     resolved = F.transform(
         kept,
         lambda h: F.when(h.rlike("(?i)^https?://"), h)
@@ -195,4 +203,7 @@ def robots_gate(
             ),
         )
     )
-    return urls.join(verdict, urls[url_col] == verdict["_u"]).drop("_u")
+    # LEFT join: a gate must be row-preserving — a NULL url never
+    # equals its verdict key, and silently dropping such rows would
+    # change the frame's row count (NULL url ⇒ NULL verdict instead)
+    return urls.join(verdict, urls[url_col] == verdict["_u"], "left").drop("_u")

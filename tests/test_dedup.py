@@ -358,12 +358,13 @@ def test_chunk_tokens_windows(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 1: starts 0,3,6,9 → windows of 4,4,4 and the 1-token tail
+    # doc 1: starts 0,3,6 — the start-6 window reaches the end, so no
+    # start-9 tail (it would be fully contained in the previous window)
     c1 = sorted(by_doc[1], key=lambda r: r["chunk_i"])
     assert [r["chunk_txt"] for r in c1] == [
-        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
     ]
-    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
     # short doc: single window, tail kept
     assert [(r["chunk_txt"], r["n_chunk_tokens"]) for r in by_doc[2]] == [("a b", 2)]
     # empty / null docs emit zero rows
@@ -445,3 +446,54 @@ def test_quality_clf_score(spark):
     w2 = [w * -1 for w in quality_clf_weights()]
     got2 = {r["doc_id"]: r["clf_score"] for r in with_quality_clf(df, weights=w2).collect()}
     assert abs(got2[1] - (1 - got[1])) < 1e-5  # sigmoid(-x) = 1 - sigmoid(x)
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """a 40-hop chain needs ~log2(40) pointer-jumping rounds, and every
+    resulting cluster carries exactly one keeper (non-convergence used
+    to return keeper-less split clusters silently)."""
+    import pytest
+
+    from open_semantic_etl_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    rows = dup_clusters(pairs, max_iter=10).collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    assert set(clusters) == {0} and len(rows) == 41
+    assert sum(r["is_keeper"] for r in rows) == 1
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iter=1)
+
+
+def test_decontaminate_skips_sub_n_texts(spark):
+    """a benchmark shorter than n tokens contributes no grams — a
+    shared first word must not flag contamination (GPT-3 scheme)."""
+    from open_semantic_etl_spark.operators.dedup import ngram_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "paris is lovely"), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("paris",)], "text string")
+    got = {r["doc_id"]: r["is_contaminated"] for r in
+           ngram_decontaminate(docs, bench, n=5).collect()}
+    assert got[1] == 0 and got[2] == 0
+
+
+def test_curation_null_lang_drops(spark):
+    from open_semantic_etl_spark.operators.textstats import with_curation
+
+    good = " ".join(f"the word{i}alpha" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, good, "en"), (2, good, None), (3, good, "zh")],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: (r["keep_i"], r["drop_reasons_s"]) for r in
+           with_curation(df, "text", lang_col="lang").collect()}
+    assert got[1][0] == 1
+    assert got[2][0] == 0 and "lang" in got[2][1]  # NULL lang fails CLOSED
+    assert got[3][0] == 0 and "lang" in got[3][1]

@@ -210,3 +210,38 @@ def test_robots_gate_longest_match_and_tie(spark):
     assert got["https://h.com/other.html"] == 1
     assert got["https://x.org/p1.html"] == 1
     assert got["https://h.com"] == 1
+
+
+def test_extract_links_from_root_page(spark):
+    """relative hrefs on a host-only base resolve against '/' (RFC 3986
+    §5.2.3), not against a base_dir that swallowed the hostname."""
+    from pyspark.sql import functions as F
+
+    from open_semantic_etl_spark.sources.crawl import extract_links
+
+    df = spark.createDataFrame(
+        [("https://h.example.com", b'<a href="x.html"><a href="a/b.html">')],
+        "url string, html binary",
+    )
+    links = df.select(
+        extract_links(F.col("html"), F.col("url")).alias("l")
+    ).first()["l"]
+    assert set(links) == {
+        "https://h.example.com/x.html",
+        "https://h.example.com/a/b.html",
+    }
+
+
+def test_robots_gate_preserves_null_url_rows(spark):
+    from open_semantic_etl_spark.sources.crawl import robots_gate
+
+    urls = spark.createDataFrame(
+        [("https://h.com/p1.html",), (None,)], "url string"
+    )
+    rules = spark.createDataFrame(
+        [("h.com", "/p1", False)], "host string, prefix string, allow boolean"
+    )
+    rows = robots_gate(urls, rules).collect()
+    got = {r["url"]: r["robots_allowed_i"] for r in rows}
+    assert len(rows) == 2  # row-preserving
+    assert got["https://h.com/p1.html"] == 0 and got[None] is None
