@@ -354,22 +354,36 @@ def _hw_pool_init(procs: int) -> None:
         pass
 
 
-def _hw_ceiling(low: int, high: int) -> dict:
-    """measure this box's own scaling of the extraction kernel."""
+def _hw_corpus() -> None:
     global _HW_HTML
-    from open_semantic_etl_spark.sources.pages import page_record
+    if not _HW_HTML:
+        from open_semantic_etl_spark.sources.pages import page_record
 
-    _HW_HTML = [page_record(i)["html"] for i in range(_HW_N)]
+        _HW_HTML = [page_record(i)["html"] for i in range(_HW_N)]
+
+
+def _hw_pass(procs: int) -> float:
+    """one warmed ceiling measurement at the given pool width (pool
+    pinned to the same core set the pinned Spark level uses)."""
+    chunk = _HW_N // procs
+    jobs = [(i * chunk, (i + 1) * chunk) for i in range(procs)]
+    with mp.Pool(procs, initializer=_hw_pool_init, initargs=(procs,)) as p:
+        # fork → corpus shared copy-on-write
+        p.map(_hw_work, jobs)  # warm
+        t0 = time.time()
+        p.map(_hw_work, jobs)
+        return time.time() - t0
+
+
+def _hw_ceiling(low: int, high: int) -> dict:
+    """measure this box's own scaling of the extraction kernel
+    (standalone form; main() interleaves _hw_pass with the Spark
+    levels instead so noise hits raw and ceiling together)."""
+    global _HW_HTML
+    _hw_corpus()
     res = {}
     for procs in (low, high, low, high, low, high):
-        chunk = _HW_N // procs
-        jobs = [(i * chunk, (i + 1) * chunk) for i in range(procs)]
-        with mp.Pool(procs, initializer=_hw_pool_init, initargs=(procs,)) as p:
-            # fork → corpus shared copy-on-write
-            p.map(_hw_work, jobs)  # warm
-            t0 = time.time()
-            p.map(_hw_work, jobs)
-            dt = time.time() - t0
+        dt = _hw_pass(procs)
         res[procs] = min(res.get(procs, dt), dt)
     _HW_HTML = []
     eff = (res[low] / res[high]) / (high / low)
@@ -453,7 +467,9 @@ def main() -> None:
         # each level runs in an affinity-pinned subprocess (see header).
         t_low = None
         ex = {}  # extraction-stage-only times per level
-        for cores in (low_cores, cpus, low_cores, cpus, low_cores, cpus):
+        hw_sec: dict[int, float] = {}
+        _hw_corpus()
+        for cores in (low_cores, cpus) * 4:
             r = _run_scale_level(pages_path, cores)
             t, tx = r["sec"], r["sec_extract"]
             ex[cores] = min(ex.get(cores, tx), tx)
@@ -461,6 +477,15 @@ def main() -> None:
                 t_high = min(t_high, t)
             else:
                 t_low = t if t_low is None else min(t_low, t)
+            # ceiling probe in the SAME time window as the level it
+            # normalizes: an ambient burst then degrades raw and
+            # ceiling together instead of whipsawing their ratio
+            # (observed captures whipsawed 0.74–0.93 when the ceiling
+            # block ran after all the levels)
+            dt = _hw_pass(cores)
+            hw_sec[cores] = min(hw_sec.get(cores, dt), dt)
+        global _HW_HTML
+        _HW_HTML = []
         # executor proxy (1 vs 4 concurrent pinned JVMs) stays opt-in:
         # on this virtualized box co-located JVMs lose most cycles to
         # hypervisor page-table/steal costs that separate physical
@@ -489,7 +514,11 @@ def main() -> None:
     if do_scaling:
         ratio = cpus / low_cores
         eff = (t_low / t_high) / ratio
-        hw = _hw_ceiling(low_cores, cpus)
+        hw = {
+            "procs": [low_cores, cpus],
+            "sec": [round(hw_sec[low_cores], 3), round(hw_sec[cpus], 3)],
+            "efficiency": round((hw_sec[low_cores] / hw_sec[cpus]) / ratio, 3),
+        }
         scaling = {
             # headline (metric of record, BASELINE.md §3): pinned
             # thread scaling normalized by the box's OWN hardware
