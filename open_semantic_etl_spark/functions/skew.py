@@ -31,21 +31,25 @@ def salted_agg(
     key: str | Column,
     aggs: dict[str, Column],
     buckets: int = DEFAULT_SALT_BUCKETS,
+    combiners: "dict[str, object] | None" = None,
 ) -> DataFrame:
     """two-stage aggregation for skewed keys.
 
     ``aggs`` maps output name → FIRST-stage aggregate expression; the
-    second stage re-combines with the matching combiner (sum for
-    count/sum, max for max, min for min — caller supplies re-combinable
-    aggregates; non-decomposable aggs don't belong here).
+    second stage re-combines each column with ``combiners[name]``
+    (a callable like ``F.sum``/``F.max``/``F.min``), defaulting to
+    ``F.sum`` — correct for count/sum. max/min aggregates MUST pass
+    the matching combiner; non-decomposable aggs (avg, distinct)
+    don't belong here (decompose them into sum/count first).
     """
     key_col = F.col(key) if isinstance(key, str) else key
+    comb = combiners or {}
     salted = with_salt(df, buckets)
     stage1 = salted.groupBy(key_col.alias("_key"), F.col("_salt")).agg(
         *[expr.alias(name) for name, expr in aggs.items()]
     )
     stage2 = stage1.groupBy("_key").agg(
-        *[F.sum(name).alias(name) for name in aggs]
+        *[comb.get(name, F.sum)(name).alias(name) for name in aggs]
     )
     return stage2.withColumnRenamed("_key", key if isinstance(key, str) else "key")
 
