@@ -135,6 +135,26 @@ def test_salted_agg_matches_plain(spark):
     assert plain["big.example.com"][0] == 50  # the planted hot host
 
 
+def test_salted_agg_combiners(spark):
+    """max/min aggregates need the matching combiner — the default sum
+    stage would add the per-salt maxima together."""
+    from open_semantic_etl_spark.functions.skew import host_of, salted_agg
+    from pyspark.sql import functions as F
+
+    df = pages_df(spark, 200, partitions=4).withColumn("host", host_of(F.col("url")))
+    plain = {
+        r["host"]: r["mx"]
+        for r in df.groupBy("host").agg(F.max(F.length("html")).alias("mx")).collect()
+    }
+    salted = {
+        r["host"]: r["mx"]
+        for r in salted_agg(
+            df, "host", {"mx": F.max(F.length("html"))}, combiners={"mx": F.max}
+        ).collect()
+    }
+    assert salted == plain
+
+
 def test_export_sinks(spark, tmp_path):
     """export_json / export_print / doc-json shaping with the §1.3
     value model (dedupe + single-value scalar collapse)."""
