@@ -384,6 +384,36 @@ def test_chunk_overlap_is_size_minus_stride(spark):
     assert a[96:] == b[:32]  # 128-96 = 32 tokens of shared context
 
 
+def test_chunk_tokens_coverage_sweep(spark):
+    """exact-coverage property over every doc length 0..40 × three
+    (size, stride) shapes, one Spark job per shape: chunks concatenated
+    with the overlap removed reconstruct the token stream exactly (no
+    token lost, none duplicated beyond the declared overlap), and the
+    window count matches the closed form 1 + ceil((n-size)/stride)."""
+    import math
+
+    from open_semantic_etl_spark.operators.textstats import chunk_tokens
+
+    docs = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(41)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for size, stride in [(8, 6), (5, 5), (16, 1)]:
+        rows = chunk_tokens(df, size=size, stride=stride).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for n in range(41):
+            chunks = sorted(by_doc.get(n, []), key=lambda r: r["chunk_i"])
+            want = 0 if n == 0 else (1 if n <= size else 1 + math.ceil((n - size) / stride))
+            assert len(chunks) == want, (n, size, stride, len(chunks))
+            rebuilt = []
+            for i, c in enumerate(chunks):
+                toks = c["chunk_txt"].split(" ")
+                start = i * stride if i < len(chunks) - 1 else n - len(toks)
+                assert toks == [f"w{j}" for j in range(start, start + len(toks))]
+                rebuilt[start:] = toks  # overlap overwrites identical tokens
+            assert rebuilt == [f"w{j}" for j in range(n)], (n, size, stride)
+
+
 def test_top_k_per_key_hot_key(spark):
     from open_semantic_etl_spark.functions.skew import top_k_per_key
 

@@ -327,6 +327,33 @@ def test_canonical_url(spark):
     assert df.select(P.canonical_url(F.lit(None).cast("string")).alias("c")).first()["c"] is None
 
 
+def test_canonical_url_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u) over a combinatorial
+    sweep — one Spark job, every (scheme × host × port × path × query ×
+    fragment) combination; a canonical form must be a fixed point or
+    url dedup keys drift under re-canonicalization."""
+    import itertools
+
+    schemes = ["", "http://", "HTTPS://", "ftp://"]
+    hosts = ["Host.COM", "user:p@www.x.org.", "h"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "//a/./b/", "/a%20b/c", "/x/"]
+    queries = ["", "?b=2&a=1", "?utm_source=t&z", "?a=&A=1&gclid=9"]
+    frags = ["", "#frag"]
+    urls = [
+        "".join(c)
+        for c in itertools.product(schemes, hosts, ports, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    c1 = P.canonical_url(F.col("u"))
+    bad = (
+        df.select("u", c1.alias("c1"), P.canonical_url(c1).alias("c2"))
+        .filter(F.col("c1") != F.col("c2"))
+        .collect()
+    )
+    assert bad == [], bad[:5]
+
+
 def test_with_url_dedup_keeper(spark):
     df = spark.createDataFrame(
         [
