@@ -234,6 +234,39 @@ def test_pdf_type0_cid_tounicode_roundtrip():
     assert rb["ok"] is False and "ToUnicode" in rb["err"]
 
 
+def test_pdf_feature_matrix_roundtrip():
+    """every combination of the builder's structural features must
+    round-trip: layout (classic/modern) x font (simple/Type0-CID) x
+    encryption (none/rc4-40/rc4-128) x page-object order x stream
+    compression x page count — interactions (e.g. encrypted ObjStm,
+    reversed pages inside an xref stream) are where real-world parsers
+    break, and each feature's own test exercises it only in isolation."""
+    import itertools
+
+    # simple fonts show latin-1 literal strings (builder contract:
+    # full unicode needs type0), so the shared pages stay latin-1 and
+    # the CJK page only rides the Type0 combos
+    latin = ["Matrix page one", "Zwei (Grüße) §2", "dritte \\Seite"]
+    uni = ["Matrix page one", "Zwei — Grüße §2", "三 tokyo 東京"]
+    for modern, type0, enc, rev, comp, npages in itertools.product(
+        (False, True), (False, True), (None, "rc4-40", "rc4-128"),
+        (False, True), (False, True), (1, 3),
+    ):
+        if enc and modern:
+            continue  # fixture writer: encrypt + modern not combined
+        pages = (uni if type0 else latin)[:npages]
+        pdf = build_pdf(
+            pages, title="MX", author="MA", modern=modern, type0=type0,
+            encrypt=enc, reverse_page_objects=rev, compress=comp,
+        )
+        r = parse_pdf(pdf)
+        combo = (modern, type0, enc, rev, comp, npages)
+        assert r["ok"], (combo, r["err"])
+        assert r["pages"] == pages, combo
+        assert r["title"] == "MX" and r["author"] == "MA", combo
+        assert r["npages"] == npages, combo
+
+
 def test_pdf_rc4_encrypted_roundtrip():
     """standard security handler with empty user password: RC4 V1/R2
     (40-bit) and V2/R3 (128-bit) files decrypt transparently — page
