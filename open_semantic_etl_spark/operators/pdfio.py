@@ -11,7 +11,9 @@ image numbering follow the /Pages /Kids tree), and Type0/CID composite
 fonts (Identity-H 2-byte hex shows decoded through the /ToUnicode CMap,
 with per-stream Tf font tracking), and RC4-encrypted files (standard
 security handler V1/V2 R2/R3, empty user password — transparently
-decrypted). Still out of scope — ``ok=False`` with an error message
+decrypted, in classic AND modern layouts: ObjStm payloads carry their
+packed objects' string protection, XRef streams stay plaintext per
+PDF 32000-1 §7.5.8.2). Still out of scope — ``ok=False`` with an error message
 instead of wrong text: Type0 text WITHOUT a usable ToUnicode CMap,
 AES/R4+ encryption, non-empty passwords, non-Flate filters; the pipeline
 records these in the per-row error column, mirroring the reference's
@@ -194,14 +196,16 @@ def build_pdf(
         info_parts.append(b"/Author (" + _esc(author).encode("latin-1", "replace") + b")")
     info = add(b"<< " + b" ".join(info_parts) + b" >>") if info_parts else None
 
-    # standard-security-handler encryption (fixture knob, classic
-    # layout only): "rc4-40" = V1/R2, "rc4-128" = V2/R3; empty user +
-    # owner passwords, streams and dict strings RC4'd per object
+    # standard-security-handler encryption (fixture knob): "rc4-40" =
+    # V1/R2, "rc4-128" = V2/R3; empty user + owner passwords. Classic
+    # layout RC4s streams and dict strings per object; modern layout
+    # follows the PDF 1.5 rules — stream payloads per object, strings
+    # of ObjStm-packed dicts ride the ObjStm's OWN encryption (applied
+    # at emission below), the XRef stream never encrypted.
     enc_num = None
     id0 = None
+    enc_key = None
     if encrypt:
-        if modern:
-            raise ValueError("fixture writer: encrypt + modern not combined")
         import binascii
         import hashlib
 
@@ -219,6 +223,7 @@ def build_pdf(
             b"<< /Filter /Standard /V %d /R %d /Length %d /P -1 /O <%s> /U <%s> >>"
             % (V, R, bits, binascii.hexlify(O).upper(), binascii.hexlify(U).upper())
         )
+        enc_key = key
 
         def enc_obj(body: bytes, ok: bytes) -> bytes:
             sm = _STREAM_RE.search(body)
@@ -240,7 +245,14 @@ def build_pdf(
             )
 
         for i in range(len(objects)):
-            if i + 1 != enc_num:
+            if i + 1 == enc_num:
+                continue
+            if not modern:
+                objects[i] = enc_obj(objects[i], _obj_key(key, i + 1))
+            elif b"stream\n" in objects[i]:
+                # modern: only top-level stream objects encrypt here;
+                # dict-only objects pack into the ObjStm whose single
+                # stream encryption protects them
                 objects[i] = enc_obj(objects[i], _obj_key(key, i + 1))
 
     # file emission order: numeric, optionally with the page objects'
@@ -280,7 +292,13 @@ def build_pdf(
         return bytes(out)
 
     # --- modern layout: ObjStm for dict objects + cross-reference stream
-    packed = [num for num in emit_seq if b"stream\n" not in objects[num - 1]]
+    # (the /Encrypt dict must stay top-level: PDF 32000-1 §7.5.7 forbids
+    # packing it in an object stream, and readers need it before any
+    # decryption context exists)
+    packed = [
+        num for num in emit_seq
+        if b"stream\n" not in objects[num - 1] and num != enc_num
+    ]
     top_level = [num for num in emit_seq if num not in set(packed)]
     objstm_num = len(objects) + 1
     xref_num = len(objects) + 2
@@ -294,6 +312,10 @@ def build_pdf(
         packed_index[num] = idx
     stm_header = b" ".join(hdr_parts) + b"\n"
     comp = zlib.compress(stm_header + payload)
+    if enc_key is not None:
+        # the ObjStm payload encrypts with the ObjStm's own object key;
+        # its packed objects' strings get no further encryption
+        comp = _rc4(_obj_key(enc_key, len(objects) + 1), comp)
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\nstream\n"
         % (len(packed), len(stm_header), len(comp))
@@ -325,6 +347,11 @@ def build_pdf(
     xdict = b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R" % (size, catalog)
     if info:
         xdict += b" /Info %d 0 R" % info
+    if enc_num:
+        import binascii
+
+        idh = binascii.hexlify(id0).upper()
+        xdict += b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_num, idh, idh)
     xdict += b" /Filter /FlateDecode /Length %d >>" % len(xcomp)
     out += b"%d 0 obj\n" % xref_num + xdict + b"\nstream\n" + xcomp + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
@@ -351,6 +378,7 @@ def build_pdf(
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_XREFSTM_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
 _NUM_FIELD = {
     "N": re.compile(rb"/N\s+(\d+)"),
     "First": re.compile(rb"/First\s+(\d+)"),
@@ -687,6 +715,10 @@ def _maybe_decrypt(data: bytes) -> bytes:
         ok = _obj_key(key, num)
         sm = _STREAM_RE.search(body)
         dict_part = body[: sm.start()] if sm else body
+        if _XREFSTM_TYPE_RE.search(dict_part):
+            # cross-reference streams are NEVER encrypted (PDF 32000-1
+            # §7.5.8.2) — RC4ing one would corrupt the object index
+            return body
 
         # dict strings: hex and literal forms both decrypt to literals —
         # ONE combined pass so a freshly decrypted literal is never

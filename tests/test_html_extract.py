@@ -252,8 +252,6 @@ def test_pdf_feature_matrix_roundtrip():
         (False, True), (False, True), (None, "rc4-40", "rc4-128"),
         (False, True), (False, True), (1, 3),
     ):
-        if enc and modern:
-            continue  # fixture writer: encrypt + modern not combined
         pages = (uni if type0 else latin)[:npages]
         pdf = build_pdf(
             pages, title="MX", author="MA", modern=modern, type0=type0,
@@ -284,10 +282,15 @@ def test_pdf_rc4_encrypted_roundtrip():
     # composes with Type0/CID text
     r2 = parse_pdf(build_pdf(["Grüße 東京"], type0=True, encrypt="rc4-128"))
     assert r2["ok"] and r2["pages"] == ["Grüße 東京"]
-    # encrypted image payloads decrypt through pdf_images
-    p3 = build_pdf(["t1", "t2"], images=[[b"img-one"], [b"img-two"]], encrypt="rc4-128")
-    got = {(d["page_i"], bytes(d["image"])) for d in pdf_images(p3)}
-    assert got == {(1, b"img-one"), (2, b"img-two")}
+    # encrypted image payloads decrypt through pdf_images — classic
+    # and modern (ObjStm + xref stream) layouts
+    for modern in (False, True):
+        p3 = build_pdf(
+            ["t1", "t2"], images=[[b"img-one"], [b"img-two"]],
+            encrypt="rc4-128", modern=modern,
+        )
+        got = {(d["page_i"], bytes(d["image"])) for d in pdf_images(p3)}
+        assert got == {(1, b"img-one"), (2, b"img-two")}, modern
     # unsupported V → error; tampered /U (≠ empty-password file) → error
     rb = parse_pdf(build_pdf(["x"], encrypt="rc4-128").replace(b"/V 2", b"/V 4"))
     assert rb["ok"] is False and "unsupported encryption" in rb["err"]
