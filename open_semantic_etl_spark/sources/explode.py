@@ -106,13 +106,68 @@ WARC_CHILD_TYPE = T.ArrayType(
 _HTTP_HDR_END = re.compile(rb"\r?\n\r?\n")
 
 
+def _gunzip_members(data: bytes) -> bytes:
+    """concatenate every gzip member: Common-Crawl ``.warc.gz`` files
+    pack ONE record per member so ranges are seekable; warcio's
+    ArchiveIterator streams them the same way. A non-gzip tail (or a
+    truncated final member) is appended raw so partial files still
+    yield their complete leading records."""
+    import zlib
+
+    out = []
+    buf = data
+    while buf[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(buf))
+            out.append(d.flush())
+        except zlib.error:
+            break
+        if not d.unused_data or d.unused_data == buf:
+            buf = b""
+            break
+        buf = d.unused_data
+    out.append(buf)
+    return b"".join(out)
+
+
+def _dechunk(body: bytes) -> bytes:
+    """decode a Transfer-Encoding: chunked HTTP body (RFC 9112 §7.1);
+    warcio's content_stream de-chunks transparently, so the reference's
+    enhance_warc never sees chunk framing. Malformed framing returns
+    the bytes read so far rather than raising."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break
+        try:
+            size = int(body[pos:eol].split(b";")[0].strip() or b"0", 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = eol + 2
+        out.append(body[start : start + size])
+        pos = start + size + 2  # skip the chunk's trailing CRLF
+    return b"".join(out)
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """yield response records: (child_id, target_uri, warc_date, payload).
 
-    Reads WARC/1.0/1.1 record headers (Content-Length framing); for
-    ``response`` records strips the HTTP envelope to the body, matching
+    Reads WARC/1.0/1.1 record headers (Content-Length framing) from
+    plain OR gzipped input (multi-member ``.warc.gz`` — the Common
+    Crawl layout); for ``response`` records strips the HTTP envelope
+    to the body and decodes chunked transfer framing, matching
     warcio's content_stream behavior used by enhance_warc.py:80-92.
+    (Content-Encoding compression is preserved as-is, also matching
+    content_stream's default.)
     """
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
     out: list[dict] = []
     pos = 0
     n = len(data)
@@ -136,6 +191,10 @@ def parse_warc(data: bytes) -> list[dict]:
         if headers.get("warc-type") == "response":
             http_m = _HTTP_HDR_END.search(payload)
             body = payload[http_m.end() :] if http_m else payload
+            if http_m and re.search(
+                rb"(?im)^transfer-encoding:\s*chunked\s*$", payload[: http_m.start()]
+            ):
+                body = _dechunk(body)
             uri = headers.get("warc-target-uri")
             rid = headers.get("warc-record-id", "").strip("<>")
             out.append(

@@ -71,6 +71,49 @@ def test_explode_warc(spark):
     assert extract_html(bytes(r["html"]))["title"] == "Example Domain"
 
 
+def test_warc_gz_members_and_chunked():
+    """Common-Crawl layout: one gzip member per record, HTTP bodies in
+    chunked transfer framing — both must decode to the same records
+    the plain reader yields (warcio ArchiveIterator/content_stream
+    behavior)."""
+    import gzip
+
+    from open_semantic_etl_spark.sources.explode import parse_warc
+
+    # plain baseline from the shared fixture
+    plain = parse_warc(_WARC)
+    assert len(plain) == 1
+
+    # per-record gzip members (the .warc.gz layout)
+    resp, req = _WARC.split(b"\r\n\r\nWARC/1.0\r\nWARC-Type: request")
+    req = b"WARC/1.0\r\nWARC-Type: request" + req
+    gz = gzip.compress(resp + b"\r\n\r\n") + gzip.compress(req)
+    assert gz[:2] == b"\x1f\x8b"
+    got = parse_warc(gz)
+    assert [ (r["child_id"], bytes(r["bytes"])) for r in got ] == [
+        (plain[0]["child_id"], bytes(plain[0]["bytes"]))
+    ]
+
+    # chunked transfer-encoding: body arrives in two chunks
+    body = b"<html><body>chunked page body</body></html>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"%x\r\n" % 16 + body[:16] + b"\r\n"
+        b"%x\r\n" % (len(body) - 16) + body[16:] + b"\r\n"
+        b"0\r\n\r\n"
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:ch-1>\r\n"
+        b"WARC-Target-URI: http://c.example.com/\r\n"
+        b"WARC-Date: 2024-02-03T04:05:06Z\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(http) + http
+    )
+    got = parse_warc(gzip.compress(rec))
+    assert len(got) == 1 and bytes(got[0]["bytes"]) == body
+
+
 def test_explode_csv(spark):
     data = "name;amount;note\nalpha;1,5;first row\nbeta;2;second row\n".encode()
     df = spark.createDataFrame([("http://x/t.csv", data)], "url string, html binary")
