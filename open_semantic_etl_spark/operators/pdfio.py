@@ -13,9 +13,12 @@ with per-stream Tf font tracking), and RC4-encrypted files (standard
 security handler V1/V2 R2/R3, empty user password — transparently
 decrypted, in classic AND modern layouts: ObjStm payloads carry their
 packed objects' string protection, XRef streams stay plaintext per
-PDF 32000-1 §7.5.8.2). Still out of scope — ``ok=False`` with an error message
+PDF 32000-1 §7.5.8.2). Stream filters: Flate, ASCIIHex,
+ASCII85, RunLength, chained ``/Filter`` arrays (image-codec filters
+pass their payload through — decoding them is the image tier's job).
+Still out of scope — ``ok=False`` with an error message
 instead of wrong text: Type0 text WITHOUT a usable ToUnicode CMap,
-AES/R4+ encryption, non-empty passwords, non-Flate filters; the pipeline
+AES/R4+ encryption, non-empty passwords, LZW/CCITT decode; the pipeline
 records these in the per-row error column, mirroring the reference's
 error capture (etl.py:214-220).
 
@@ -49,6 +52,7 @@ def build_pdf(
     reverse_page_objects: bool = False,
     type0: bool = False,
     encrypt: str | None = None,
+    content_filters: tuple[str, ...] | None = None,
 ) -> bytes:
     """Serialize page texts into a minimal valid PDF.
 
@@ -155,7 +159,34 @@ def build_pdf(
         ops.append(b"ET")
         stream = b"\n".join(ops)
         flags = b""
-        if compress:
+        if content_filters:
+            # /Filter array names are in DECODE order, so encoding
+            # applies them last-to-first
+            import base64
+            import binascii
+
+            for fname in reversed(content_filters):
+                if fname == "FlateDecode":
+                    stream = zlib.compress(stream)
+                elif fname == "ASCIIHexDecode":
+                    stream = binascii.hexlify(stream).upper() + b">"
+                elif fname == "ASCII85Decode":
+                    stream = base64.a85encode(stream) + b"~>"
+                elif fname == "RunLengthDecode":
+                    enc = bytearray()
+                    for i in range(0, len(stream), 128):
+                        chunk = stream[i : i + 128]
+                        enc += bytes([len(chunk) - 1]) + chunk
+                    enc.append(128)  # EOD
+                    stream = bytes(enc)
+                else:
+                    raise ValueError(f"unknown content filter {fname!r}")
+            names = b" ".join(b"/" + f.encode() for f in content_filters)
+            flags = (
+                b"/Filter [" + names + b"] " if len(content_filters) > 1
+                else b"/Filter " + names + b" "
+            )
+        elif compress:
             stream = zlib.compress(stream)
             flags = b"/Filter /FlateDecode "
         content_nums.append(
@@ -369,9 +400,11 @@ def build_pdf(
 # Type0/CID fonts (2-byte Identity-H hex shows via /ToUnicode CMap,
 # Tf-tracked per stream). Page TEXT order follows the /Pages /Kids
 # tree when present, so PDFs whose page objects are serialized out of
-# file order still number correctly. Still out of scope (ok=False +
-# err, never wrong text): Type0 without a usable ToUnicode CMap,
-# AES/R4+ or password-protected encryption, non-Flate filters.
+# file order still number correctly. Stream filters: Flate, ASCIIHex,
+# ASCII85, RunLength, chained /Filter arrays (_apply_filters). Still
+# out of scope (ok=False + err, never wrong text): Type0 without a
+# usable ToUnicode CMap, AES/R4+ or password-protected encryption,
+# LZW/CCITT decode.
 # RC4 standard-security files (V1/V2, R2/R3, empty user password) are
 # transparently decrypted up front (_maybe_decrypt).
 # ---------------------------------------------------------------------------
@@ -379,6 +412,72 @@ def build_pdf(
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _XREFSTM_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[((?:\s*/[A-Za-z0-9]+)*)\s*\]|/([A-Za-z0-9]+))")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+
+#: filters whose output IS the final (image-codec) payload — applying
+#: them is the image decoder's job, so the chain stops there and the
+#: encoded bytes pass through (what ``pdfimages -j`` emits)
+_IMAGE_TERMINAL_FILTERS = {b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode"}
+
+
+def _rle_decode(s: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000-1 §7.4.5): L<128 → copy L+1 literal
+    bytes; L>128 → repeat next byte 257-L times; L=128 → EOD."""
+    out = bytearray()
+    pos, n = 0, len(s)
+    while pos < n:
+        L = s[pos]
+        pos += 1
+        if L == 128:
+            break
+        if L < 128:
+            out += s[pos : pos + L + 1]
+            pos += L + 1
+        else:
+            out += s[pos : pos + 1] * (257 - L)
+            pos += 1
+    return bytes(out)
+
+
+def _apply_filters(body: bytes, payload: bytes, image: bool = False) -> bytes:
+    """decode a stream payload per its dict's ``/Filter`` entry (name or
+    array, applied first-to-last). Supported: FlateDecode,
+    ASCIIHexDecode, ASCII85Decode, RunLengthDecode; with ``image=True``
+    the image-codec filters terminate the chain and the (decoded-so-far)
+    payload passes through. Anything else raises ValueError — parse_pdf
+    converts that to ok=False, never wrong text."""
+    import base64
+
+    fm = _FILTER_RE.search(body)
+    if not fm:
+        return payload
+    names = (
+        _FILTER_NAME_RE.findall(fm.group(1)) if fm.group(1) is not None
+        else [fm.group(2)]
+    )
+    for name in names:
+        if name == b"FlateDecode":
+            payload = zlib.decompress(payload)
+        elif name == b"ASCIIHexDecode":
+            s = re.sub(rb"\s", b"", payload)
+            s = s.split(b">")[0]
+            if len(s) % 2:
+                s += b"0"
+            payload = bytes.fromhex(s.decode("ascii"))
+        elif name == b"ASCII85Decode":
+            s = re.sub(rb"\s", b"", payload)
+            if s.startswith(b"<~"):
+                s = s[2:]
+            s = s.split(b"~>")[0]
+            payload = base64.a85decode(s)
+        elif name == b"RunLengthDecode":
+            payload = _rle_decode(payload)
+        elif image and name in _IMAGE_TERMINAL_FILTERS:
+            return payload
+        else:
+            raise ValueError(f"unsupported stream filter /{name.decode('ascii', 'replace')}")
+    return payload
 _NUM_FIELD = {
     "N": re.compile(rb"/N\s+(\d+)"),
     "First": re.compile(rb"/First\s+(\d+)"),
@@ -407,11 +506,10 @@ def _collect_objects(data: bytes) -> dict[int, bytes]:
         if not (sm and nm and fm):
             continue
         payload = sm.group(1)
-        if b"/FlateDecode" in body:
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error:
-                continue
+        try:
+            payload = _apply_filters(body, payload)
+        except (ValueError, zlib.error):
+            continue
         n, first = int(nm.group(1)), int(fm.group(1))
         try:
             ints = [int(x) for x in payload[:first].split()]
@@ -472,11 +570,21 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
         return None
     blob = sm.group(1)
     try:
-        blob = zlib.decompress(blob)
+        blob = _apply_filters(body, blob)
     except zlib.error:
-        pass  # uncompressed or unsupported filter; try as-is
+        pass  # corrupt deflate: try raw (tolerant fallback, as before)
     if b"BT" not in blob or b"ET" not in blob:
-        return None
+        # the truncated-file scan reaches streams without their real
+        # dict (no /Filter to honor): sniff the zlib CMF byte so
+        # compressed text layers still surface from broken files
+        if _FILTER_RE.search(body) or blob[:1] != b"\x78":
+            return None
+        try:
+            blob = zlib.decompress(blob)
+        except zlib.error:
+            return None
+        if b"BT" not in blob or b"ET" not in blob:
+            return None
     cur_cmap = _UNKNOWN_FONT  # until a Tf names a known resource
     if fonts and len(fonts) == 1:  # single-font page: active before any Tf
         cur_cmap = next(iter(fonts.values()))
@@ -541,11 +649,10 @@ def _parse_tounicode(body: bytes) -> dict[int, str]:
     if not sm:
         return {}
     s = sm.group(1)
-    if b"/FlateDecode" in body:
-        try:
-            s = zlib.decompress(s)
-        except zlib.error:
-            pass
+    try:
+        s = _apply_filters(body, s)
+    except (ValueError, zlib.error):
+        pass  # undecodable CMap → empty map → hex shows error out
     cmap: dict[int, str] = {}
 
     def dst_str(hexs: bytes) -> str:
@@ -949,11 +1056,10 @@ def pdf_images(data: bytes) -> list[dict]:
             if not sm:
                 continue
             blob = sm.group(1)
-            if b"/FlateDecode" in body:
-                try:
-                    blob = zlib.decompress(blob)
-                except zlib.error:
-                    pass
+            try:
+                blob = _apply_filters(body, blob, image=True)
+            except (ValueError, zlib.error):
+                pass  # undecodable envelope: keep raw payload
             images[num] = blob
         elif _PAGE_OBJ_RE.search(body) and not _PAGES_TYPE_RE.search(body):
             file_order_pages.append(num)

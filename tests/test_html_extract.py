@@ -234,6 +234,34 @@ def test_pdf_type0_cid_tounicode_roundtrip():
     assert rb["ok"] is False and "ToUnicode" in rb["err"]
 
 
+def test_pdf_stream_filters_roundtrip():
+    """non-Flate stream filters (common in generated PDFs): ASCIIHex,
+    ASCII85, RunLength, and chained /Filter arrays all decode; an
+    unsupported filter yields ok=False, never mojibake."""
+    pages = ["Filter page one text", "Zweite (Seite) \\x"]
+    chains = [
+        ("ASCIIHexDecode",),
+        ("ASCII85Decode",),
+        ("RunLengthDecode",),
+        ("ASCII85Decode", "FlateDecode"),
+        ("ASCIIHexDecode", "RunLengthDecode"),
+    ]
+    for chain in chains:
+        pdf = build_pdf(pages, title="FT", content_filters=chain)
+        r = parse_pdf(pdf)
+        assert r["ok"], (chain, r["err"])
+        assert r["pages"] == pages and r["title"] == "FT", chain
+        # filters compose with the modern ObjStm/xref-stream layout too
+        rm = parse_pdf(build_pdf(pages, content_filters=chain, modern=True))
+        assert rm["ok"] and rm["pages"] == pages, chain
+    # unsupported filter on the only content stream → error, not noise
+    broken = build_pdf(pages, compress=False).replace(
+        b"/Length", b"/Filter /LZWDecode /Length", 1
+    )
+    rb = parse_pdf(broken)
+    assert rb["ok"] is False and "LZWDecode" in (rb["err"] or "")
+
+
 def test_pdf_feature_matrix_roundtrip():
     """every combination of the builder's structural features must
     round-trip: layout (classic/modern) x font (simple/Type0-CID) x
