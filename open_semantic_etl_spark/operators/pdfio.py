@@ -13,12 +13,13 @@ with per-stream Tf font tracking), and RC4-encrypted files (standard
 security handler V1/V2 R2/R3, empty user password — transparently
 decrypted, in classic AND modern layouts: ObjStm payloads carry their
 packed objects' string protection, XRef streams stay plaintext per
-PDF 32000-1 §7.5.8.2). Stream filters: Flate, ASCIIHex,
-ASCII85, RunLength, chained ``/Filter`` arrays (image-codec filters
-pass their payload through — decoding them is the image tier's job).
+PDF 32000-1 §7.5.8.2). Stream filters: Flate, LZW,
+ASCIIHex, ASCII85, RunLength, chained ``/Filter`` arrays (image-codec
+filters pass their payload through — decoding them is the image
+tier's job).
 Still out of scope — ``ok=False`` with an error message
 instead of wrong text: Type0 text WITHOUT a usable ToUnicode CMap,
-AES/R4+ encryption, non-empty passwords, LZW/CCITT decode; the pipeline
+AES/R4+ encryption, non-empty passwords, CCITT decode; the pipeline
 records these in the per-row error column, mirroring the reference's
 error capture (etl.py:214-220).
 
@@ -179,6 +180,8 @@ def build_pdf(
                         enc += bytes([len(chunk) - 1]) + chunk
                     enc.append(128)  # EOD
                     stream = bytes(enc)
+                elif fname == "LZWDecode":
+                    stream = _lzw_encode(stream)
                 else:
                     raise ValueError(f"unknown content filter {fname!r}")
             names = b" ".join(b"/" + f.encode() for f in content_filters)
@@ -400,11 +403,11 @@ def build_pdf(
 # Type0/CID fonts (2-byte Identity-H hex shows via /ToUnicode CMap,
 # Tf-tracked per stream). Page TEXT order follows the /Pages /Kids
 # tree when present, so PDFs whose page objects are serialized out of
-# file order still number correctly. Stream filters: Flate, ASCIIHex,
-# ASCII85, RunLength, chained /Filter arrays (_apply_filters). Still
-# out of scope (ok=False + err, never wrong text): Type0 without a
-# usable ToUnicode CMap, AES/R4+ or password-protected encryption,
-# LZW/CCITT decode.
+# file order still number correctly. Stream filters: Flate, LZW,
+# ASCIIHex, ASCII85, RunLength, chained /Filter arrays
+# (_apply_filters). Still out of scope (ok=False + err, never wrong
+# text): Type0 without a usable ToUnicode CMap, AES/R4+ or
+# password-protected encryption, CCITT decode.
 # RC4 standard-security files (V1/V2, R2/R3, empty user password) are
 # transparently decrypted up front (_maybe_decrypt).
 # ---------------------------------------------------------------------------
@@ -419,6 +422,89 @@ _FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 #: them is the image decoder's job, so the chain stops there and the
 #: encoded bytes pass through (what ``pdfimages -j`` emits)
 _IMAGE_TERMINAL_FILTERS = {b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode"}
+
+
+def _lzw_decode(s: bytes, early: int = 1) -> bytes:
+    """LZWDecode (PDF 32000-1 §7.4.4 = TIFF LZW): 9→12-bit codes,
+    256 = clear table, 257 = EOD; ``early`` is /EarlyChange (default 1:
+    the code width bumps one entry before the table fills)."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    for byte in s:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                del table[258:]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream (code beyond table)")
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(s: bytes, early: int = 1) -> bytes:
+    """fixture-side LZW encoder (inverse of ``_lzw_decode``)."""
+    codes: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    run = b""
+    for i in range(len(s)):
+        nxt = run + s[i : i + 1]
+        if nxt in codes:
+            run = nxt
+            continue
+        emit(codes[run])
+        codes[nxt] = next_code
+        next_code += 1
+        if next_code + early - 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4095:  # table full: clear between symbols
+            emit(256)
+            codes = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        run = s[i : i + 1]
+    if run:
+        emit(codes[run])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _rle_decode(s: bytes) -> bytes:
@@ -473,6 +559,9 @@ def _apply_filters(body: bytes, payload: bytes, image: bool = False) -> bytes:
             payload = base64.a85decode(s)
         elif name == b"RunLengthDecode":
             payload = _rle_decode(payload)
+        elif name == b"LZWDecode":
+            em = re.search(rb"/EarlyChange\s+(\d+)", body)
+            payload = _lzw_decode(payload, int(em.group(1)) if em else 1)
         elif image and name in _IMAGE_TERMINAL_FILTERS:
             return payload
         else:

@@ -243,8 +243,10 @@ def test_pdf_stream_filters_roundtrip():
         ("ASCIIHexDecode",),
         ("ASCII85Decode",),
         ("RunLengthDecode",),
+        ("LZWDecode",),
         ("ASCII85Decode", "FlateDecode"),
         ("ASCIIHexDecode", "RunLengthDecode"),
+        ("ASCIIHexDecode", "LZWDecode"),
     ]
     for chain in chains:
         pdf = build_pdf(pages, title="FT", content_filters=chain)
@@ -256,10 +258,28 @@ def test_pdf_stream_filters_roundtrip():
         assert rm["ok"] and rm["pages"] == pages, chain
     # unsupported filter on the only content stream → error, not noise
     broken = build_pdf(pages, compress=False).replace(
-        b"/Length", b"/Filter /LZWDecode /Length", 1
+        b"/Length", b"/Filter /CCITTFaxDecode /Length", 1
     )
     rb = parse_pdf(broken)
-    assert rb["ok"] is False and "LZWDecode" in (rb["err"] or "")
+    assert rb["ok"] is False and "CCITTFaxDecode" in (rb["err"] or "")
+
+
+def test_pdf_lzw_codec_boundaries():
+    """pure LZW encoder/decoder round-trip across the 9/10/11/12-bit
+    width boundaries and a table-full clear (inputs with enough novel
+    digrams to add thousands of table entries)."""
+    from open_semantic_etl_spark.operators.pdfio import _lzw_decode, _lzw_encode
+
+    cases = [
+        b"",
+        b"A",
+        b"-----A---B",
+        bytes(range(256)) * 3,
+        # ~12k novel-pair bytes: crosses every width bump + the clear
+        ("".join(f"{i % 977}:{(i * 7) % 991};" for i in range(2500))).encode(),
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data, len(data)
 
 
 def test_pdf_feature_matrix_roundtrip():
