@@ -231,49 +231,102 @@ def build_pdf(
     info = add(b"<< " + b" ".join(info_parts) + b" >>") if info_parts else None
 
     # standard-security-handler encryption (fixture knob): "rc4-40" =
-    # V1/R2, "rc4-128" = V2/R3; empty user + owner passwords. Classic
-    # layout RC4s streams and dict strings per object; modern layout
-    # follows the PDF 1.5 rules — stream payloads per object, strings
+    # V1/R2, "rc4-128" = V2/R3, "aes-128" = V4/R4 /AESV2, "aes-256" =
+    # V5/R6 /AESV3; empty user + owner passwords. Classic layout
+    # protects streams and dict strings per object; modern layout
+    # follows the PDF 1.5+ rules — stream payloads per object, strings
     # of ObjStm-packed dicts ride the ObjStm's OWN encryption (applied
     # at emission below), the XRef stream never encrypted.
     enc_num = None
     id0 = None
-    enc_key = None
+    enc_stream = None
     if encrypt:
         import binascii
         import hashlib
 
-        R, V, bits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
-        if encrypt not in ("rc4-40", "rc4-128"):
-            raise ValueError(f"unknown encrypt mode {encrypt!r}")
-        keylen = bits // 8
+        hx = lambda b: binascii.hexlify(b).upper()  # noqa: E731
         id0 = hashlib.md5(
             b"|".join(p.encode("utf-8", "replace") for p in pages)
         ).digest()
-        O = _std_owner_entry(R, keylen)
-        key = _std_file_key(O, -1, id0, R, keylen)
-        U = _std_user_entry(key, R, id0)
-        enc_num = add(
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P -1 /O <%s> /U <%s> >>"
-            % (V, R, bits, binascii.hexlify(O).upper(), binascii.hexlify(U).upper())
-        )
-        enc_key = key
+        if encrypt == "aes-256":
+            cipher, per_object = "aes", False
+            key = hashlib.sha256(b"spark-graft-aes256" + id0).digest()
+            vs, ks = b"VALSALT1", b"KEYSALT1"
+            U = _hash_2b(b"", vs, b"") + vs + ks
+            UE = _aes_cbc_encrypt(_hash_2b(b"", ks, b""), bytes(16), key, pad=False)
+            ovs, oks = b"OVALSLT1", b"OKEYSLT1"
+            O = _hash_2b(b"", ovs, U) + ovs + oks
+            OE = _aes_cbc_encrypt(_hash_2b(b"", oks, U), bytes(16), key, pad=False)
+            perms = _aes_encrypt_block(
+                _aes_expand(key), b"\xff\xff\xff\xff\xff\xff\xff\xffTadb0000"
+            )
+            enc_num = add(
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P -1 "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+                % (hx(O), hx(U), hx(OE), hx(UE), hx(perms))
+            )
+        elif encrypt == "aes-128":
+            cipher, per_object = "aes", True
+            R = 4
+            O = _std_owner_entry(R, 16)
+            key = _std_file_key(O, -1, id0, R, 16)
+            U = _std_user_entry(key, R, id0)
+            enc_num = add(
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P -1 /O <%s> /U <%s> >>"
+                % (hx(O), hx(U))
+            )
+        elif encrypt in ("rc4-40", "rc4-128"):
+            cipher, per_object = "rc4", True
+            R, V, bits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
+            keylen = bits // 8
+            O = _std_owner_entry(R, keylen)
+            key = _std_file_key(O, -1, id0, R, keylen)
+            U = _std_user_entry(key, R, id0)
+            enc_num = add(
+                b"<< /Filter /Standard /V %d /R %d /Length %d /P -1 /O <%s> /U <%s> >>"
+                % (V, R, bits, hx(O), hx(U))
+            )
+        else:
+            raise ValueError(f"unknown encrypt mode {encrypt!r}")
+
+        def _okey(num: int) -> bytes:
+            if not per_object:
+                return key
+            return (_obj_key_aes if cipher == "aes" else _obj_key)(key, num)
+
+        def _enc(ok: bytes, raw: bytes) -> bytes:
+            if cipher == "rc4":
+                return _rc4(ok, raw)
+            iv = hashlib.md5(raw + b"fixture-iv").digest()  # deterministic
+            return iv + _aes_cbc_encrypt(ok, iv, raw)
+
+        def enc_stream(num: int, payload: bytes) -> bytes:  # noqa: F811
+            return _enc(_okey(num), payload)
 
         def enc_obj(body: bytes, ok: bytes) -> bytes:
             sm = _STREAM_RE.search(body)
             dict_part = body[: sm.start()] if sm else body
             dict_part = _STR_RE.sub(
                 lambda m: b"<"
-                + binascii.hexlify(_rc4(ok, _unescape(m.group(1)).encode("latin-1"))).upper()
+                + hx(_enc(ok, _unescape(m.group(1)).encode("latin-1")))
                 + b">",
                 dict_part,
             )
             if not sm:
                 return dict_part
+            payload = _enc(ok, sm.group(1))
+            # AES grows streams (IV + padding): keep /Length honest
+            dict_part = re.sub(
+                rb"/Length\s+\d+", b"/Length %d" % len(payload), dict_part
+            )
             return (
                 dict_part
                 + b"stream\n"
-                + _rc4(ok, sm.group(1))
+                + payload
                 + b"endstream"
                 + body[sm.end():]
             )
@@ -282,12 +335,12 @@ def build_pdf(
             if i + 1 == enc_num:
                 continue
             if not modern:
-                objects[i] = enc_obj(objects[i], _obj_key(key, i + 1))
+                objects[i] = enc_obj(objects[i], _okey(i + 1))
             elif b"stream\n" in objects[i]:
                 # modern: only top-level stream objects encrypt here;
                 # dict-only objects pack into the ObjStm whose single
                 # stream encryption protects them
-                objects[i] = enc_obj(objects[i], _obj_key(key, i + 1))
+                objects[i] = enc_obj(objects[i], _okey(i + 1))
 
     # file emission order: numeric, optionally with the page objects'
     # slots reversed (numbering and /Kids stay logical)
@@ -346,10 +399,10 @@ def build_pdf(
         packed_index[num] = idx
     stm_header = b" ".join(hdr_parts) + b"\n"
     comp = zlib.compress(stm_header + payload)
-    if enc_key is not None:
+    if enc_stream is not None:
         # the ObjStm payload encrypts with the ObjStm's own object key;
         # its packed objects' strings get no further encryption
-        comp = _rc4(_obj_key(enc_key, len(objects) + 1), comp)
+        comp = enc_stream(len(objects) + 1, comp)
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>\nstream\n"
         % (len(packed), len(stm_header), len(comp))
@@ -798,6 +851,243 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# --- minimal AES (FIPS-197) — public algorithm, PDF-compat only ------------
+
+_AES_TABLES: tuple | None = None
+
+
+def _gf_mul(a: int, b: int) -> int:
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        b >>= 1
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+    return r
+
+
+def _aes_tables() -> tuple:
+    """(sbox, isbox, Te0..3, Td0..3), built once — the standard 32-bit
+    T-table formulation (ShiftRows+SubBytes+MixColumns fused into four
+    word lookups per column per round)."""
+    global _AES_TABLES
+    if _AES_TABLES is None:
+        inv = [0] * 256
+        for x in range(1, 256):
+            for y in range(1, 256):
+                if _gf_mul(x, y) == 1:
+                    inv[x] = y
+                    break
+        sbox = [0] * 256
+        for x in range(256):
+            b = inv[x]
+            s = 0
+            for i in range(8):
+                bit = (
+                    (b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                    ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8)) ^ (0x63 >> i)
+                ) & 1
+                s |= bit << i
+            sbox[x] = s
+        isbox = [0] * 256
+        for i, v in enumerate(sbox):
+            isbox[v] = i
+
+        def rot(w: int, n: int) -> int:
+            return ((w >> n) | (w << (32 - n))) & 0xFFFFFFFF
+
+        Te = [[0] * 256 for _ in range(4)]
+        Td = [[0] * 256 for _ in range(4)]
+        for x in range(256):
+            s = sbox[x]
+            te = (_gf_mul(2, s) << 24) | (s << 16) | (s << 8) | _gf_mul(3, s)
+            u = isbox[x]
+            td = (
+                (_gf_mul(14, u) << 24) | (_gf_mul(9, u) << 16)
+                | (_gf_mul(13, u) << 8) | _gf_mul(11, u)
+            )
+            for i in range(4):
+                Te[i][x] = rot(te, 8 * i)
+                Td[i][x] = rot(td, 8 * i)
+        _AES_TABLES = (sbox, isbox, Te, Td)
+    return _AES_TABLES
+
+
+def _imc_word(w: int) -> int:
+    """InvMixColumns on one 32-bit column word (for the equivalent
+    inverse cipher's round-key transform)."""
+    b = [(w >> 24) & 0xFF, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF]
+    out = 0
+    for r, coeffs in enumerate(((14, 11, 13, 9), (9, 14, 11, 13), (13, 9, 14, 11), (11, 13, 9, 14))):
+        v = (
+            _gf_mul(coeffs[0], b[0]) ^ _gf_mul(coeffs[1], b[1])
+            ^ _gf_mul(coeffs[2], b[2]) ^ _gf_mul(coeffs[3], b[3])
+        )
+        out |= v << (24 - 8 * r)
+    return out
+
+
+def _aes_expand(key: bytes) -> tuple:
+    """→ (enc round-key words, dec round-key words, nr); words are
+    32-bit big-endian, dec keys pre-transformed for the equivalent
+    inverse cipher. Cached per key (file keys repeat per object)."""
+    cached = _AES_KEY_CACHE.get(key)
+    if cached is not None:
+        return cached
+    sbox, _, _, _ = _aes_tables()
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [int.from_bytes(key[4 * i : 4 * i + 4], "big") for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = w[i - 1]
+        if i % nk == 0:
+            t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+            t = (
+                (sbox[(t >> 24) & 0xFF] << 24) | (sbox[(t >> 16) & 0xFF] << 16)
+                | (sbox[(t >> 8) & 0xFF] << 8) | sbox[t & 0xFF]
+            )
+            t ^= rcon << 24
+            rcon = _gf_mul(rcon, 2)
+        elif nk > 6 and i % nk == 4:
+            t = (
+                (sbox[(t >> 24) & 0xFF] << 24) | (sbox[(t >> 16) & 0xFF] << 16)
+                | (sbox[(t >> 8) & 0xFF] << 8) | sbox[t & 0xFF]
+            )
+        w.append(w[i - nk] ^ t)
+    dw = [0] * len(w)
+    for r in range(nr + 1):
+        for c in range(4):
+            v = w[4 * (nr - r) + c]
+            dw[4 * r + c] = _imc_word(v) if 0 < r < nr else v
+    res = (w, dw, nr)
+    if len(_AES_KEY_CACHE) < 64:
+        _AES_KEY_CACHE[key] = res
+    return res
+
+
+_AES_KEY_CACHE: dict[bytes, tuple] = {}
+
+
+def _aes_encrypt_block(sched: tuple, blk: bytes) -> bytes:
+    w, _, nr = sched
+    _, _, Te, _ = _aes_tables()
+    Te0, Te1, Te2, Te3 = Te
+    c0 = int.from_bytes(blk[0:4], "big") ^ w[0]
+    c1 = int.from_bytes(blk[4:8], "big") ^ w[1]
+    c2 = int.from_bytes(blk[8:12], "big") ^ w[2]
+    c3 = int.from_bytes(blk[12:16], "big") ^ w[3]
+    for r in range(1, nr):
+        k = 4 * r
+        t0 = Te0[c0 >> 24] ^ Te1[(c1 >> 16) & 0xFF] ^ Te2[(c2 >> 8) & 0xFF] ^ Te3[c3 & 0xFF] ^ w[k]
+        t1 = Te0[c1 >> 24] ^ Te1[(c2 >> 16) & 0xFF] ^ Te2[(c3 >> 8) & 0xFF] ^ Te3[c0 & 0xFF] ^ w[k + 1]
+        t2 = Te0[c2 >> 24] ^ Te1[(c3 >> 16) & 0xFF] ^ Te2[(c0 >> 8) & 0xFF] ^ Te3[c1 & 0xFF] ^ w[k + 2]
+        t3 = Te0[c3 >> 24] ^ Te1[(c0 >> 16) & 0xFF] ^ Te2[(c1 >> 8) & 0xFF] ^ Te3[c2 & 0xFF] ^ w[k + 3]
+        c0, c1, c2, c3 = t0, t1, t2, t3
+    sbox, _, _, _ = _aes_tables()
+    k = 4 * nr
+    o0 = ((sbox[c0 >> 24] << 24) | (sbox[(c1 >> 16) & 0xFF] << 16) | (sbox[(c2 >> 8) & 0xFF] << 8) | sbox[c3 & 0xFF]) ^ w[k]
+    o1 = ((sbox[c1 >> 24] << 24) | (sbox[(c2 >> 16) & 0xFF] << 16) | (sbox[(c3 >> 8) & 0xFF] << 8) | sbox[c0 & 0xFF]) ^ w[k + 1]
+    o2 = ((sbox[c2 >> 24] << 24) | (sbox[(c3 >> 16) & 0xFF] << 16) | (sbox[(c0 >> 8) & 0xFF] << 8) | sbox[c1 & 0xFF]) ^ w[k + 2]
+    o3 = ((sbox[c3 >> 24] << 24) | (sbox[(c0 >> 16) & 0xFF] << 16) | (sbox[(c1 >> 8) & 0xFF] << 8) | sbox[c2 & 0xFF]) ^ w[k + 3]
+    return b"".join(x.to_bytes(4, "big") for x in (o0, o1, o2, o3))
+
+
+def _aes_decrypt_block(sched: tuple, blk: bytes) -> bytes:
+    _, dw, nr = sched
+    _, isbox, _, Td = _aes_tables()
+    Td0, Td1, Td2, Td3 = Td
+    c0 = int.from_bytes(blk[0:4], "big") ^ dw[0]
+    c1 = int.from_bytes(blk[4:8], "big") ^ dw[1]
+    c2 = int.from_bytes(blk[8:12], "big") ^ dw[2]
+    c3 = int.from_bytes(blk[12:16], "big") ^ dw[3]
+    for r in range(1, nr):
+        k = 4 * r
+        t0 = Td0[c0 >> 24] ^ Td1[(c3 >> 16) & 0xFF] ^ Td2[(c2 >> 8) & 0xFF] ^ Td3[c1 & 0xFF] ^ dw[k]
+        t1 = Td0[c1 >> 24] ^ Td1[(c0 >> 16) & 0xFF] ^ Td2[(c3 >> 8) & 0xFF] ^ Td3[c2 & 0xFF] ^ dw[k + 1]
+        t2 = Td0[c2 >> 24] ^ Td1[(c1 >> 16) & 0xFF] ^ Td2[(c0 >> 8) & 0xFF] ^ Td3[c3 & 0xFF] ^ dw[k + 2]
+        t3 = Td0[c3 >> 24] ^ Td1[(c2 >> 16) & 0xFF] ^ Td2[(c1 >> 8) & 0xFF] ^ Td3[c0 & 0xFF] ^ dw[k + 3]
+        c0, c1, c2, c3 = t0, t1, t2, t3
+    k = 4 * nr
+    o0 = ((isbox[c0 >> 24] << 24) | (isbox[(c3 >> 16) & 0xFF] << 16) | (isbox[(c2 >> 8) & 0xFF] << 8) | isbox[c1 & 0xFF]) ^ dw[k]
+    o1 = ((isbox[c1 >> 24] << 24) | (isbox[(c0 >> 16) & 0xFF] << 16) | (isbox[(c3 >> 8) & 0xFF] << 8) | isbox[c2 & 0xFF]) ^ dw[k + 1]
+    o2 = ((isbox[c2 >> 24] << 24) | (isbox[(c1 >> 16) & 0xFF] << 16) | (isbox[(c0 >> 8) & 0xFF] << 8) | isbox[c3 & 0xFF]) ^ dw[k + 2]
+    o3 = ((isbox[c3 >> 24] << 24) | (isbox[(c2 >> 16) & 0xFF] << 16) | (isbox[(c1 >> 8) & 0xFF] << 8) | isbox[c0 & 0xFF]) ^ dw[k + 3]
+    return b"".join(x.to_bytes(4, "big") for x in (o0, o1, o2, o3))
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
+    sched = _aes_expand(key)
+    if pad:
+        n = 16 - len(data) % 16
+        data = data + bytes([n]) * n
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(sched, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
+    if len(data) % 16:
+        raise ValueError("AES-CBC payload not block-aligned")
+    sched = _aes_expand(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(x ^ y for x, y in zip(_aes_decrypt_block(sched, blk), prev))
+        prev = blk
+    if pad and out:
+        n = out[-1]
+        if not 1 <= n <= 16:
+            raise ValueError("bad AES-CBC padding")
+        del out[len(out) - n :]
+    return bytes(out)
+
+
+_HASH_2B_CACHE: dict[tuple, bytes] = {}
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """Algorithm 2.B hardened hash (PDF 2.0 / ISO 32000-2, R6): the
+    iterated SHA-2 + AES-128-CBC mix used by AES-256 password checks.
+    Memoized — the same (pwd, salt, udata) triple recurs for every
+    object of a file and across fixture builds."""
+    import hashlib
+
+    ck = (pwd, salt, udata)
+    hit = _HASH_2B_CACHE.get(ck)
+    if hit is not None:
+        return hit
+
+    K = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        K1 = (pwd + K + udata) * 64
+        E = _aes_cbc_encrypt(K[:16], K[16:32], K1, pad=False)
+        K = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(E[:16]) % 3](E).digest()
+        i += 1
+        if i >= 64 and E[-1] <= i - 32:
+            if len(_HASH_2B_CACHE) < 64:
+                _HASH_2B_CACHE[ck] = K[:32]
+            return K[:32]
+
+
+def _obj_key_aes(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """AESV2 per-object key: Algorithm 1 with the b'sAlT' suffix."""
+    import hashlib
+
+    k = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little") + b"sAlT"
+    ).digest()
+    return k[: min(len(file_key) + 5, 16)]
+
+
 def _std_file_key(O: bytes, P: int, id0: bytes, R: int, keylen: int) -> bytes:
     """Algorithm 2 file key for the EMPTY user password."""
     import hashlib
@@ -871,10 +1161,12 @@ def _parse_enc_string(body: bytes, name: bytes) -> bytes | None:
 
 
 def _maybe_decrypt(data: bytes) -> bytes:
-    """transparently decrypt a standard-security-handler RC4 file with
-    an empty user password, rewriting stream payloads and dict strings
-    in place; raises for password-protected or non-RC4 encryption (the
-    caller converts that to ok=False + err)."""
+    """transparently decrypt a standard-security-handler file with an
+    empty user password, rewriting stream payloads and dict strings in
+    place: RC4 (V1/V2, R2/R3), AES-128 (V4/R4, /CFM /AESV2 — or RC4
+    under V4's /V2 crypt filter), AES-256 (V5/R6, /CFM /AESV3, the
+    ISO 32000-2 scheme). Raises for password-protected files or other
+    handlers (the caller converts that to ok=False + err)."""
     em = _ENCRYPT_REF_RE.search(data)
     if not em:
         return data
@@ -890,25 +1182,66 @@ def _maybe_decrypt(data: bytes) -> bytes:
     rm = re.search(rb"/R\s+(\d+)", enc_body)
     V = int(vm.group(1)) if vm else 0
     R = int(rm.group(1)) if rm else 2
-    if V not in (1, 2) or R not in (2, 3):
-        raise ValueError(f"unsupported encryption (V={V} R={R}; RC4 V1/V2 only)")
-    lm = re.search(rb"/Length\s+(\d+)", enc_body)
-    keylen = (int(lm.group(1)) if lm else 40) // 8
     O = _parse_enc_string(enc_body, rb"/O")
     U = _parse_enc_string(enc_body, rb"/U")
-    pm = re.search(rb"/P\s+(-?\d+)", enc_body)
-    idm = _ID_RE.search(data)
-    if O is None or U is None or pm is None or idm is None:
+    if O is None or U is None:
         raise ValueError("malformed /Encrypt dictionary")
-    id0 = bytes.fromhex(idm.group(1).decode("ascii"))
-    key = _std_file_key(O, int(pm.group(1)), id0, R, keylen)
-    if not _std_user_check(key, U, R, id0):
-        raise ValueError("password-protected PDF (empty user password rejected)")
+    if (V, R) == (5, 6):
+        # AES-256: Algorithm 2.A with the empty user password
+        UE = _parse_enc_string(enc_body, rb"/UE")
+        if UE is None or len(U) < 48:
+            raise ValueError("malformed /Encrypt dictionary (V5 needs /U 48B + /UE)")
+        if _hash_2b(b"", U[32:40], b"") != U[:32]:
+            raise ValueError("password-protected PDF (empty user password rejected)")
+        ik = _hash_2b(b"", U[40:48], b"")
+        key = _aes_cbc_decrypt(ik, bytes(16), UE[:32], pad=False)
+        cipher = "aes"
+        per_object_key = False
+    elif (V, R) == (4, 4) or (V in (1, 2) and R in (2, 3)):
+        lm = re.search(rb"/Length\s+(\d+)", enc_body)
+        keylen = (int(lm.group(1)) if lm else 40) // 8
+        if V == 4:
+            cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
+            name = cfm.group(1) if cfm else b""
+            if name == b"AESV2":
+                cipher = "aes"
+                keylen = 16
+            elif name == b"V2":
+                cipher = "rc4"
+            else:
+                raise ValueError(
+                    f"unsupported crypt filter /CFM /{name.decode('ascii', 'replace')}"
+                )
+        else:
+            cipher = "rc4"
+        pm = re.search(rb"/P\s+(-?\d+)", enc_body)
+        idm = _ID_RE.search(data)
+        if pm is None or idm is None:
+            raise ValueError("malformed /Encrypt dictionary")
+        id0 = bytes.fromhex(idm.group(1).decode("ascii"))
+        key = _std_file_key(O, int(pm.group(1)), id0, R, keylen)
+        if not _std_user_check(key, U, R, id0):
+            raise ValueError("password-protected PDF (empty user password rejected)")
+        per_object_key = True
+    else:
+        raise ValueError(
+            f"unsupported encryption (V={V} R={R}; RC4 V1/V2, AESV2 V4/R4, AESV3 V5/R6)"
+        )
+
+    def _dec(ok: bytes, raw: bytes) -> bytes:
+        if cipher == "rc4":
+            return _rc4(ok, raw)
+        # the stream regex captures the EOL preceding `endstream`,
+        # which is not stream data: trim to AES block alignment
+        raw = raw[: len(raw) - (len(raw) % 16)]
+        if len(raw) < 32:  # IV + at least the padding block
+            raise ValueError("AES payload too short")
+        return _aes_cbc_decrypt(ok, raw[:16], raw[16:])
 
     def decrypt_block(num: int, body: bytes) -> bytes:
         if num == enc_num:
             return body
-        ok = _obj_key(key, num)
+        ok = (_obj_key_aes if cipher == "aes" else _obj_key)(key, num) if per_object_key else key
         sm = _STREAM_RE.search(body)
         dict_part = body[: sm.start()] if sm else body
         if _XREFSTM_TYPE_RE.search(dict_part):
@@ -924,7 +1257,7 @@ def _maybe_decrypt(data: bytes) -> bytes:
                 raw = bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode("ascii"))
             else:
                 raw = _unescape(m.group(2)).encode("latin-1")
-            return b"(" + _esc(_rc4(ok, raw).decode("latin-1")).encode("latin-1") + b")"
+            return b"(" + _esc(_dec(ok, raw).decode("latin-1")).encode("latin-1") + b")"
 
         combined = re.compile(_DICT_HEXSTR_RE.pattern + rb"|" + _STR_RE.pattern)
         dict_part = combined.sub(_string_repl, dict_part)
@@ -933,7 +1266,7 @@ def _maybe_decrypt(data: bytes) -> bytes:
         return (
             dict_part
             + b"stream\n"
-            + _rc4(ok, sm.group(1))
+            + _dec(ok, sm.group(1))
             + b"endstream"
             + body[sm.end():]
         )

@@ -297,7 +297,8 @@ def test_pdf_feature_matrix_roundtrip():
     latin = ["Matrix page one", "Zwei (Grüße) §2", "dritte \\Seite"]
     uni = ["Matrix page one", "Zwei — Grüße §2", "三 tokyo 東京"]
     for modern, type0, enc, rev, comp, npages in itertools.product(
-        (False, True), (False, True), (None, "rc4-40", "rc4-128"),
+        (False, True), (False, True),
+        (None, "rc4-40", "rc4-128", "aes-128", "aes-256"),
         (False, True), (False, True), (1, 3),
     ):
         pages = (uni if type0 else latin)[:npages]
@@ -323,13 +324,14 @@ def test_pdf_rc4_encrypted_roundtrip():
     from open_semantic_etl_spark.operators.pdfio import pdf_images
 
     pages = ["Secret page one text", "Another crypted page", "dritte Seite §7"]
-    for mode in ("rc4-40", "rc4-128"):
+    for mode in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
         r = parse_pdf(build_pdf(pages, title="Enc T", author="Enc A", encrypt=mode))
         assert r["ok"], (mode, r["err"])
-        assert r["pages"] == pages and r["title"] == "Enc T"
+        assert r["pages"] == pages and r["title"] == "Enc T", mode
     # composes with Type0/CID text
-    r2 = parse_pdf(build_pdf(["Grüße 東京"], type0=True, encrypt="rc4-128"))
-    assert r2["ok"] and r2["pages"] == ["Grüße 東京"]
+    for mode in ("rc4-128", "aes-128", "aes-256"):
+        r2 = parse_pdf(build_pdf(["Grüße 東京"], type0=True, encrypt=mode))
+        assert r2["ok"] and r2["pages"] == ["Grüße 東京"], mode
     # encrypted image payloads decrypt through pdf_images — classic
     # and modern (ObjStm + xref stream) layouts
     for modern in (False, True):
