@@ -245,3 +245,49 @@ def hypothesis_docs(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SPARQL — engine side of Connector_SPARQL (etl_sparql.py:17-68). The
+# network pull (SPARQLWrapper against an endpoint) stays out of engine
+# scope like the other acquisition seams; what the engine owns is the
+# RESULT processing: the reference's sparql_select_to_list_file
+# (:40-68) walks SELECT results in application/sparql-results+json
+# form — bindings outer, head.vars inner — strips each value and
+# appends non-empty ones to a dictionary list file (the gazetteer
+# input for entity linking). The CONSTRUCT path (:17-33) lands RDF
+# that operators/rdf.py already processes (graph → doc-per-subject).
+# ---------------------------------------------------------------------------
+
+#: W3C SPARQL 1.1 Query Results JSON Format (only the fields the
+#: reference reads; extra binding fields like xml:lang are ignored by
+#: from_json's permissive mode)
+SPARQL_RESULTS_SCHEMA = (
+    "struct<head:struct<vars:array<string>>,"
+    "results:struct<bindings:array<map<string,struct<type:string,value:string>>>>>"
+)
+
+
+def sparql_select_values(
+    df: DataFrame, json_col: str = "json", id_col: str | None = None
+) -> DataFrame:
+    """SELECT-result JSON payloads → one row per non-empty bound value,
+    in the reference's iteration order (bindings outer, ``head.vars``
+    inner, values stripped, empties dropped — etl_sparql.py:57-63).
+
+    Output: (``value``) plus ``id_col`` when given. Pure Column algebra
+    (``from_json`` + array transforms — zero Python, no shuffle): at
+    corpus scale result pages parse map-side and the exploded values
+    feed entity_linking dictionaries or blacklist filters directly.
+    """
+    j = F.from_json(F.col(json_col), SPARQL_RESULTS_SCHEMA)
+    per_binding = F.transform(
+        j["results"]["bindings"],
+        lambda b: F.filter(
+            F.transform(j["head"]["vars"], lambda v: F.trim(b[v]["value"])),
+            lambda x: x.isNotNull() & (x != ""),
+        ),
+    )
+    vals = F.flatten(per_binding)
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(*cols, F.explode(vals).alias("value"))

@@ -245,3 +245,39 @@ def test_robots_gate_preserves_null_url_rows(spark):
     got = {r["url"]: r["robots_allowed_i"] for r in rows}
     assert len(rows) == 2  # row-preserving
     assert got["https://h.com/p1.html"] == 0 and got[None] is None
+
+
+def test_sparql_select_values(spark):
+    """reference golden: sparql_select_to_list_file walks bindings
+    outer / head.vars inner, strips values, drops empties
+    (etl_sparql.py:57-63) — order and filtering must match."""
+    import json
+
+    from open_semantic_etl_spark.sources.feeds import sparql_select_values
+
+    payload = json.dumps(
+        {
+            "head": {"vars": ["person", "place"]},
+            "results": {
+                "bindings": [
+                    {
+                        "person": {"type": "uri", "value": " Barack Obama "},
+                        "place": {"type": "literal", "value": "Hawaii",
+                                  "xml:lang": "en"},
+                    },
+                    {"person": {"type": "uri", "value": "Angela Merkel"}},
+                    {"place": {"type": "literal", "value": "   "}},
+                ]
+            },
+        }
+    )
+    df = spark.createDataFrame([(1, payload)], "doc_id long, json string")
+    rows = sparql_select_values(df, "json", id_col="doc_id").collect()
+    assert [(r["doc_id"], r["value"]) for r in rows] == [
+        (1, "Barack Obama"),
+        (1, "Hawaii"),
+        (1, "Angela Merkel"),
+    ]
+    # malformed payload → zero rows, not an error
+    bad = spark.createDataFrame([("not json",)], "json string")
+    assert sparql_select_values(bad).count() == 0
