@@ -585,9 +585,13 @@ def _apply_filters(body: bytes, payload: bytes, image: bool = False) -> bytes:
     ASCIIHexDecode, ASCII85Decode, RunLengthDecode; with ``image=True``
     the image-codec filters terminate the chain and the (decoded-so-far)
     payload passes through. Anything else raises ValueError — parse_pdf
-    converts that to ok=False, never wrong text."""
+    converts that to ok=False, never wrong text. Only the DICT part of
+    ``body`` is consulted: page text mentioning '/Filter /LZWDecode'
+    must not select a filter."""
     import base64
 
+    sm = _STREAM_RE.search(body)
+    body = body[: sm.start()] if sm else body
     fm = _FILTER_RE.search(body)
     if not fm:
         return payload
@@ -719,7 +723,7 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
         # the truncated-file scan reaches streams without their real
         # dict (no /Filter to honor): sniff the zlib CMF byte so
         # compressed text layers still surface from broken files
-        if _FILTER_RE.search(body) or blob[:1] != b"\x78":
+        if _FILTER_RE.search(body[: sm.start()]) or blob[:1] != b"\x78":
             return None
         try:
             blob = zlib.decompress(blob)

@@ -134,18 +134,25 @@ def _gunzip_members(data: bytes) -> bytes:
 def _dechunk(body: bytes) -> bytes:
     """decode a Transfer-Encoding: chunked HTTP body (RFC 9112 §7.1);
     warcio's content_stream de-chunks transparently, so the reference's
-    enhance_warc never sees chunk framing. Malformed framing returns
-    the bytes read so far rather than raising."""
+    enhance_warc never sees chunk framing. Servers that claim chunked
+    but send a plain body are a common real-world bug — warcio's
+    ChunkedDataReader falls back to the raw stream when the first
+    size line doesn't parse, and so does this (a later malformed line
+    returns the chunks read so far)."""
     out = []
     pos = 0
     n = len(body)
     while pos < n:
         eol = body.find(b"\r\n", pos)
         if eol < 0:
+            if not out:
+                return body  # not actually chunked
             break
         try:
             size = int(body[pos:eol].split(b";")[0].strip() or b"0", 16)
         except ValueError:
+            if not out:
+                return body  # mislabeled: first size line isn't hex
             break
         if size == 0:
             break

@@ -280,14 +280,22 @@ def sparql_select_values(
     corpus scale result pages parse map-side and the exploded values
     feed entity_linking dictionaries or blacklist filters directly.
     """
-    j = F.from_json(F.col(json_col), SPARQL_RESULTS_SCHEMA)
-    per_binding = F.transform(
-        j["results"]["bindings"],
-        lambda b: F.filter(
-            F.transform(j["head"]["vars"], lambda v: F.trim(b[v]["value"])),
-            lambda x: x.isNotNull() & (x != ""),
-        ),
-    )
-    vals = F.flatten(per_binding)
+    from open_semantic_etl_spark.functions.binding import let
+
+    # let-bound: the per-binding lambda closes over the parsed struct;
+    # unbound, Catalyst re-runs the whole from_json PER BINDING element
+    # (no CSE across HOF lambda boundaries — CLAUDE.md invariant)
+    def walk(j: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                j["results"]["bindings"],
+                lambda b: F.filter(
+                    F.transform(j["head"]["vars"], lambda v: F.trim(b[v]["value"])),
+                    lambda x: x.isNotNull() & (x != ""),
+                ),
+            )
+        )
+
+    vals = let(F.from_json(F.col(json_col), SPARQL_RESULTS_SCHEMA), walk)
     cols = [F.col(id_col)] if id_col else []
     return df.select(*cols, F.explode(vals).alias("value"))

@@ -113,6 +113,22 @@ def test_warc_gz_members_and_chunked():
     got = parse_warc(gzip.compress(rec))
     assert len(got) == 1 and bytes(got[0]["bytes"]) == body
 
+    # server claims chunked but sends a plain body (common bug):
+    # fall back to the raw bytes, as warcio does (review regression)
+    plain_body = b"<html><body>not actually chunked</body></html>"
+    http2 = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + plain_body
+    )
+    rec2 = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:ch-2>\r\n"
+        b"WARC-Target-URI: http://c2.example.com/\r\n"
+        b"WARC-Date: 2024-02-03T04:05:06Z\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(http2) + http2
+    )
+    got2 = parse_warc(rec2)
+    assert len(got2) == 1 and bytes(got2[0]["bytes"]) == plain_body
+
 
 def test_explode_csv(spark):
     data = "name;amount;note\nalpha;1,5;first row\nbeta;2;second row\n".encode()

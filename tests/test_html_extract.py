@@ -264,6 +264,41 @@ def test_pdf_stream_filters_roundtrip():
     assert rb["ok"] is False and "CCITTFaxDecode" in (rb["err"] or "")
 
 
+def test_aes_fips197_vectors():
+    """pin the AES core to the FIPS-197 appendix-C known-answer vectors
+    (independent oracle: round-trip tests alone stay self-consistent if
+    the generated tables are corrupted, silently decrypting to noise)."""
+    from open_semantic_etl_spark.operators.pdfio import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for key, ct_hex in [
+        (bytes(range(16)), "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (bytes(range(24)), "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        (bytes(range(32)), "8ea2b7ca516745bfeafc49904b496089"),
+    ]:
+        sched = _aes_expand(key)
+        ct = _aes_encrypt_block(sched, pt)
+        assert ct.hex() == ct_hex, (len(key), ct.hex())
+        assert _aes_decrypt_block(sched, ct) == pt
+
+
+def test_pdf_filter_name_in_page_text():
+    """'/Filter /LZWDecode' APPEARING IN PAGE TEXT must not select a
+    filter — only the stream dict does (review regression)."""
+    for txt in (
+        "The /Filter /LZWDecode entry selects LZW compression",
+        "mention of /Filter /DCTDecode inside prose",
+    ):
+        for comp in (False, True):
+            r = parse_pdf(build_pdf([txt], compress=comp))
+            assert r["ok"], (txt, comp, r["err"])
+            assert r["pages"] == [txt]
+
+
 def test_pdf_lzw_codec_boundaries():
     """pure LZW encoder/decoder round-trip across the 9/10/11/12-bit
     width boundaries and a table-full clear (inputs with enough novel
