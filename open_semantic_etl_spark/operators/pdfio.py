@@ -753,14 +753,24 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
         elif tok.startswith(b"<"):  # CID hex show
             for hx in _HEXSTR_RE.findall(tok):
                 lines.append(_decode_cid_hex(hx, cur_cmap))
-        else:  # [array] TJ — items in order; literals consume their <…>
+        else:  # [array] TJ — ONE text line: string items concatenate,
+            # and a large negative adjustment (thousandths of an em)
+            # is the inter-word space convention (pdftotext heuristic;
+            # small values are kerning and join silently)
+            parts: list[str] = []
             for im in re.finditer(
-                rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>", tok
+                rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>|(-?\d+(?:\.\d+)?)",
+                tok,
             ):
                 if im.group(1) is not None:
-                    lines.append(_unescape(im.group(1)))
+                    parts.append(_unescape(im.group(1)))
                 elif im.group(2):
-                    lines.append(_decode_cid_hex(im.group(2), cur_cmap))
+                    parts.append(_decode_cid_hex(im.group(2), cur_cmap))
+                elif float(im.group(3)) <= -180 and parts and not parts[-1].endswith(" "):
+                    parts.append(" ")
+            if parts and parts[-1] == " ":
+                parts.pop()  # a trailing adjustment is not a space
+            lines.append("".join(parts))
     return "\n".join(lines) if found else None
 _TEXT_SHOW_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')"      # (literal) Tj / '

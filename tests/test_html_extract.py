@@ -382,3 +382,21 @@ def test_pdf_rc4_encrypted_roundtrip():
     rt = parse_pdf(_re.sub(rb"/U <([0-9A-F]{8})", rb"/U <00000000",
                            build_pdf(["x"], encrypt="rc4-128")))
     assert rt["ok"] is False and "password" in rt["err"]
+
+
+def test_pdf_tj_array_segments_one_line():
+    """[array] TJ items are SAME-LINE segments: small kerning numbers
+    join silently, large negative adjustments (≤ -180/1000 em, the
+    word-space convention pdftotext uses) become a single space —
+    joining items as separate lines scrambled real-world layouts."""
+    from open_semantic_etl_spark.operators.pdfio import _stream_text
+
+    body = (
+        b"<< >>\nstream\nBT /F1 12 Tf "
+        b"[(Hel) -20 (lo) -250 (wor) 15 (ld)] TJ T* "
+        b"(next line) Tj ET\nendstream"
+    )
+    assert _stream_text(body) == "Hello world\nnext line"
+    # trailing adjustment adds no dangling space; leading one no prefix
+    body2 = b"<< >>\nstream\nBT [ -300 (a) -300 (b) -300 ] TJ ET\nendstream"
+    assert _stream_text(body2) == "a b"
