@@ -773,9 +773,9 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
             lines.append("".join(parts))
     return "\n".join(lines) if found else None
 _TEXT_SHOW_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')"      # (literal) Tj / '
+    rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|'|\")"   # (literal) Tj / ' / aw ac "
     rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"           # [array] TJ (literal or hex items)
-    rb"|<[0-9A-Fa-f\s]+>\s*(?:Tj|')"         # <hex> Tj (Type0/CID strings)
+    rb"|<[0-9A-Fa-f\s]+>\s*(?:Tj|'|\")"      # <hex> Tj (Type0/CID strings)
 )
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")

@@ -400,3 +400,14 @@ def test_pdf_tj_array_segments_one_line():
     # trailing adjustment adds no dangling space; leading one no prefix
     body2 = b"<< >>\nstream\nBT [ -300 (a) -300 (b) -300 ] TJ ET\nendstream"
     assert _stream_text(body2) == "a b"
+
+
+def test_pdf_quote_show_operators():
+    """the ' (next-line show) and \" (spacing + show) operators carry
+    text exactly like Tj."""
+    from open_semantic_etl_spark.operators.pdfio import _stream_text
+
+    body = (
+        b"<< >>\nstream\nBT (first) Tj (second) ' 2 1 (third) \" ET\nendstream"
+    )
+    assert _stream_text(body) == "first\nsecond\nthird"
