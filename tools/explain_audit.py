@@ -532,6 +532,26 @@ def main() -> int:
         ],
     )
 
+    # 20. SPARQL SELECT walk: the parsed struct is let-bound so the
+    # per-binding lambda does not re-run from_json per element (the
+    # no-CSE-across-HOF-lambdas trap, CLAUDE.md invariant)
+    from open_semantic_etl_spark.sources.feeds import sparql_select_values
+
+    # json payload must be NON-FOLDABLE (a literal constant-folds the
+    # whole from_json away): feed the text column as the payload
+    sq = sparql_select_values(
+        docs.select(F.col("doc_id"), F.col("text").alias("json")), "json", id_col="doc_id"
+    )
+    section(
+        "sparql_select_values — from_json evaluated once (let-bound)",
+        sq,
+        [
+            ("from_json appears exactly once", lambda p: p.count("from_json") == 1),
+            ("no Exchange anywhere in the plan", lambda p: "Exchange" not in p),
+            ("no Python eval in the plan", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
 
     with open("BENCH/PLANS.md", "w") as f:
