@@ -376,9 +376,9 @@ def _hw_pass(procs: int) -> float:
 
 
 def _hw_ceiling(low: int, high: int) -> dict:
-    """measure this box's own scaling of the extraction kernel
-    (standalone form; main() interleaves _hw_pass with the Spark
-    levels instead so noise hits raw and ceiling together)."""
+    """standalone ceiling measurement (kept as a manual probe — main()
+    interleaves _hw_pass with the Spark levels instead so noise hits
+    raw and ceiling together; run this directly to measure the box)."""
     global _HW_HTML
     _hw_corpus()
     res = {}
@@ -407,8 +407,14 @@ def _bench_queries(spark, sf_dir: str, reps: int = 3) -> tuple[dict, dict]:
         cold[name] = round(time.time() - t0, 3)
         best = None
         for _ in range(reps - 1):
+            # rebuild via fn() each rep: iterative queries (dup_clusters,
+            # link_graph, sitemap BFS) do their driver-loop work EAGERLY
+            # at construction (localCheckpoint); re-writing a cached df
+            # would replay only the final stage and report a fraction of
+            # the real cost, making steady apples-to-oranges vs the
+            # non-iterative queries
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         steady[name] = round(best if best is not None else cold[name], 3)
@@ -519,13 +525,14 @@ def main() -> None:
             "sec": [round(hw_sec[low_cores], 3), round(hw_sec[cpus], 3)],
             "efficiency": round((hw_sec[low_cores] / hw_sec[cpus]) / ratio, 3),
         }
+        vs_hw = round(min(eff / hw["efficiency"], 1.0), 3)
         scaling = {
             # headline (metric of record, BASELINE.md §3): pinned
             # thread scaling normalized by the box's OWN hardware
             # ceiling — the Spark-layer scaling quality that transfers
             # to a real N→4N executor scale-out (which multiplies
             # memory systems along with cores; a single box can't)
-            "efficiency": round(min(eff / hw["efficiency"], 1.0), 3),
+            "efficiency": vs_hw,
             "methodology": (
                 "affinity-pinned local[8] vs local[32] (subprocess "
                 "sched_setaffinity = per-executor cgroup), normalized "
@@ -544,7 +551,7 @@ def main() -> None:
             "docs_per_sec_high": round(docs / t_high, 2),
             "thread_efficiency_raw": round(eff, 3),
             "hw_ceiling": hw,
-            "thread_efficiency_vs_hw": round(min(eff / hw["efficiency"], 1.0), 3),
+            "thread_efficiency_vs_hw": vs_hw,  # legacy key, = efficiency
             "extract_stage": {
                 "sec_low": round(ex[low_cores], 3),
                 "sec_high": round(ex[cpus], 3),

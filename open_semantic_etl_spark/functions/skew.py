@@ -113,7 +113,10 @@ def top_k_per_key(
             F.element_at(F.col("_c"), F.least(F.lit(k), F.size("_c"))).alias("_cut"),
         )
     )
-    out = df.join(F.broadcast(cutoffs), keyc == cutoffs["_key"], "left")
+    # null-safe join: a NULL key is its own group (row_number() window
+    # semantics, which the oracle pins) — a plain == would leave NULL-
+    # key rows cutoff-less and silently drop them all (kept_i = 0)
+    out = df.join(F.broadcast(cutoffs), keyc.eqNullSafe(cutoffs["_key"]), "left")
     verdict = (
         F.struct(F.col(order_col).alias("o"), F.col(id_col).alias("i")) <= F.col("_cut")
     )

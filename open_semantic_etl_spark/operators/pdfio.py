@@ -844,6 +844,30 @@ _PW_PAD = bytes(
 )
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
 _ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_TRAILER_BLOCK_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
+
+
+def _search_trailer_dicts(data: bytes, rx: "re.Pattern") -> "re.Match | None":
+    """search ``rx`` ONLY in trailer dicts and /Type /XRef stream dicts
+    (where the spec puts file-level keys like /Encrypt and /ID), taking
+    the LAST match (incremental updates: the newest trailer governs).
+    A whole-file search would mistake the literal text '/Encrypt 5 0 R'
+    inside an uncompressed content stream for real encryption and fail
+    a valid document."""
+    last = None
+    for tm in _TRAILER_BLOCK_RE.finditer(data):
+        m = rx.search(tm.group(1))
+        if m:
+            last = m
+    for om in _OBJ_RE.finditer(data):
+        body = om.group(2)
+        sm = _STREAM_RE.search(body)
+        head = body[: sm.start()] if sm else body
+        if _XREFSTM_TYPE_RE.search(head):
+            m = rx.search(head)
+            if m:
+                last = m
+    return last
 _DICT_HEXSTR_RE = re.compile(rb"(?<!<)<([0-9A-Fa-f\s]+)>(?!>)")
 
 
@@ -1181,7 +1205,7 @@ def _maybe_decrypt(data: bytes) -> bytes:
     under V4's /V2 crypt filter), AES-256 (V5/R6, /CFM /AESV3, the
     ISO 32000-2 scheme). Raises for password-protected files or other
     handlers (the caller converts that to ok=False + err)."""
-    em = _ENCRYPT_REF_RE.search(data)
+    em = _search_trailer_dicts(data, _ENCRYPT_REF_RE)
     if not em:
         return data
     enc_num = int(em.group(1))
@@ -1229,7 +1253,7 @@ def _maybe_decrypt(data: bytes) -> bytes:
         else:
             cipher = "rc4"
         pm = re.search(rb"/P\s+(-?\d+)", enc_body)
-        idm = _ID_RE.search(data)
+        idm = _search_trailer_dicts(data, _ID_RE)
         if pm is None or idm is None:
             raise ValueError("malformed /Encrypt dictionary")
         id0 = bytes.fromhex(idm.group(1).decode("ascii"))
@@ -1483,10 +1507,12 @@ def pdf_images(data: bytes) -> list[dict]:
         data = _maybe_decrypt(data)
     except ValueError:
         return []  # unsupported/locked encryption: no images, no wrong bytes
+    # ONE object-map pass (images, page order, resources all derive
+    # from it — a separate _OBJ_RE sweep doubled the per-file cost)
+    objs = _collect_objects(data)
     images: dict[int, bytes] = {}
     file_order_pages: list[int] = []
-    for m in _OBJ_RE.finditer(data):
-        num, body = int(m.group(1)), m.group(2)
+    for num, body in objs.items():
         if rb"/Subtype" in body and _IMAGE_RE.search(body):
             sm = _IMG_STREAM_RE.search(body)
             if not sm:
@@ -1499,13 +1525,17 @@ def pdf_images(data: bytes) -> list[dict]:
             images[num] = blob
         elif _PAGE_OBJ_RE.search(body) and not _PAGES_TYPE_RE.search(body):
             file_order_pages.append(num)
-    objs = _collect_objects(data)
     tree_order = _page_order(objs)
-    page_nums = tree_order or [n for n in file_order_pages if n in objs]
+    page_nums = tree_order or file_order_pages
     out: list[dict] = []
     seen: set[int] = set()
     for page_i, pnum in enumerate(page_nums, start=1):
-        for num in (int(r) for r in _XOBJ_REF_RE.findall(objs.get(pnum, b""))):
+        page_body = objs.get(pnum, b"")
+        # resources may be inline or an indirect '/Resources N 0 R'
+        # (common in real files) — same resolution as _page_fonts
+        rm = _RESOURCES_REF_RE.search(page_body)
+        res = objs.get(int(rm.group(1)), b"") if rm else page_body
+        for num in (int(r) for r in _XOBJ_REF_RE.findall(res)):
             if num in images:
                 out.append({"page_i": page_i, "image": images[num]})
                 seen.add(num)

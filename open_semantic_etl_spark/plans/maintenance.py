@@ -76,13 +76,15 @@ def delete_by_url(spark: SparkSession, root: str, urls: list[str]) -> int:
         observed = df.observe(
             obs, F.count(F.when(F.col("url").isin(urls), 1)).alias("deleted")
         )
-        return observed.filter(~F.col("url").isin(urls))
+        # SQL DELETE semantics: only predicate-TRUE rows go — a NULL
+        # url is KEPT (plain ~isin would drop it uncounted)
+        return observed.filter(~F.coalesce(F.col("url").isin(urls), F.lit(False)))
 
     _rewrite_buckets(spark, tables.enriched, buckets, drop_counting)
     if tables.exists(tables.checkpoint):
         _rewrite_buckets(
             spark, tables.checkpoint, buckets,
-            lambda df: df.filter(~F.col("url").isin(urls)),
+            lambda df: df.filter(~F.coalesce(F.col("url").isin(urls), F.lit(False))),
         )
     return int(obs.get["deleted"])
 
@@ -102,7 +104,12 @@ def delete_where(spark: SparkSession, root: str, predicate: Column) -> int:
     df = read_table(spark, tables.enriched)
     obs = Observation()
     observed = df.observe(obs, F.count(F.when(predicate, 1)).alias("deleted"))
-    _atomic_overwrite(observed.filter(~predicate), tables.enriched)
+    # SQL DELETE semantics: NULL-predicate rows are kept, so the
+    # observed TRUE count equals exactly the rows removed (plain
+    # ~predicate would silently drop NULL rows uncounted)
+    _atomic_overwrite(
+        observed.filter(~F.coalesce(predicate, F.lit(False))), tables.enriched
+    )
     return int(obs.get["deleted"])
 
 

@@ -429,6 +429,20 @@ def test_top_k_per_key_hot_key(spark):
     assert all(got[i] for i in h1[:5]) and all(not got[i] for i in h1[5:])
 
 
+def test_top_k_per_key_null_key_is_own_group(spark):
+    """NULL keys form their own capped group (row_number window
+    semantics) — a plain equality join left them cutoff-less and
+    dropped every unparseable-host row (review regression)."""
+    from open_semantic_etl_spark.functions.skew import top_k_per_key
+
+    rows = [(i, None if i < 8 else "h") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = top_k_per_key(df, "host", k=3, order_col="doc_id", id_col="doc_id")
+    got = {r["doc_id"]: r["kept_i"] for r in out.collect()}
+    assert [i for i in sorted(got) if got[i] and i < 8] == [0, 1, 2]
+    assert [i for i in sorted(got) if got[i] and i >= 8] == [8, 9, 10]
+
+
 def test_top_k_per_key_matches_window(spark):
     """salted two-phase result == the naive window semantics."""
     from pyspark.sql import Window

@@ -411,3 +411,35 @@ def test_pdf_quote_show_operators():
         b"<< >>\nstream\nBT (first) Tj (second) ' 2 1 (third) \" ET\nendstream"
     )
     assert _stream_text(body) == "first\nsecond\nthird"
+
+
+def test_pdf_encrypt_mention_in_text_not_encryption():
+    """'/Encrypt 5 0 R' appearing in page text (a document ABOUT pdf
+    security) must not be mistaken for real encryption — the live
+    /Encrypt key lives only in trailer / XRef-stream dicts (review
+    regression: the whole-file search failed such files)."""
+    txt = "the trailer key /Encrypt 5 0 R selects the security handler"
+    for comp in (False, True):
+        r = parse_pdf(build_pdf([txt], compress=comp))
+        assert r["ok"], (comp, r["err"])
+        assert r["pages"] == [txt]
+    # genuinely encrypted files still decrypt (trailer + XRef forms)
+    for modern in (False, True):
+        r = parse_pdf(build_pdf(["secret"], encrypt="rc4-128", modern=modern))
+        assert r["ok"] and r["pages"] == ["secret"], modern
+
+
+def test_pdf_images_indirect_resources():
+    """a page whose /Resources is an indirect 'N 0 R' reference (the
+    common real-world form) still associates images with the page."""
+    from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Parent 9 0 R /Resources 3 0 R >> endobj\n"
+        b"3 0 obj << /XObject << /Im5 5 0 R >> >> endobj\n"
+        b"5 0 obj << /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+        b"/Length 7 >>\nstream\npayload\nendstream endobj\n"
+    )
+    got = [(d["page_i"], bytes(d["image"])) for d in pdf_images(pdf)]
+    assert got == [(1, b"payload")], got

@@ -36,6 +36,28 @@ def test_delete(spark, tmp_path):
     assert delete_where(spark, root, F.col("url").contains("big.example.com")) == 10
 
 
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    """SQL DELETE semantics: a row where the predicate is NULL is KEPT,
+    and the returned count equals exactly the rows removed (review
+    regression: ~predicate silently dropped NULL rows uncounted)."""
+    from open_semantic_etl_spark.plans.maintenance import delete_where
+
+    root = _dataset(spark, tmp_path)
+    t = Tables(root)
+    base = spark.read.parquet(t.enriched)
+    n0 = base.count()
+    # hot count BEFORE any rewrite (the frame pins the original files)
+    hot = base.filter(F.col("url").contains("big.example.com")).count()
+    # a predicate that is NULL on every row (nullif makes the url NULL)
+    pred = F.length(F.nullif(F.col("url"), F.col("url"))) > 2
+    assert delete_where(spark, root, pred) == 0
+    assert spark.read.parquet(t.enriched).count() == n0  # nothing lost
+    # mixed: TRUE on the hot-host rows, NULL everywhere else
+    pred2 = F.when(F.col("url").contains("big.example.com"), F.lit(True))
+    assert delete_where(spark, root, pred2) == hot
+    assert spark.read.parquet(t.enriched).count() == n0 - hot
+
+
 def test_delete_rewrites_only_touched_buckets(spark, tmp_path):
     """delete_by_url write volume ∝ touched urls: bucket files outside
     the victims' url-hash buckets must stay byte-identical (no full
