@@ -152,9 +152,16 @@ def run_ocr_phase(
     fresh = misses.mapInPandas(
         run, schema=f"{id_col} string, pos int, img_hash long, ocr_text string"
     ).persist()
-    # memoize distinct new results (dedupe per hash — cache semantics)
-    fresh_memo = fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"])
-    fresh_memo.write.mode("append").parquet(memo_path)
+    # memoize distinct new results (dedupe per hash — cache semantics).
+    # The count doubles as the materialization action for the persisted
+    # batch; an all-hits steady run appends NOTHING, so the memo's file
+    # count stays bounded by the number of miss-producing runs (an empty
+    # append still writes one footer per task — a warm cache re-run loop
+    # was growing the memo listing without adding a single row).
+    if fresh.count():
+        fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"]).coalesce(
+            8
+        ).write.mode("append").parquet(memo_path)
     fresh_rows = fresh.select(id_col, "pos", "ocr_text")
 
     all_rows = fresh_rows if hits is None else hits.unionByName(fresh_rows)
@@ -222,9 +229,12 @@ def run_pdf_ocr_phase(
         run,
         schema=f"{id_col} string, pos int, page_i int, img_hash long, ocr_text string",
     ).persist()
-    fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"]).write.mode(
-        "append"
-    ).parquet(memo_path)
+    # skip-empty + coalesce: same memo-file-count discipline as
+    # run_ocr_phase — steady all-hits reps must not append empty files
+    if fresh.count():
+        fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"]).coalesce(
+            8
+        ).write.mode("append").parquet(memo_path)
     fresh_rows = fresh.select(id_col, "pos", "page_i", "ocr_text")
 
     all_rows = fresh_rows if hits is None else hits.unionByName(fresh_rows)

@@ -267,17 +267,18 @@ def build_pdf(
                 b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
                 % (hx(O), hx(U), hx(OE), hx(UE), hx(perms))
             )
-        elif encrypt == "aes-128":
+        elif encrypt in ("aes-128", "aes-128-nometa"):
             cipher, per_object = "aes", True
             R = 4
+            enc_meta = encrypt == "aes-128"
             O = _std_owner_entry(R, 16)
-            key = _std_file_key(O, -1, id0, R, 16)
+            key = _std_file_key(O, -1, id0, R, 16, enc_meta)
             U = _std_user_entry(key, R, id0)
             enc_num = add(
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
-                b"/StmF /StdCF /StrF /StdCF /P -1 /O <%s> /U <%s> >>"
-                % (hx(O), hx(U))
+                b"/StmF /StdCF /StrF /StdCF /P -1 %s/O <%s> /U <%s> >>"
+                % (b"" if enc_meta else b"/EncryptMetadata false ", hx(O), hx(U))
             )
         elif encrypt in ("rc4-40", "rc4-128"):
             cipher, per_object = "rc4", True
@@ -512,7 +513,14 @@ def _lzw_decode(s: bytes, early: int = 1) -> bytes:
                 raise ValueError("corrupt LZW stream (code beyond table)")
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # EarlyChange schedule (PDF 32000-1 §7.4.4.2 table 8 /
+            # TIFF 6 §13): with early=1 the width bumps when the NEXT
+            # entry to add would be 511/1023/2047 — i.e. one entry
+            # before the non-early (early=0) 512/1024/2048 boundary.
+            # (r4 fix: the old `len(table) + early - 1` condition was
+            # shifted one entry late, desyncing any real-writer stream
+            # that adds >253 table entries.)
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -544,7 +552,9 @@ def _lzw_encode(s: bytes, early: int = 1) -> bytes:
         emit(codes[run])
         codes[nxt] = next_code
         next_code += 1
-        if next_code + early - 1 > (1 << width) and width < 12:
+        # mirror of the decoder's EarlyChange schedule: next_code is
+        # already incremented here, so next_code - 1 == len(table)
+        if next_code - 1 + early >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4095:  # table full: clear between symbols
             emit(256)
@@ -854,20 +864,25 @@ def _search_trailer_dicts(data: bytes, rx: "re.Pattern") -> "re.Match | None":
     A whole-file search would mistake the literal text '/Encrypt 5 0 R'
     inside an uncompressed content stream for real encryption and fail
     a valid document."""
-    last = None
+    # matches from BOTH sources compete on file byte offset: a hybrid
+    # incrementally-updated file can have its newest revision use either
+    # form, and the greatest-offset match is the governing one (the old
+    # two-loop code let any XRef-stream match override a newer classic
+    # trailer regardless of revision order — ADVICE r3)
+    best, best_off = None, -1
     for tm in _TRAILER_BLOCK_RE.finditer(data):
         m = rx.search(tm.group(1))
-        if m:
-            last = m
+        if m and tm.start(1) + m.start() > best_off:
+            best, best_off = m, tm.start(1) + m.start()
     for om in _OBJ_RE.finditer(data):
         body = om.group(2)
         sm = _STREAM_RE.search(body)
         head = body[: sm.start()] if sm else body
         if _XREFSTM_TYPE_RE.search(head):
             m = rx.search(head)
-            if m:
-                last = m
-    return last
+            if m and om.start(2) + m.start() > best_off:
+                best, best_off = m, om.start(2) + m.start()
+    return best
 _DICT_HEXSTR_RE = re.compile(rb"(?<!<)<([0-9A-Fa-f\s]+)>(?!>)")
 
 
@@ -1126,13 +1141,20 @@ def _obj_key_aes(file_key: bytes, num: int, gen: int = 0) -> bytes:
     return k[: min(len(file_key) + 5, 16)]
 
 
-def _std_file_key(O: bytes, P: int, id0: bytes, R: int, keylen: int) -> bytes:
-    """Algorithm 2 file key for the EMPTY user password."""
+def _std_file_key(
+    O: bytes, P: int, id0: bytes, R: int, keylen: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2 file key for the EMPTY user password. Step f: for
+    R ≥ 4 with /EncryptMetadata false, 0xFFFFFFFF joins the MD5 input
+    (ADVICE r3: omitting it failed valid AESV2/R4 files with
+    unencrypted metadata)."""
     import hashlib
 
-    h = hashlib.md5(
-        _PW_PAD + O[:32] + (P & 0xFFFFFFFF).to_bytes(4, "little") + id0
-    ).digest()
+    md5_in = _PW_PAD + O[:32] + (P & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    if R >= 4 and not encrypt_metadata:
+        md5_in += b"\xff\xff\xff\xff"
+    h = hashlib.md5(md5_in).digest()
     if R >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:keylen]).digest()
@@ -1257,7 +1279,8 @@ def _maybe_decrypt(data: bytes) -> bytes:
         if pm is None or idm is None:
             raise ValueError("malformed /Encrypt dictionary")
         id0 = bytes.fromhex(idm.group(1).decode("ascii"))
-        key = _std_file_key(O, int(pm.group(1)), id0, R, keylen)
+        enc_meta = not re.search(rb"/EncryptMetadata\s+false\b", enc_body)
+        key = _std_file_key(O, int(pm.group(1)), id0, R, keylen, enc_meta)
         if not _std_user_check(key, U, R, id0):
             raise ValueError("password-protected PDF (empty user password rejected)")
         per_object_key = True

@@ -268,7 +268,6 @@ def lsh_topk(
 
     base = df.select(
         F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
         signature_expr(F.col(vec_col).cast("array<double>"), planes).alias("sig"),
     )
     band_arr = F.array(
@@ -280,18 +279,34 @@ def lsh_topk(
             for b in range(bands)
         ]
     )
-    ex = base.select("nbr_id", "v", F.explode(band_arr).alias("bb")).select(
-        "nbr_id", "v", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    # band explode + pair dedup carry KEYS ONLY (~20 B/row: id, band,
+    # band-hash) — the embedding payload (≈6 KB at dim 768) never rides
+    # the Exchange (mirrors dedup.lsh_candidate_pairs; plan-audited:
+    # no array<double> in any Exchange of this plan)
+    ex = base.select("nbr_id", F.explode(band_arr).alias("bb")).select(
+        "nbr_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
     qex = (
         ex.filter(F.col("nbr_id").isin(query_ids))
-        .select(F.col("nbr_id").alias("query_id"), F.col("v").alias("qv"), "band", "bh")
+        .select(F.col("nbr_id").alias("query_id"), "band", "bh")
     )
-    cands = (
+    cand_ids = (
         ex.join(F.broadcast(qex), ["band", "bh"])
         .filter(F.col("nbr_id") != F.col("query_id"))
-        .select("query_id", "qv", "nbr_id", "v")
+        .select("query_id", "nbr_id")
         .distinct()
+    )
+    # vectors re-join ONLY the candidate set: candidate ids and the
+    # (tiny) query vectors broadcast, so the corpus-side vector scan
+    # stays map-side — corpus embeddings never shuffle
+    vecs = df.select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qvecs = vecs.filter(F.col("nbr_id").isin(query_ids)).select(
+        F.col("nbr_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = vecs.join(F.broadcast(cand_ids), "nbr_id").join(
+        F.broadcast(qvecs), "query_id"
     )
     scored = cands.select(
         "query_id", "nbr_id", F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cos")

@@ -53,14 +53,20 @@ from open_semantic_etl_spark.plans.pipeline import (
 from open_semantic_etl_spark.schema import METRICS_SCHEMA
 
 
-#: url-hash bucket count for the enriched/checkpoint tables. At 10^12
-#: rows this would be O(10^5) (≈ tens of GB per bucket); the MERGE cost
-#: per batch is (touched buckets) × (bucket size) ≈ min(B, N)/N × table
+#: DEFAULT url-hash bucket count for the enriched/checkpoint tables —
+#: every merge/maintenance entry point takes ``n_buckets`` so deployers
+#: size it per table. Sizing rule: ``n_buckets ≈ table_bytes /
+#: target_rewrite_unit`` where target_rewrite_unit is the bucket-dir
+#:  size you are willing to rewrite per touched bucket (1-10 GB on
+#: object storage). At 10^12 rows this is O(10^5); the MERGE cost per
+#: batch is (touched buckets) × (bucket size) ≈ min(B, N)/N × table
 #: for B batch urls — proportional to the BATCH while B ≪ N (the
 #: steady incremental-recrawl regime N is sized for), degrading to a
 #: full rewrite for bulk B ≥ N batches, where a real Iceberg/Delta
 #: MERGE (file-level pruning, merge-on-read deltas) takes over behind
-#: the same call site.
+#: the same call site. ``n_buckets`` is a property of the TABLE: every
+#: call against one table root must pass the same value (like Iceberg's
+#: bucket(url, N) partition transform — changing N is a table rewrite).
 N_BUCKETS = 64
 
 
@@ -93,12 +99,12 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df.drop("_bucket") if "_bucket" in df.columns else df
 
 
-def _atomic_overwrite(df: DataFrame, path: str) -> None:
+def _atomic_overwrite(df: DataFrame, path: str, n_buckets: int = N_BUCKETS) -> None:
     """full-table rewrite in bucketed layout, tmp-dir + swap — the
     snapshot-commit stand-in for non-url-keyed rewrites (delete-by-
     query, schema migration). url-keyed upserts use merge_by_url."""
     if "_bucket" not in df.columns and "url" in df.columns:
-        df = df.withColumn("_bucket", bucket_expr())
+        df = df.withColumn("_bucket", bucket_expr(n_buckets=n_buckets))
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     writer = df.write.mode("overwrite")
     if "_bucket" in df.columns:
@@ -174,7 +180,9 @@ def touched_buckets(new: DataFrame, n_buckets: int = N_BUCKETS) -> list[int]:
     ]
 
 
-def merge_by_url(spark: SparkSession, new: DataFrame, path: str) -> None:
+def merge_by_url(
+    spark: SparkSession, new: DataFrame, path: str, n_buckets: int = N_BUCKETS
+) -> None:
     """MERGE new INTO path ON url (new row wins) — export_solr 'set'.
 
     Bucket-pruned: reads and rewrites ONLY the url-hash buckets the
@@ -183,8 +191,12 @@ def merge_by_url(spark: SparkSession, new: DataFrame, path: str) -> None:
     ``MERGE INTO t USING batch ON t.url = batch.url`` with the table
     bucket(url, N)-partitioned. Idempotent under replay (crash between
     bucket swaps re-merges by url to the same result).
+
+    ``n_buckets`` must match the value the table was created with (see
+    the N_BUCKETS sizing rule); it is a per-table constant, not a
+    per-call tuning knob.
     """
-    new = new.withColumn("_bucket", bucket_expr())
+    new = new.withColumn("_bucket", bucket_expr(n_buckets=n_buckets))
     if not Tables(os.path.dirname(path)).exists(path):
         new.write.mode("overwrite").partitionBy("_bucket").parquet(path)
         return
@@ -199,7 +211,7 @@ def merge_by_url(spark: SparkSession, new: DataFrame, path: str) -> None:
         merged = old.join(new.select("url"), "url", "left_anti").unionByName(
             new.drop("_bucket"), allowMissingColumns=True
         )
-        _atomic_overwrite(merged.drop("_bucket"), path)
+        _atomic_overwrite(merged.drop("_bucket"), path, n_buckets=n_buckets)
         return
     old_touched = old.filter(F.col("_bucket").isin(buckets))
     merged = old_touched.join(new.select("url"), "url", "left_anti").unionByName(
@@ -282,6 +294,7 @@ def run_incremental(
     repartition: int | None = None,
     run_id: str | None = None,
     fail_before_checkpoint: bool = False,
+    n_buckets: int = N_BUCKETS,
 ) -> dict:
     """One resumable enrichment run; returns run stats.
 
@@ -305,7 +318,7 @@ def run_incremental(
 
     # 1. output commit (MERGE by url — idempotent under replay,
     #    bucket-pruned so write volume ∝ batch)
-    merge_by_url(spark, out, tables.enriched)
+    merge_by_url(spark, out, tables.enriched, n_buckets=n_buckets)
 
     if fail_before_checkpoint:
         out.unpersist()
@@ -323,7 +336,7 @@ def run_incremental(
         .withColumn("stages_done", F.array(*[F.lit(s) for s in stages]))
         .withColumn("pipeline_version", F.lit(PIPELINE_VERSION))
     )
-    merge_by_url(spark, ckpt, tables.checkpoint)
+    merge_by_url(spark, ckpt, tables.checkpoint, n_buckets=n_buckets)
 
     n_done = out.count()
     out.unpersist()

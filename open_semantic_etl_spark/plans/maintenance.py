@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from open_semantic_etl_spark.functions.path import with_path_facets
 from open_semantic_etl_spark.plans.checkpoint import (
+    N_BUCKETS,
     Tables,
     _atomic_overwrite,
     _swap_buckets,
@@ -30,37 +31,48 @@ from open_semantic_etl_spark.plans.checkpoint import (
 )
 
 
-def _url_buckets(spark: SparkSession, urls: list[str]) -> list[int]:
+def _url_buckets(
+    spark: SparkSession, urls: list[str], n_buckets: int = N_BUCKETS
+) -> list[int]:
     """bucket ids for a driver-side url list (same xxhash64 the tables
     are partitioned by — computed via a tiny Spark expression)."""
     return [
         r[0]
         for r in spark.createDataFrame([(u,) for u in urls], "url string")
-        .select(bucket_expr().alias("b"))
+        .select(bucket_expr(n_buckets=n_buckets).alias("b"))
         .distinct()
         .collect()
     ]
 
 
-def _rewrite_buckets(spark: SparkSession, path: str, buckets: list[int], transform) -> None:
+def _rewrite_buckets(
+    spark: SparkSession,
+    path: str,
+    buckets: list[int],
+    transform,
+    n_buckets: int = N_BUCKETS,
+) -> None:
     """read ONLY the given buckets, apply ``transform``, swap those
     bucket dirs — delete/move touch a handful of urls, so the write
-    volume is a few buckets, never the table."""
+    volume is a few buckets, never the table. ``n_buckets`` must match
+    the table's creation-time value (checkpoint.N_BUCKETS sizing rule)."""
     import uuid
 
     recover_swaps(path)
     df = spark.read.parquet(path)
     if "_bucket" not in df.columns:  # legacy unbucketed layout
-        _atomic_overwrite(transform(df), path)
+        _atomic_overwrite(transform(df), path, n_buckets=n_buckets)
         return
     part = df.filter(F.col("_bucket").isin(buckets)).drop("_bucket")
-    out = transform(part).withColumn("_bucket", bucket_expr())
+    out = transform(part).withColumn("_bucket", bucket_expr(n_buckets=n_buckets))
     tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
     _swap_buckets(tmp, path, buckets)
 
 
-def delete_by_url(spark: SparkSession, root: str, urls: list[str]) -> int:
+def delete_by_url(
+    spark: SparkSession, root: str, urls: list[str], n_buckets: int = N_BUCKETS
+) -> int:
     """remove documents by id (etl_delete) — bucket-pruned rewrite
     (Iceberg: ``DELETE FROM enriched WHERE url IN (…)``).
 
@@ -69,7 +81,7 @@ def delete_by_url(spark: SparkSession, root: str, urls: list[str]) -> int:
     scans this plans are of the touched ``_bucket`` partitions — no
     before/after full-table counts (plan-audited)."""
     tables = Tables(root)
-    buckets = _url_buckets(spark, urls)
+    buckets = _url_buckets(spark, urls, n_buckets)
     obs = Observation()
 
     def drop_counting(df: DataFrame) -> DataFrame:
@@ -80,11 +92,12 @@ def delete_by_url(spark: SparkSession, root: str, urls: list[str]) -> int:
         # url is KEPT (plain ~isin would drop it uncounted)
         return observed.filter(~F.coalesce(F.col("url").isin(urls), F.lit(False)))
 
-    _rewrite_buckets(spark, tables.enriched, buckets, drop_counting)
+    _rewrite_buckets(spark, tables.enriched, buckets, drop_counting, n_buckets)
     if tables.exists(tables.checkpoint):
         _rewrite_buckets(
             spark, tables.checkpoint, buckets,
             lambda df: df.filter(~F.coalesce(F.col("url").isin(urls), F.lit(False))),
+            n_buckets,
         )
     return int(obs.get["deleted"])
 
@@ -113,11 +126,13 @@ def delete_where(spark: SparkSession, root: str, predicate: Column) -> int:
     return int(obs.get["deleted"])
 
 
-def move_url(spark: SparkSession, root: str, src: str, dst: str) -> None:
+def move_url(
+    spark: SparkSession, root: str, src: str, dst: str, n_buckets: int = N_BUCKETS
+) -> None:
     """rewrite a moved document's id + path facets (move_indexed_file)
     — touches exactly the src and dst buckets."""
     tables = Tables(root)
-    buckets = _url_buckets(spark, [src, dst])
+    buckets = _url_buckets(spark, [src, dst], n_buckets)
 
     def transform(df):
         moved = df.withColumn(
@@ -129,7 +144,7 @@ def move_url(spark: SparkSession, root: str, src: str, dst: str) -> None:
         refreshed = with_path_facets(moved.drop(*path_cols), id_col="url")
         return refreshed.select(*df.columns)
 
-    _rewrite_buckets(spark, tables.enriched, buckets, transform)
+    _rewrite_buckets(spark, tables.enriched, buckets, transform, n_buckets)
 
 
 def join_annotations(

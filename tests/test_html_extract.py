@@ -317,6 +317,102 @@ def test_pdf_lzw_codec_boundaries():
         assert _lzw_decode(_lzw_encode(data)) == data, len(data)
 
 
+def test_pdf_lzw_early_change_schedule_vs_independent_impl():
+    """EarlyChange schedule pinned against INDEPENDENT reference codecs
+    with the literal 511/1023/2047 width-bump constants real writers
+    (Acrobat) and decoders (pdfminer.six, pdf.js) use — a self
+    round-trip masks a shared off-by-one shift (ADVICE r3: the old
+    early=1 condition switched one table entry late, desyncing any
+    stream that adds >253 entries)."""
+    from open_semantic_etl_spark.operators.pdfio import _lzw_decode, _lzw_encode
+
+    # bump tables: early=1 (PDF default) switches one entry before the
+    # power-of-two boundary; early=0 switches exactly at it
+    BUMPS = {1: {511: 10, 1023: 11, 2047: 12}, 0: {512: 10, 1024: 11, 2048: 12}}
+
+    def ref_decode(s: bytes, early: int) -> bytes:
+        # pdfminer-style decoder: append entry, then check len(table)
+        # against the literal constants
+        bumps = BUMPS[early]
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, acc, nbits, prev = 9, 0, 0, None
+        out = bytearray()
+        for byte in s:
+            acc = (acc << 8) | byte
+            nbits += 8
+            while nbits >= width:
+                code = (acc >> (nbits - width)) & ((1 << width) - 1)
+                nbits -= width
+                if code == 256:
+                    del table[258:]
+                    width, prev = 9, None
+                    continue
+                if code == 257:
+                    return bytes(out)
+                if prev is None:
+                    entry = table[code]
+                else:
+                    entry = table[code] if code < len(table) else prev + prev[:1]
+                    table.append(prev + entry[:1])
+                    width = bumps.get(len(table), width)
+                out += entry
+                prev = entry
+        return bytes(out)
+
+    # encoder-side constants: the encoder's table runs exactly one entry
+    # ahead of the decoder's at any stream position (the decoder adds
+    # its entry only after reading the NEXT code), so the encoder bumps
+    # one entry later in its own count — at virtual table length
+    # 512/1024/2048 for early=1 (513/1025/2049 for early=0)
+    EBUMPS = {1: {512: 10, 1024: 11, 2048: 12}, 0: {513: 10, 1025: 11, 2049: 12}}
+
+    def ref_encode(s: bytes, early: int) -> bytes:
+        # TIFF-6 §13-style encoder with literal constants
+        bumps = EBUMPS[early]
+        codes = {bytes([i]): i for i in range(256)}
+        nxt, width, acc, nbits = 258, 9, 0, 0
+        out = bytearray()
+
+        def put(c: int) -> None:
+            nonlocal acc, nbits
+            acc = (acc << width) | c
+            nbits += width
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        put(256)
+        run = b""
+        for i in range(len(s)):
+            k = run + s[i : i + 1]
+            if k in codes:
+                run = k
+                continue
+            put(codes[run])
+            codes[k] = nxt
+            nxt += 1
+            width = bumps.get(nxt, width)  # encoder runs 1 entry ahead
+            run = s[i : i + 1]
+        if run:
+            put(codes[run])
+        put(257)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    # enough novel digrams to add >2000 table entries (crosses every bump)
+    data = ("".join(f"{i % 977}:{(i * 7) % 991};" for i in range(900))).encode()
+    for early in (1, 0):
+        ref_stream = ref_encode(data, early)
+        assert ref_decode(ref_stream, early) == data  # ref self-consistency
+        # repo decoder accepts a standard-schedule stream …
+        assert _lzw_decode(ref_stream, early=early) == data, f"early={early}"
+        # … and the repo encoder emits one the standard decoder accepts
+        assert ref_decode(_lzw_encode(data, early=early), early) == data, (
+            f"early={early}"
+        )
+
+
 def test_pdf_feature_matrix_roundtrip():
     """every combination of the builder's structural features must
     round-trip: layout (classic/modern) x font (simple/Type0-CID) x
@@ -382,6 +478,47 @@ def test_pdf_rc4_encrypted_roundtrip():
     rt = parse_pdf(_re.sub(rb"/U <([0-9A-F]{8})", rb"/U <00000000",
                            build_pdf(["x"], encrypt="rc4-128")))
     assert rt["ok"] is False and "password" in rt["err"]
+
+
+def test_pdf_encrypt_metadata_false_r4():
+    """AESV2/R4 with /EncryptMetadata false: Algorithm 2 step f appends
+    0xFFFFFFFF to the file-key MD5 input — without it the empty-user-
+    password check fails a valid file (ADVICE r3 coverage gap)."""
+    pages = ["meta stays plain", "body is crypted"]
+    built = build_pdf(pages, title="NoMeta T", encrypt="aes-128-nometa")
+    assert b"/EncryptMetadata false" in built
+    r = parse_pdf(built)
+    assert r["ok"], r["err"]
+    assert r["pages"] == pages and r["title"] == "NoMeta T"
+    # the flag changes the key: a plain aes-128 parse path still works
+    r2 = parse_pdf(build_pdf(pages, encrypt="aes-128"))
+    assert r2["ok"] and r2["pages"] == pages
+
+
+def test_pdf_trailer_newest_revision_wins_by_offset():
+    """file-level key resolution picks the match at the GREATEST byte
+    offset across classic trailers AND XRef-stream dicts — an
+    incrementally-updated file whose newest revision uses a classic
+    trailer must not be governed by a stale earlier XRef stream
+    (ADVICE r3: the XRef loop unconditionally overrode)."""
+    import re as _re
+
+    from open_semantic_etl_spark.operators.pdfio import (
+        _ENCRYPT_REF_RE,
+        _search_trailer_dicts,
+    )
+
+    xref_obj = (
+        b"4 0 obj\n<< /Type /XRef /Size 9 /W [1 2 1] /Encrypt 5 0 R >>\n"
+        b"stream\nxx\nendstream\nendobj\n"
+    )
+    classic = b"trailer\n<< /Size 9 /Encrypt 9 0 R >>\nstartxref\n0\n%%EOF\n"
+    # newest revision is the classic trailer → its /Encrypt governs
+    m = _search_trailer_dicts(b"%PDF-1.6\n" + xref_obj + classic, _ENCRYPT_REF_RE)
+    assert m and m.group(1) == b"9"
+    # newest revision is the XRef stream → it governs
+    m2 = _search_trailer_dicts(b"%PDF-1.6\n" + classic + xref_obj, _ENCRYPT_REF_RE)
+    assert m2 and m2.group(1) == b"5"
 
 
 def test_pdf_tj_array_segments_one_line():

@@ -427,6 +427,21 @@ def main() -> int:
         ],
     )
 
+    # 15b. sign-LSH ANN: candidate pair dedup exchanges (query_id,
+    # nbr_id) ids only — the dim-768 double array (≈6 KB/row) never
+    # rides an Exchange; vectors re-join the candidate set broadcast
+    from open_semantic_etl_spark.operators.similarity import lsh_topk
+
+    lsh_ann = lsh_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+    section(
+        "ann sign-LSH — id-only candidate dedup, vectors join broadcast",
+        lsh_ann,
+        [
+            ("no vector column in any shuffle Exchange input", no_vec_in_shuffle),
+            ("candidate/query vectors join as BroadcastHashJoin", lambda p: "BroadcastHashJoin" in p),
+        ],
+    )
+
     # 16. paragraph dedup: the frequency count shuffles 128-bit hashes
     # only; the doc text never rides an exchange (the dup-hit set joins
     # back as the small side)
