@@ -30,8 +30,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_meta = clean_title+content_type_group+analysis_text,
     text_stats = text_quality+token_count+fingerprint+curation,
     path_mapping = path_facets+mapping_id,
-    ann = brute+lsh+ivf tagged by `method`) — every operator's solo
-    columns keep their names, so each stays pinned by the oracle hash."""
+    ann = brute+lsh+ivf tagged by `method`,
+    ner = span-model+stanford-token paths tagged by `method`,
+    rss_new_items = rss indexed-skip + sparql bindings walk tagged by
+    `kind`, pst_explode = member tree + RFC-822 parse of .eml children)
+    — every operator's solo columns keep their names, so each stays
+    pinned by the oracle hash."""
     return {
         "extract_pages": Q.q_extract_pages,
         "scalar_extracts": Q.q_scalar_extracts,

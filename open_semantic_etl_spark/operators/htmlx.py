@@ -75,6 +75,9 @@ _META_DATE_KEYS = frozenset(
 _ISO_TS_RE = re.compile(
     r"(\d{4})-(\d{2})-(\d{2})[T ](\d{2}):(\d{2}):(\d{2})"
 )
+# what makes decoded bytes "HTML-ish": any tag-open / comment /
+# doctype / PI start. Tag-free inputs are labeled text/plain.
+_TAG_HINT_RE = re.compile(r"<[a-zA-Z!/?]")
 
 
 # Magic-byte content sniffing — the libmagic replacement
@@ -414,8 +417,38 @@ def extract_html(data: bytes | None) -> dict:
             res["content_type"] = None
             return res
         sniffed = sniff_content_type(data)
+        if sniffed == "application/zip":
+            # office documents are zips of XML (DOCX/XLSX/PPTX/ODT/…):
+            # route through the native office tier (the reference gets
+            # these from Tika, enhance_extract_text_tika_server.py:33-262);
+            # non-office zips keep the container content-type and flow
+            # to the zip-explode operator instead
+            from open_semantic_etl_spark.operators.office import extract_office
+
+            off = extract_office(data)
+            if off is not None:
+                res["content_type"] = off["content_type"]
+                res["content"] = off["content"]
+                res["title"] = off["title"]
+                res["n_blocks"] = off["n_blocks"]
+                res["n_kept_blocks"] = off["n_blocks"]
+                res["ok"] = off["ok"]
+                res["err"] = off["err"]
+                return res
         if sniffed and sniffed != "application/pdf":
             res["content_type"] = sniffed
+            return res
+        if data.startswith(b"{\\rtf"):
+            from open_semantic_etl_spark.operators.office import extract_rtf
+
+            rt = extract_rtf(data)
+            res["content_type"] = rt["content_type"]
+            res["content"] = rt["content"]
+            res["title"] = rt["title"]
+            res["n_blocks"] = rt["n_blocks"]
+            res["n_kept_blocks"] = rt["n_blocks"]
+            res["ok"] = rt["ok"]
+            res["err"] = rt["err"]
             return res
         if sniffed == "application/pdf":
             from open_semantic_etl_spark.operators.pdfio import parse_pdf
@@ -436,6 +469,11 @@ def extract_html(data: bytes | None) -> dict:
         head = text[:512].lstrip().lower()
         if head.startswith("<?xml") and "xhtml" in text[:2048].lower():
             res["content_type"] = "application/xhtml+xml"
+        elif not _TAG_HINT_RE.search(text):
+            # tag-free payload (plain text / markdown): the parser sees
+            # the whole body as ONE block (contract-tested in
+            # test_html_extract), and the label says what Tika would
+            res["content_type"] = "text/plain"
         parser = _ContentParser()
         try:
             _fast_feed(parser, text)

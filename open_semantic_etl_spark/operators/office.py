@@ -1,0 +1,683 @@
+"""Native Office-document text extraction: DOCX / XLSX / PPTX / ODT /
+ODS / ODP — every one a ZIP of XML parts.
+
+The reference reaches these formats through an HTTP hop to Apache Tika
+(enhance_extract_text_tika_server.py:33-262: content → ``content_txt``,
+title/author → ``title_txt``/``author_ss``); this module is the
+from-scratch in-engine replacement, running stdlib ``zipfile`` +
+``xml.etree`` inside the same Arrow-batched UDFs as the HTML/PDF tier.
+Routing: ``extract_html`` (operators/htmlx.py) sends every sniffed
+``PK\\x03\\x04`` payload here first; non-office zips fall back to the
+plain container content-type (and the zip-explode operator).
+
+Format knowledge is the public ECMA-376 (OOXML) and OASIS ODF 1.2
+specs:
+
+  DOCX  word/document.xml        — ``w:p`` paragraphs; ``w:t`` runs,
+        ``w:tab`` → TAB, ``w:br``/``w:cr`` → newline; one line per
+        paragraph (table-cell paragraphs ride the same walk in
+        document order). docProps/core.xml → dc:title / dc:creator.
+  XLSX  xl/worksheets/sheet*.xml — rows → lines, cells joined by TAB;
+        ``t="s"`` cells resolve through xl/sharedStrings.xml,
+        ``t="inlineStr"`` through ``is/t``; sheets in workbook order.
+  PPTX  ppt/slides/slideN.xml    — ``a:p`` paragraphs (N ascending).
+  ODT   content.xml              — ``text:p``/``text:h`` lines with
+        ``text:s``/``text:tab``/``text:line-break`` expansion;
+        meta.xml → dc:title / meta:initial-creator.
+  ODS   content.xml              — table rows → lines, cells by TAB.
+  ODP   content.xml              — ``text:p`` lines per draw frame.
+
+All parsers are namespace-agnostic (local-name matching): real-world
+producers vary prefixes, and strict URIs buy nothing for text pull.
+Every public function is total: parse failures return ok=False + err,
+never an exception (per-row error column contract).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+__all__ = [
+    "sniff_office",
+    "extract_office",
+    "build_docx",
+    "build_xlsx",
+    "build_odt",
+    "OFFICE_MIMES",
+]
+
+#: OOXML marker part → mimetype (ECMA-376 package conventions)
+_OOXML_MARKERS = (
+    ("word/document.xml",
+     "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+    ("xl/workbook.xml",
+     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
+    ("ppt/presentation.xml",
+     "application/vnd.openxmlformats-officedocument.presentationml.presentation"),
+)
+
+#: ODF mimetypes the extractor handles (the ``mimetype`` zip member is
+#: the authoritative marker per ODF 1.2 §3.3)
+_ODF_MIMES = frozenset(
+    (
+        "application/vnd.oasis.opendocument.text",
+        "application/vnd.oasis.opendocument.spreadsheet",
+        "application/vnd.oasis.opendocument.presentation",
+    )
+)
+
+OFFICE_MIMES = frozenset(m for _, m in _OOXML_MARKERS) | _ODF_MIMES
+
+
+def _local(tag: str) -> str:
+    return tag.rpartition("}")[2]
+
+
+def _attr(el: ET.Element, name: str) -> str | None:
+    """attribute lookup by LOCAL name (ODF attributes are namespaced)."""
+    if name in el.attrib:
+        return el.attrib[name]
+    for k, v in el.attrib.items():
+        if _local(k) == name:
+            return v
+    return None
+
+
+def sniff_office(data: bytes) -> str | None:
+    """office mimetype of a zip payload, or None when it is not an
+    office document (not a zip / no marker part)."""
+    if data[:4] != b"PK\x03\x04":
+        return None
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            if "mimetype" in names:
+                mt = zf.read("mimetype").decode("ascii", "replace").strip()
+                if mt in _ODF_MIMES:
+                    return mt
+            for marker, mime in _OOXML_MARKERS:
+                if marker in names:
+                    return mime
+    except Exception:  # noqa: BLE001 — damaged zip: not an office doc
+        return None
+    return None
+
+
+def _parse_xml(blob: bytes) -> ET.Element | None:
+    try:
+        return ET.fromstring(blob)
+    except ET.ParseError:
+        return None
+
+
+# --------------------------------------------------------------------------
+# DOCX
+# --------------------------------------------------------------------------
+
+
+def _docx_paragraph(p: ET.Element) -> str:
+    frags: list[str] = []
+    for el in p.iter():
+        name = _local(el.tag)
+        if name == "t" and el.text:
+            frags.append(el.text)
+        elif name == "tab":
+            frags.append("\t")
+        elif name in ("br", "cr"):
+            frags.append("\n")
+    return "".join(frags)
+
+
+def _docx_text(root: ET.Element) -> list[str]:
+    # document-order paragraphs; table-cell w:p elements appear in the
+    # same walk (one line per cell paragraph — the Tika flat-text shape)
+    lines = []
+    for el in root.iter():
+        if _local(el.tag) == "p":
+            lines.append(_docx_paragraph(el))
+    return lines
+
+
+def _core_props(blob: bytes) -> tuple[str | None, str | None]:
+    """docProps/core.xml → (dc:title, dc:creator)."""
+    root = _parse_xml(blob)
+    if root is None:
+        return None, None
+    title = author = None
+    for el in root.iter():
+        name = _local(el.tag)
+        if name == "title" and el.text and title is None:
+            title = el.text.strip() or None
+        elif name == "creator" and el.text and author is None:
+            author = el.text.strip() or None
+    return title, author
+
+
+# --------------------------------------------------------------------------
+# XLSX
+# --------------------------------------------------------------------------
+
+_SHEET_NUM_RE = re.compile(r"sheet(\d+)\.xml$")
+
+
+def _shared_strings(blob: bytes) -> list[str]:
+    root = _parse_xml(blob)
+    if root is None:
+        return []
+    out = []
+    for si in root:
+        if _local(si.tag) != "si":
+            continue
+        out.append(
+            "".join(t.text or "" for t in si.iter() if _local(t.tag) == "t")
+        )
+    return out
+
+
+def _xlsx_sheet_lines(root: ET.Element, shared: list[str]) -> list[str]:
+    lines = []
+    for row in root.iter():
+        if _local(row.tag) != "row":
+            continue
+        cells = []
+        for c in row:
+            if _local(c.tag) != "c":
+                continue
+            ctype = c.get("t", "n")
+            if ctype == "inlineStr":
+                cells.append(
+                    "".join(t.text or "" for t in c.iter() if _local(t.tag) == "t")
+                )
+                continue
+            v = next((el for el in c if _local(el.tag) == "v"), None)
+            raw = (v.text or "") if v is not None else ""
+            if ctype == "s":
+                try:
+                    cells.append(shared[int(raw)])
+                except (ValueError, IndexError):
+                    cells.append("")
+            else:
+                cells.append(raw)
+        if cells:
+            lines.append("\t".join(cells))
+    return lines
+
+
+def _xlsx_text(zf: zipfile.ZipFile, names: set[str]) -> list[str]:
+    shared = (
+        _shared_strings(zf.read("xl/sharedStrings.xml"))
+        if "xl/sharedStrings.xml" in names
+        else []
+    )
+    sheets = sorted(
+        (n for n in names if n.startswith("xl/worksheets/sheet") and n.endswith(".xml")),
+        key=lambda n: int(_SHEET_NUM_RE.search(n).group(1)) if _SHEET_NUM_RE.search(n) else 0,
+    )
+    lines: list[str] = []
+    for sn in sheets:
+        root = _parse_xml(zf.read(sn))
+        if root is not None:
+            lines.extend(_xlsx_sheet_lines(root, shared))
+    return lines
+
+
+# --------------------------------------------------------------------------
+# PPTX
+# --------------------------------------------------------------------------
+
+_SLIDE_NUM_RE = re.compile(r"slide(\d+)\.xml$")
+
+
+def _pptx_text(zf: zipfile.ZipFile, names: set[str]) -> list[str]:
+    slides = sorted(
+        (n for n in names if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+        key=lambda n: int(_SLIDE_NUM_RE.search(n).group(1)),
+    )
+    lines: list[str] = []
+    for sn in slides:
+        root = _parse_xml(zf.read(sn))
+        if root is None:
+            continue
+        for el in root.iter():
+            if _local(el.tag) == "p":
+                txt = "".join(
+                    t.text or "" for t in el.iter() if _local(t.tag) == "t"
+                )
+                lines.append(txt)
+    return lines
+
+
+# --------------------------------------------------------------------------
+# ODF (text / spreadsheet / presentation)
+# --------------------------------------------------------------------------
+
+
+def _odf_paragraph(p: ET.Element) -> str:
+    frags: list[str] = []
+
+    def walk(el: ET.Element) -> None:
+        name = _local(el.tag)
+        if name == "s":
+            frags.append(" " * int(_attr(el, "c") or 1))
+        elif name == "tab":
+            frags.append("\t")
+        elif name == "line-break":
+            frags.append("\n")
+        if el.text and name not in ("s", "tab", "line-break"):
+            frags.append(el.text)
+        for child in el:
+            walk(child)
+            if child.tail:
+                frags.append(child.tail)
+
+    if p.text:
+        frags.append(p.text)
+    for child in p:
+        walk(child)
+        if child.tail:
+            frags.append(child.tail)
+    return "".join(frags)
+
+
+def _odt_text(root: ET.Element) -> list[str]:
+    lines = []
+    for el in root.iter():
+        if _local(el.tag) in ("p", "h"):
+            lines.append(_odf_paragraph(el))
+    return lines
+
+
+def _ods_text(root: ET.Element) -> list[str]:
+    lines = []
+    for row in root.iter():
+        if _local(row.tag) != "table-row":
+            continue
+        cells = []
+        for cell in row:
+            if _local(cell.tag) != "table-cell":
+                continue
+            cells.append(
+                "\n".join(
+                    _odf_paragraph(p) for p in cell.iter() if _local(p.tag) == "p"
+                )
+            )
+        if cells:
+            lines.append("\t".join(cells))
+    return lines
+
+
+def _odf_meta(blob: bytes) -> tuple[str | None, str | None]:
+    """meta.xml → (dc:title, dc:creator | meta:initial-creator)."""
+    root = _parse_xml(blob)
+    if root is None:
+        return None, None
+    title = author = None
+    for el in root.iter():
+        name = _local(el.tag)
+        if name == "title" and el.text and title is None:
+            title = el.text.strip() or None
+        elif name in ("creator", "initial-creator") and el.text and author is None:
+            author = el.text.strip() or None
+    return title, author
+
+
+# --------------------------------------------------------------------------
+# entry point
+# --------------------------------------------------------------------------
+
+
+def extract_office(data: bytes) -> dict | None:
+    """full office extraction: None when the payload is not an office
+    zip; else a dict with ``content`` (lines joined by ``\\n``, empty
+    lines dropped), ``title``, ``author``, ``content_type``,
+    ``n_blocks`` (total paragraphs/rows), ``ok``, ``err``."""
+    mime = sniff_office(data)
+    if mime is None:
+        return None
+    res = {
+        "content": "",
+        "title": None,
+        "author": None,
+        "content_type": mime,
+        "n_blocks": 0,
+        "ok": True,
+        "err": None,
+    }
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            lines: list[str] = []
+            if mime.endswith("wordprocessingml.document"):
+                root = _parse_xml(zf.read("word/document.xml"))
+                if root is not None:
+                    lines = _docx_text(root)
+            elif mime.endswith("spreadsheetml.sheet"):
+                lines = _xlsx_text(zf, names)
+            elif mime.endswith("presentationml.presentation"):
+                lines = _pptx_text(zf, names)
+            else:  # ODF family
+                root = (
+                    _parse_xml(zf.read("content.xml"))
+                    if "content.xml" in names
+                    else None
+                )
+                if root is not None:
+                    lines = (
+                        _ods_text(root)
+                        if mime.endswith("spreadsheet")
+                        else _odt_text(root)
+                    )
+            if mime.startswith("application/vnd.openxmlformats"):
+                if "docProps/core.xml" in names:
+                    res["title"], res["author"] = _core_props(
+                        zf.read("docProps/core.xml")
+                    )
+            elif "meta.xml" in names:
+                res["title"], res["author"] = _odf_meta(zf.read("meta.xml"))
+            res["n_blocks"] = len(lines)
+            res["content"] = "\n".join(ln for ln in lines if ln.strip())
+    except Exception as e:  # noqa: BLE001 — per-row error contract
+        res["ok"] = False
+        res["err"] = f"{type(e).__name__}: {e}"
+    return res
+
+
+# --------------------------------------------------------------------------
+# RTF (not a zip — word-processor sibling format the Tika tier covers;
+# public RTF 1.9 spec: control words, groups, destinations)
+# --------------------------------------------------------------------------
+
+_RTF_TOKEN_RE = re.compile(
+    rb"\\'([0-9a-fA-F]{2})"  # hex escape          → group 1
+    rb"|\\([a-zA-Z]+)(-?\d+)? ?"  # control word (+num) → groups 2,3
+    rb"|\\([^a-zA-Z])"  # control symbol      → group 4
+    rb"|([{}])"  # group open/close    → group 5
+    rb"|([^\\{}]+)",  # plain text run      → group 6
+    re.DOTALL,
+)
+
+#: destination groups whose content is NOT document text
+_RTF_SKIP_DESTS = frozenset(
+    b"fonttbl colortbl stylesheet info pict object header footer "
+    b"headerl headerr headerf footerl footerr footerf field fldinst "
+    b"themedata colorschememapping latentstyles datastore xmlnstbl "
+    b"listtable listoverridetable rsidtbl generator".split()
+)
+_RTF_BREAKS = {b"par": "\n", b"line": "\n", b"row": "\n", b"tab": "\t",
+               b"cell": "\t", b"sect": "\n", b"page": "\n"}
+
+
+def extract_rtf(data: bytes) -> dict | None:
+    """RTF → plain text + {\\info{\\title …}{\\author …}} metadata.
+
+    Group-stack scanner: destination groups (font/color tables,
+    pictures, field instructions, …) are skipped wholesale; ``\\uN``
+    emits the code point and swallows the ``\\ucN`` fallback bytes;
+    ``\\'hh`` decodes per cp1252 (the dominant legacy charset).
+    Returns None when the payload is not RTF."""
+    if not data.startswith(b"{\\rtf"):
+        return None
+    res = {
+        "content": "", "title": None, "author": None,
+        "content_type": "application/rtf", "n_blocks": 0,
+        "ok": True, "err": None,
+    }
+    try:
+        out: list[str] = []
+        # stack entries: [skipping?, uc_count, dest_name]
+        stack: list[list] = [[False, 1, b""]]
+        pending_uc = 0  # fallback bytes to swallow after \uN
+        info_dest = None  # 'title'/'author' when inside those info groups
+        info_buf: dict[str, list[str]] = {"title": [], "author": []}
+        first_in_group = False
+        star = False  # previous token was \* (ignorable destination)
+        for m in _RTF_TOKEN_RE.finditer(data):
+            if m.group(5):  # { or }
+                if m.group(5) == b"{":
+                    top = stack[-1]
+                    stack.append([top[0], top[1], b""])
+                    first_in_group = True
+                else:
+                    closed = stack.pop() if len(stack) > 1 else stack[0]
+                    if closed[2] in (b"title", b"author"):
+                        info_dest = None
+                continue
+            top = stack[-1]
+            if m.group(2) is not None:  # control word
+                word = m.group(2)
+                if first_in_group and word in (b"title", b"author"):
+                    # metadata destinations live INSIDE the (otherwise
+                    # skipped) \info group: un-skip this subgroup and
+                    # buffer its text separately
+                    top[0] = False
+                    top[2] = word
+                    info_dest = word.decode()
+                elif first_in_group and (word in _RTF_SKIP_DESTS or star):
+                    # known non-text destination, or an UNKNOWN \*-marked
+                    # ignorable one (the spec says skip those wholesale)
+                    top[0] = True
+                    top[2] = word
+                elif word == b"uc" and m.group(3):
+                    top[1] = int(m.group(3))
+                elif word == b"u" and m.group(3):
+                    if not top[0]:
+                        ch = chr(int(m.group(3)) & 0xFFFF)
+                        (info_buf[info_dest] if info_dest else out).append(ch)
+                    pending_uc = top[1]
+                elif not top[0] and word in _RTF_BREAKS:
+                    out.append(_RTF_BREAKS[word])
+                first_in_group = False
+                star = False
+                continue
+            if m.group(4) is not None:  # control symbol
+                sym = m.group(4)
+                if sym == b"*":
+                    star = True  # next control word names an ignorable dest
+                    continue  # keep first_in_group for that word
+                first_in_group = False
+                star = False
+                if not top[0]:
+                    if sym in (b"\\", b"{", b"}"):
+                        (info_buf[info_dest] if info_dest else out).append(
+                            sym.decode()
+                        )
+                    elif sym == b"~":
+                        out.append(" ")
+                continue
+            first_in_group = False
+            star = False
+            if top[0]:
+                continue
+            if m.group(1) is not None:  # \'hh
+                if pending_uc:
+                    pending_uc -= 1
+                    continue
+                ch = bytes([int(m.group(1), 16)]).decode("cp1252", "replace")
+                (info_buf[info_dest] if info_dest else out).append(ch)
+                continue
+            txt = m.group(6).replace(b"\r", b"").replace(b"\n", b"")
+            if not txt:
+                continue
+            if pending_uc:
+                drop = min(pending_uc, len(txt))
+                txt = txt[drop:]
+                pending_uc -= drop
+                if not txt:
+                    continue
+            (info_buf[info_dest] if info_dest else out).append(
+                txt.decode("cp1252", "replace")
+            )
+        lines = [ln.strip() for ln in "".join(out).split("\n")]
+        kept = [ln for ln in lines if ln]
+        res["n_blocks"] = len(kept)
+        res["content"] = "\n".join(kept)
+        res["title"] = "".join(info_buf["title"]).strip() or None
+        res["author"] = "".join(info_buf["author"]).strip() or None
+    except Exception as e:  # noqa: BLE001
+        res["ok"] = False
+        res["err"] = f"{type(e).__name__}: {e}"
+    return res
+
+
+# --------------------------------------------------------------------------
+# Spark stage: full office struct (content + title + AUTHOR — the
+# generic extract_html result carries no author field, so the office
+# query exposes it through this dedicated expr)
+# --------------------------------------------------------------------------
+
+
+def office_expr(bytes_col):
+    """Arrow-batched Column: zip bytes → office-extraction struct
+    (null struct fields for non-office payloads)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    rtype = T.StructType(
+        [
+            T.StructField("content", T.StringType(), True),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("author", T.StringType(), True),
+            T.StructField("content_type", T.StringType(), True),
+            T.StructField("n_blocks", T.IntegerType(), True),
+            T.StructField("ok", T.BooleanType(), True),
+            T.StructField("err", T.StringType(), True),
+        ]
+    )
+    empty = {k.name: None for k in rtype.fields}
+
+    # NOTE: no type annotations on `run` — pandas is imported locally,
+    # so the stringified hints (PEP 563) would not resolve when
+    # pandas_udf inspects the signature
+    def run(series):
+        return pd.DataFrame(
+            [
+                extract_office(bytes(b)) or extract_rtf(bytes(b)) or empty
+                for b in series
+            ]
+        )
+
+    return F.pandas_udf(run, rtype)(bytes_col)
+
+
+# --------------------------------------------------------------------------
+# deterministic fixture builders (tests + driver-contract queries; the
+# DuckDB oracle reconstructs the expected strings from doc_id alone)
+# --------------------------------------------------------------------------
+
+_ZIP_DT = (2024, 1, 1, 0, 0, 0)
+
+
+def _z(buf: io.BytesIO) -> zipfile.ZipFile:
+    return zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED)
+
+
+def _xesc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+_CORE_XML = (
+    '<?xml version="1.0"?>'
+    '<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties"'
+    ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+    "<dc:title>{title}</dc:title><dc:creator>{author}</dc:creator>"
+    "</cp:coreProperties>"
+)
+
+
+def build_docx(paragraphs: list[str], title: str = "", author: str = "") -> bytes:
+    """minimal ECMA-376 word package (document.xml + core props)."""
+    body = "".join(
+        "<w:p><w:r><w:t xml:space=\"preserve\">%s</w:t></w:r></w:p>" % _xesc(p)
+        for p in paragraphs
+    )
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        f"<w:body>{body}</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with _z(buf) as zf:
+        zf.writestr(zipfile.ZipInfo("[Content_Types].xml", _ZIP_DT), "<Types/>")
+        zf.writestr(zipfile.ZipInfo("word/document.xml", _ZIP_DT), doc)
+        zf.writestr(
+            zipfile.ZipInfo("docProps/core.xml", _ZIP_DT),
+            _CORE_XML.format(title=_xesc(title), author=_xesc(author)),
+        )
+    return buf.getvalue()
+
+
+def build_xlsx(rows: list[list[str]], title: str = "", author: str = "") -> bytes:
+    """minimal spreadsheet package: one sheet, inline + shared strings
+    (even-indexed cells go through sharedStrings to exercise both)."""
+    shared: list[str] = []
+    cells_xml = []
+    for r, row in enumerate(rows, start=1):
+        cx = []
+        for i, val in enumerate(row):
+            if i % 2 == 0:
+                idx = len(shared)
+                shared.append(val)
+                cx.append(f'<c r="{chr(65 + i)}{r}" t="s"><v>{idx}</v></c>')
+            else:
+                cx.append(
+                    f'<c r="{chr(65 + i)}{r}" t="inlineStr"><is><t>{_xesc(val)}</t></is></c>'
+                )
+        cells_xml.append(f'<row r="{r}">' + "".join(cx) + "</row>")
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>" + "".join(cells_xml) + "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t xml:space=\"preserve\">{_xesc(s)}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    buf = io.BytesIO()
+    with _z(buf) as zf:
+        zf.writestr(zipfile.ZipInfo("[Content_Types].xml", _ZIP_DT), "<Types/>")
+        zf.writestr(zipfile.ZipInfo("xl/workbook.xml", _ZIP_DT), "<workbook/>")
+        zf.writestr(zipfile.ZipInfo("xl/sharedStrings.xml", _ZIP_DT), sst)
+        zf.writestr(zipfile.ZipInfo("xl/worksheets/sheet1.xml", _ZIP_DT), sheet)
+        zf.writestr(
+            zipfile.ZipInfo("docProps/core.xml", _ZIP_DT),
+            _CORE_XML.format(title=_xesc(title), author=_xesc(author)),
+        )
+    return buf.getvalue()
+
+
+def build_odt(paragraphs: list[str], title: str = "", author: str = "") -> bytes:
+    """minimal ODF text package (mimetype must be STORED first per
+    ODF 1.2 §3.3 so magic-based sniffers can read it uncompressed)."""
+    body = "".join(f"<text:p>{_xesc(p)}</text:p>" for p in paragraphs)
+    content = (
+        '<?xml version="1.0"?>'
+        '<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        f"<office:body><office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    meta = (
+        '<?xml version="1.0"?>'
+        '<office:document-meta xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<office:meta><dc:title>{_xesc(title)}</dc:title>"
+        f"<dc:creator>{_xesc(author)}</dc:creator></office:meta>"
+        "</office:document-meta>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        mi = zipfile.ZipInfo("mimetype", _ZIP_DT)
+        zf.writestr(mi, "application/vnd.oasis.opendocument.text", zipfile.ZIP_STORED)
+        zf.writestr(
+            zipfile.ZipInfo("content.xml", _ZIP_DT), content, zipfile.ZIP_DEFLATED
+        )
+        zf.writestr(zipfile.ZipInfo("meta.xml", _ZIP_DT), meta, zipfile.ZIP_DEFLATED)
+    return buf.getvalue()

@@ -103,30 +103,82 @@ SELECT base || '/inner.zip/b' || doc_id || '.txt', base,
 # ---------------------------------------------------------------------------
 
 
+def _eml_inbox(d: int) -> bytes:
+    """deterministic multipart/alternative mail: base64 text/plain part
+    (wins), html alternative, RFC 2047 subject, +0100 date."""
+    import base64
+
+    body = f"Mail body {d}.\nGrüße, User {d}".encode()
+    b64 = base64.b64encode(body).decode()
+    return (
+        f'From: "User {d}" <user{d}@example.org>\r\n'
+        f'To: team{d}@example.org, "Rcpt {d}" <rcpt{d}@example.net>\r\n'
+        f"Cc: cc{d}@example.org\r\n"
+        f"Subject: =?utf-8?q?Bericht_Nr_{d}?=\r\n"
+        f"Date: Fri, 01 Mar 2024 08:30:{d % 60:02d} +0100\r\n"
+        "MIME-Version: 1.0\r\n"
+        f'Content-Type: multipart/alternative; boundary="b{d}"\r\n\r\n'
+        f"--b{d}\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        f"{b64}\r\n"
+        f"--b{d}\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n\r\n"
+        f"<html><body><p>HTML body {d}</p></body></html>\r\n"
+        f"--b{d}--\r\n"
+    ).encode()
+
+
+def _eml_sent(d: int) -> bytes:
+    """simple quoted-printable mail (UTC date)."""
+    return (
+        f"From: sender{d}@example.org\r\n"
+        f"To: dest{d}@example.org\r\n"
+        f"Subject: Sent {d}\r\n"
+        f"Date: Fri, 01 Mar 2024 10:00:{d % 60:02d} +0000\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+        f"Gr=C3=BC=C3=9Fe {d}\r\n"
+    ).encode()
+
+
 def _build_pst(d: int) -> bytes:
     from open_semantic_etl_spark.sources.explode import build_pst_fixture
 
     return build_pst_fixture(
         [
-            (f"Inbox/{1000 + d}", f"From: user{d}@example.org\n\nMail body {d}".encode()),
+            (f"Inbox/{1000 + d}", _eml_inbox(d)),
             (f"Inbox/{1000 + d}-report.txt", f"attachment {d}".encode()),
-            (f"Sent/{2000 + d}", f"Sent mail {d}".encode()),
+            (f"Sent/{2000 + d}", _eml_sent(d)),
         ]
     )
 
 
 def q_pst_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PST member tree + RFC-822 parse of the ``.eml`` children
+    (enhance_pst.py:100-108 rename rule feeds the mail tier the way
+    Tika + enhance_extract_email do in the reference): headers →
+    message_from_ss/message_to_ss, RFC 2047 subject, UTC date, body =
+    transfer-decoded text/plain part. Attachments keep their raw text;
+    mails expose parsed fields only."""
+    from open_semantic_etl_spark.operators.eml import with_eml
     from open_semantic_etl_spark.sources.explode import explode_pst
 
     src = _binary_source(
         spark, sf_dir, 150, _build_pst, "file:///mail/{d}.pst"
     )
-    out = explode_pst(src)
+    out = with_eml(explode_pst(src), gate=F.col("url").endswith(".eml"))
+    is_eml = F.col("url").endswith(".eml")
     return out.select(
         "url",
         "container_s",
-        F.decode("html", "UTF-8").alias("member_text"),
+        F.when(~is_eml, F.decode("html", "UTF-8")).alias("member_text"),
         "parent_id",
+        F.array_join("message_from_ss", ",").alias("message_from_s"),
+        F.array_join("message_to_ss", ",").alias("message_to_s"),
+        "subject_txt",
+        "message_dt",
+        "body_txt",
     )
 
 
@@ -134,14 +186,103 @@ SQL_PST_EXPLODE = """
 WITH m AS (SELECT doc_id, 'file:///mail/' || doc_id || '.pst' AS base
            FROM documents WHERE doc_id < 150)
 SELECT base || '/Inbox/' || (1000 + doc_id) || '.eml' AS url, base AS container_s,
-       'From: user' || doc_id || '@example.org' || chr(10) || chr(10) || 'Mail body ' || doc_id AS member_text,
-       base AS parent_id FROM m
+       NULL::varchar AS member_text, base AS parent_id,
+       'user' || doc_id || '@example.org' AS message_from_s,
+       'team' || doc_id || '@example.org,rcpt' || doc_id || '@example.net,cc' || doc_id || '@example.org' AS message_to_s,
+       'Bericht Nr ' || doc_id AS subject_txt,
+       '2024-03-01T07:30:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z' AS message_dt,
+       'Mail body ' || doc_id || '.' || chr(10) || 'Grüße, User ' || doc_id AS body_txt
+FROM m
 UNION ALL
 SELECT base || '/Inbox/' || (1000 + doc_id) || '-report.txt', base,
-       'attachment ' || doc_id, base FROM m
+       'attachment ' || doc_id, base, NULL, NULL, NULL, NULL, NULL FROM m
 UNION ALL
-SELECT base || '/Sent/' || (2000 + doc_id) || '.eml', base,
-       'Sent mail ' || doc_id, base FROM m
+SELECT base || '/Sent/' || (2000 + doc_id) || '.eml', base, NULL, base,
+       'sender' || doc_id || '@example.org', 'dest' || doc_id || '@example.org',
+       'Sent ' || doc_id,
+       '2024-03-01T10:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z',
+       'Grüße ' || doc_id FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Office documents (DOCX / XLSX / ODT — zip+XML tier, operators/office.py;
+# the reference covers these through Tika,
+# enhance_extract_text_tika_server.py:33-262)
+# ---------------------------------------------------------------------------
+
+
+def _build_office(d: int) -> bytes:
+    from open_semantic_etl_spark.operators.office import (
+        build_docx,
+        build_odt,
+        build_xlsx,
+    )
+
+    if d % 4 == 0:
+        return build_docx(
+            [f"Heading {d}", f"Body paragraph {d} with Grüßen."],
+            title=f"Doc {d}", author=f"Author {d}",
+        )
+    if d % 4 == 1:
+        return build_xlsx(
+            [["name", "value"], [f"item{d}", f"{d}.5"]],
+            title=f"Sheet {d}", author=f"Author {d}",
+        )
+    if d % 4 == 2:
+        return build_odt(
+            [f"ODT para {d}.", f"Zweiter Absatz {d}."],
+            title=f"ODoc {d}", author=f"Author {d}",
+        )
+    return (
+        r"{\rtf1\ansi{\info{\title RTF %d}{\author Author %d}}"
+        r"RTF body %d mit Gr\'fc\'dfen.\par Zeile zwei %d.\par}" % (d, d, d, d)
+    ).encode()
+
+
+def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """native office text extraction: content lines + core-properties
+    title/author + sniffed mimetype for DOCX / XLSX / ODT / RTF payloads.
+    The same extraction also rides the generic extract_html PK-sniff
+    routing (pytest-pinned in tests/test_office_eml.py); this query
+    pins the field values against the DuckDB oracle."""
+    from open_semantic_etl_spark.operators.office import office_expr
+
+    src = _binary_source(
+        spark, sf_dir, 200, _build_office, "file:///docs/{d}.office"
+    )
+    o = src.select("url", office_expr(F.col("html")).alias("o"))
+    return o.select(
+        "url",
+        F.col("o.content").alias("content_txt"),
+        F.col("o.title").alias("title_txt"),
+        F.col("o.author").alias("author_ss"),
+        F.col("o.content_type").alias("content_type_s"),
+        F.col("o.n_blocks").alias("n_blocks_i"),
+    )
+
+
+SQL_OFFICE_EXTRACT = """
+WITH m AS (SELECT doc_id, 'file:///docs/' || doc_id || '.office' AS url
+           FROM documents WHERE doc_id < 200)
+SELECT url,
+  CASE doc_id % 4
+    WHEN 0 THEN 'Heading ' || doc_id || chr(10) || 'Body paragraph ' || doc_id || ' with Grüßen.'
+    WHEN 1 THEN 'name' || chr(9) || 'value' || chr(10) || 'item' || doc_id || chr(9) || doc_id || '.5'
+    WHEN 2 THEN 'ODT para ' || doc_id || '.' || chr(10) || 'Zweiter Absatz ' || doc_id || '.'
+    ELSE 'RTF body ' || doc_id || ' mit Grüßen.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
+  END AS content_txt,
+  CASE doc_id % 4 WHEN 0 THEN 'Doc ' || doc_id WHEN 1 THEN 'Sheet ' || doc_id
+       WHEN 2 THEN 'ODoc ' || doc_id ELSE 'RTF ' || doc_id END AS title_txt,
+  'Author ' || doc_id AS author_ss,
+  CASE doc_id % 4
+    WHEN 0 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+    WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+    WHEN 2 THEN 'application/vnd.oasis.opendocument.text'
+    ELSE 'application/rtf'
+  END AS content_type_s,
+  2 AS n_blocks_i
+FROM m
 """
 
 
@@ -944,6 +1085,21 @@ FROM d
 """
 
 
+def q_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """both NER paths (span model + token/Stanford shape) in one
+    method-tagged query — same grain, consolidated under the driver's
+    50-query cap (the ann query's method-column pattern)."""
+    m = q_ner_model(spark, sf_dir).select(F.lit("model").alias("method"), "*")
+    s = q_ner_stanford(spark, sf_dir).select(F.lit("stanford").alias("method"), "*")
+    return m.unionByName(s)
+
+
+SQL_NER = (
+    "SELECT 'model' AS method, * FROM (" + SQL_NER_MODEL + ")\n"
+    "UNION ALL\nSELECT 'stanford' AS method, * FROM (" + SQL_NER_STANFORD + ")"
+)
+
+
 # ---------------------------------------------------------------------------
 # annotations join (enhance_annotations.py:21-39 + export_solr
 # add-distinct merge semantics) and sidecar metadata join
@@ -1230,7 +1386,17 @@ def _build_rss(d: int) -> bytes:
 
 
 def q_rss_new_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_semantic_etl_spark.sources.feeds import new_items, rss_items
+    """feeds-grain query, kind-tagged: 'rss' rows = indexed-skip feed
+    items (etl_rss.py:64-73); 'sparql' rows = SELECT-result bindings
+    walk (etl_sparql.py:57-63 — bindings outer, head.vars inner,
+    trimmed, empties dropped) with ``pos_i`` pinning the walk ORDER.
+    Consolidated so SPARQL result processing has a driver oracle under
+    the 50-query cap (VERDICT r3 item 6)."""
+    from open_semantic_etl_spark.sources.feeds import (
+        new_items,
+        rss_items,
+        sparql_select_values,
+    )
 
     feeds = _binary_source(
         spark, sf_dir, 150, _build_rss, "https://feeds.example.org/{d}.rss"
@@ -1242,19 +1408,55 @@ def q_rss_new_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/2"),
         ).alias("url")
     )
-    return new_items(items, indexed).select(
-        "feed_url", "url", "title_txt", "published", "summary_txt"
+    rss = new_items(items, indexed).select(
+        F.lit("rss").alias("kind"),
+        "feed_url", "url", "title_txt", "published", "summary_txt",
+        F.lit(None).cast("int").alias("pos_i"),
     )
+    # SPARQL SELECT results: the JSON payload is synthesized JVM-side
+    # from doc_id (a two-binding page: a padded value to assert trim, an
+    # empty value to assert drop, a missing var to assert null-skip)
+    did = F.col("doc_id").cast("string")
+    sp_src = _doc_ids(spark, sf_dir, 150).select(
+        F.concat(F.lit("https://sparql.example.org/"), did).alias("endpoint"),
+        F.concat(
+            F.lit('{"head": {"vars": ["label", "alt"]}, "results": {"bindings": ['
+                  '{"label": {"type": "literal", "value": " Term '),
+            did,
+            F.lit(' "}, "alt": {"type": "literal", "value": ""}}, '
+                  '{"label": {"type": "literal", "value": "Alias '),
+            did,
+            F.lit('"}}]}}'),
+        ).alias("json"),
+    )
+    sp = sparql_select_values(sp_src, "json", id_col="endpoint", with_pos=True)
+    sparql = sp.select(
+        F.lit("sparql").alias("kind"),
+        F.col("endpoint").alias("feed_url"),
+        F.lit(None).cast("string").alias("url"),
+        F.col("value").alias("title_txt"),
+        F.lit(None).cast("string").alias("published"),
+        F.lit(None).cast("string").alias("summary_txt"),
+        F.col("pos").cast("int").alias("pos_i"),
+    )
+    return rss.unionByName(sparql)
 
 
 SQL_RSS_NEW_ITEMS = """
 WITH i AS (SELECT doc_id, k FROM documents, unnest([1, 3]) AS t(k) WHERE doc_id < 150)
-SELECT 'https://feeds.example.org/' || doc_id || '.rss' AS feed_url,
+SELECT 'rss' AS kind,
+       'https://feeds.example.org/' || doc_id || '.rss' AS feed_url,
        'https://news.example.org/' || doc_id || '/' || k AS url,
        'N' || doc_id || '-' || k AS title_txt,
        '2024-03-01T00:00:0' || k || 'Z' AS published,
-       'S' || doc_id || '-' || k AS summary_txt
+       'S' || doc_id || '-' || k AS summary_txt,
+       NULL::int AS pos_i
 FROM i
+UNION ALL
+SELECT 'sparql', 'https://sparql.example.org/' || doc_id, NULL,
+       CASE v WHEN 0 THEN 'Term ' || doc_id ELSE 'Alias ' || doc_id END,
+       NULL, NULL, v::int
+FROM documents, unnest([0, 1]) AS t(v) WHERE doc_id < 150
 """
 
 
@@ -1611,8 +1813,8 @@ EXT_QUERIES = {
     "pdf_pages": q_pdf_pages,
     "blacklist_filter": q_blacklist_filter,
     "entity_link": q_entity_link,
-    "ner_model": q_ner_model,
-    "ner_stanford": q_ner_stanford,
+    "ner": q_ner,  # model + stanford paths, method-tagged (50-cap)
+    "office_extract": q_office_extract,
     "annotations_join": q_annotations_join,
     "sidecar_join": q_sidecar_join,
     "neardup_embedding": q_neardup_embedding,
@@ -1646,8 +1848,8 @@ EXT_ORACLES = {
     "pdf_pages": SQL_PDF_PAGES,
     "blacklist_filter": SQL_BLACKLIST,
     "entity_link": SQL_ENTITY_LINK,
-    "ner_model": SQL_NER_MODEL,
-    "ner_stanford": SQL_NER_STANFORD,
+    "ner": SQL_NER,
+    "office_extract": SQL_OFFICE_EXTRACT,
     "annotations_join": SQL_ANNOTATIONS_JOIN,
     "sidecar_join": SQL_SIDECAR_JOIN,
     "neardup_embedding": SQL_NEARDUP_EMBEDDING,

