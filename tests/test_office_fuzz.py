@@ -1,0 +1,110 @@
+"""Fuzz the total-function contract of the round-4 extractors.
+
+operators/office.py and operators/eml.py promise: every public entry
+point is TOTAL — arbitrary bytes (including truncated/mutated valid
+documents) return a contract-shaped dict (or None for the sniffing
+extractors), never raise.  This is the property the per-row error
+column in the Spark stage relies on: one poisoned payload in a 10^12-
+doc corpus must not kill an Arrow batch.
+
+Reference bar: the Tika tier wraps extraction errors into error facets
+(enhance_extract_text_tika_server.py:155-170) instead of failing the
+document; the in-engine twin is ok=False + err.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_semantic_etl_spark.operators.eml import parse_eml
+from open_semantic_etl_spark.operators.office import (
+    build_docx,
+    build_odt,
+    build_xlsx,
+    extract_office,
+    extract_rtf,
+    sniff_office,
+)
+
+_OFFICE_KEYS = {"content", "title", "author", "content_type", "n_blocks", "ok", "err"}
+_EML_KEYS = {
+    "message_from_ss", "message_to_ss", "subject_txt", "message_dt",
+    "content_txt", "ok", "err",
+}
+
+
+def _check_office_shape(r):
+    if r is None:
+        return
+    assert set(r) == _OFFICE_KEYS
+    assert isinstance(r["content"], str)
+    assert isinstance(r["n_blocks"], int)
+    assert isinstance(r["ok"], bool)
+    if not r["ok"]:
+        assert r["err"]
+
+
+@st.composite
+def _mutated_doc(draw) -> bytes:
+    """a valid office/rtf payload, truncated and/or byte-flipped."""
+    kind = draw(st.sampled_from(["docx", "xlsx", "odt", "rtf"]))
+    text = draw(st.lists(st.text(max_size=20), min_size=1, max_size=4))
+    if kind == "docx":
+        data = build_docx(text, title="t", author="a")
+    elif kind == "xlsx":
+        data = build_xlsx([text], title="t", author="a")
+    elif kind == "odt":
+        data = build_odt(text, title="t", author="a")
+    else:
+        body = "\\par ".join(t.replace("\\", "").replace("{", "").replace("}", "")
+                             for t in text)
+        data = ("{\\rtf1\\ansi " + body + "}").encode("cp1252", "replace")
+    cut = draw(st.integers(min_value=0, max_value=len(data)))
+    data = data[:cut] if draw(st.booleans()) else data
+    if data and draw(st.booleans()):
+        pos = draw(st.integers(min_value=0, max_value=len(data) - 1))
+        flip = draw(st.integers(min_value=1, max_value=255))
+        data = data[:pos] + bytes([data[pos] ^ flip]) + data[pos + 1:]
+    return data
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=512))
+def test_office_rtf_total_on_random_bytes(data):
+    _check_office_shape(extract_office(data))
+    _check_office_shape(extract_rtf(data))
+    assert sniff_office(data) is None or isinstance(sniff_office(data), str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_mutated_doc())
+def test_office_rtf_total_on_mutated_documents(data):
+    _check_office_shape(extract_office(data))
+    _check_office_shape(extract_rtf(data))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=512))
+def test_eml_total_on_random_bytes(data):
+    r = parse_eml(data)
+    assert set(r) == _EML_KEYS
+    assert isinstance(r["ok"], bool)
+    if not r["ok"]:
+        assert r["err"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(max_size=40),
+    st.text(max_size=200),
+    st.integers(min_value=0, max_value=400),
+)
+def test_eml_total_on_truncated_mail(subject, body, cut):
+    raw = (
+        "From: a@example.com\r\nTo: b@example.com\r\n"
+        f"Subject: {subject.replace(chr(13), ' ').replace(chr(10), ' ')}\r\n"
+        "Date: Mon, 01 Jan 2024 00:00:00 +0000\r\n\r\n" + body
+    ).encode("utf-8", "replace")
+    r = parse_eml(raw[:cut])
+    assert set(r) == _EML_KEYS
