@@ -232,6 +232,7 @@ def _proxy_worker(slice_path: str, cores: int, ready_file: str, go_file: str,
             "spark.driver.memory": "3g",
             "spark.driver.extraJavaOptions": (
                 f"-XX:ActiveProcessorCount={cores} -XX:+AlwaysPreTouch "
+                "-XX:+UseParallelGC "
                 "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
             ),
         },

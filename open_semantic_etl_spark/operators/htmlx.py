@@ -91,6 +91,7 @@ _MAGIC = (
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
     (b"PK\x03\x04", "application/zip"),
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (b"\x1f\x8b", "application/gzip"),
     (b"WARC/", "application/warc"),
 )
@@ -434,6 +435,22 @@ def extract_html(data: bytes | None) -> dict:
                 res["n_kept_blocks"] = off["n_blocks"]
                 res["ok"] = off["ok"]
                 res["err"] = off["err"]
+                return res
+        if sniffed == "application/x-ole-storage":
+            # legacy OLE family (.doc/.xls/.ppt/.msg) — native CFB tier
+            # (reference: Tika OfficeParser via
+            # enhance_extract_text_tika_server.py:33-262)
+            from open_semantic_etl_spark.operators.cfb import extract_cfb
+
+            ole = extract_cfb(data)
+            if ole is not None:
+                res["content_type"] = ole["content_type"]
+                res["content"] = ole["content"]
+                res["title"] = ole["title"]
+                res["n_blocks"] = ole["n_blocks"]
+                res["n_kept_blocks"] = ole["n_blocks"]
+                res["ok"] = ole["ok"]
+                res["err"] = ole["err"]
                 return res
         if sniffed and sniffed != "application/pdf":
             res["content_type"] = sniffed

@@ -553,9 +553,14 @@ def office_expr(bytes_col):
     # so the stringified hints (PEP 563) would not resolve when
     # pandas_udf inspects the signature
     def run(series):
+        from open_semantic_etl_spark.operators.cfb import extract_cfb
+
         return pd.DataFrame(
             [
-                extract_office(bytes(b)) or extract_rtf(bytes(b)) or empty
+                extract_office(bytes(b))
+                or extract_rtf(bytes(b))
+                or extract_cfb(bytes(b))
+                or empty
                 for b in series
             ]
         )

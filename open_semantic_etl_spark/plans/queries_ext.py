@@ -213,39 +213,70 @@ SELECT base || '/Sent/' || (2000 + doc_id) || '.eml', base, NULL, base,
 
 
 def _build_office(d: int) -> bytes:
+    from open_semantic_etl_spark.operators.cfb import (
+        build_doc,
+        build_msg,
+        build_ppt,
+        build_xls,
+    )
     from open_semantic_etl_spark.operators.office import (
         build_docx,
         build_odt,
         build_xlsx,
     )
 
-    if d % 4 == 0:
+    if d % 8 == 0:
         return build_docx(
             [f"Heading {d}", f"Body paragraph {d} with Grüßen."],
             title=f"Doc {d}", author=f"Author {d}",
         )
-    if d % 4 == 1:
+    if d % 8 == 1:
         return build_xlsx(
             [["name", "value"], [f"item{d}", f"{d}.5"]],
             title=f"Sheet {d}", author=f"Author {d}",
         )
-    if d % 4 == 2:
+    if d % 8 == 2:
         return build_odt(
             [f"ODT para {d}.", f"Zweiter Absatz {d}."],
             title=f"ODoc {d}", author=f"Author {d}",
         )
-    return (
-        r"{\rtf1\ansi{\info{\title RTF %d}{\author Author %d}}"
-        r"RTF body %d mit Gr\'fc\'dfen.\par Zeile zwei %d.\par}" % (d, d, d, d)
-    ).encode()
+    if d % 8 == 3:
+        return (
+            r"{\rtf1\ansi{\info{\title RTF %d}{\author Author %d}}"
+            r"RTF body %d mit Gr\'fc\'dfen.\par Zeile zwei %d.\par}" % (d, d, d, d)
+        ).encode()
+    # legacy OLE family (operators/cfb.py; reference covers these via
+    # Tika's OfficeParser, enhance_extract_text_tika_server.py:33-262)
+    if d % 8 == 4:
+        return build_doc(
+            [f"Doc para {d} mit Grüßen.", f"Unicode → arrow {d}."],
+            title=f"WDoc {d}", author=f"Author {d}",
+        )
+    if d % 8 == 5:
+        return build_xls(
+            [["name", "value"], [f"item{d}", d + 0.5]],
+            title=f"XSheet {d}", author=f"Author {d}",
+        )
+    if d % 8 == 6:
+        return build_ppt(
+            [f"Slide {d} title", f"Bullet → {d}"],
+            title=f"PDeck {d}", author=f"Author {d}",
+        )
+    return build_msg(
+        f"Msg {d}", f"sender{d}@example.org",
+        f"Zeile eins {d}.\r\nZeile zwei {d}.",
+        recipients=(f"dest{d}@example.org",),
+    )
 
 
 def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """native office text extraction: content lines + core-properties
-    title/author + sniffed mimetype for DOCX / XLSX / ODT / RTF payloads.
-    The same extraction also rides the generic extract_html PK-sniff
-    routing (pytest-pinned in tests/test_office_eml.py); this query
-    pins the field values against the DuckDB oracle."""
+    title/author + sniffed mimetype for DOCX / XLSX / ODT / RTF payloads
+    plus the legacy OLE family (.doc piece table, .xls BIFF8, .ppt text
+    atoms, .msg property streams — operators/cfb.py). The same
+    extraction also rides the generic extract_html PK/OLE-sniff routing
+    (pytest-pinned in tests/test_office_eml.py + test_cfb.py); this
+    query pins the field values against the DuckDB oracle."""
     from open_semantic_etl_spark.operators.office import office_expr
 
     src = _binary_source(
@@ -266,20 +297,31 @@ SQL_OFFICE_EXTRACT = """
 WITH m AS (SELECT doc_id, 'file:///docs/' || doc_id || '.office' AS url
            FROM documents WHERE doc_id < 200)
 SELECT url,
-  CASE doc_id % 4
+  CASE doc_id % 8
     WHEN 0 THEN 'Heading ' || doc_id || chr(10) || 'Body paragraph ' || doc_id || ' with Grüßen.'
     WHEN 1 THEN 'name' || chr(9) || 'value' || chr(10) || 'item' || doc_id || chr(9) || doc_id || '.5'
     WHEN 2 THEN 'ODT para ' || doc_id || '.' || chr(10) || 'Zweiter Absatz ' || doc_id || '.'
-    ELSE 'RTF body ' || doc_id || ' mit Grüßen.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
+    WHEN 3 THEN 'RTF body ' || doc_id || ' mit Grüßen.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
+    WHEN 4 THEN 'Doc para ' || doc_id || ' mit Grüßen.' || chr(10) || 'Unicode → arrow ' || doc_id || '.'
+    WHEN 5 THEN 'name' || chr(9) || 'value' || chr(10) || 'item' || doc_id || chr(9) || doc_id || '.5'
+    WHEN 6 THEN 'Slide ' || doc_id || ' title' || chr(10) || 'Bullet → ' || doc_id
+    ELSE 'Zeile eins ' || doc_id || '.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
   END AS content_txt,
-  CASE doc_id % 4 WHEN 0 THEN 'Doc ' || doc_id WHEN 1 THEN 'Sheet ' || doc_id
-       WHEN 2 THEN 'ODoc ' || doc_id ELSE 'RTF ' || doc_id END AS title_txt,
-  'Author ' || doc_id AS author_ss,
-  CASE doc_id % 4
+  CASE doc_id % 8 WHEN 0 THEN 'Doc ' || doc_id WHEN 1 THEN 'Sheet ' || doc_id
+       WHEN 2 THEN 'ODoc ' || doc_id WHEN 3 THEN 'RTF ' || doc_id
+       WHEN 4 THEN 'WDoc ' || doc_id WHEN 5 THEN 'XSheet ' || doc_id
+       WHEN 6 THEN 'PDeck ' || doc_id ELSE 'Msg ' || doc_id END AS title_txt,
+  CASE doc_id % 8 WHEN 7 THEN 'sender' || doc_id || '@example.org'
+       ELSE 'Author ' || doc_id END AS author_ss,
+  CASE doc_id % 8
     WHEN 0 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
     WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
     WHEN 2 THEN 'application/vnd.oasis.opendocument.text'
-    ELSE 'application/rtf'
+    WHEN 3 THEN 'application/rtf'
+    WHEN 4 THEN 'application/msword'
+    WHEN 5 THEN 'application/vnd.ms-excel'
+    WHEN 6 THEN 'application/vnd.ms-powerpoint'
+    ELSE 'application/vnd.ms-outlook'
   END AS content_type_s,
   2 AS n_blocks_i
 FROM m

@@ -69,8 +69,13 @@ def get_spark(
         # Arrow/parquet JNI critical sections + 32 allocating threads
         # can trip HotSpot's GCLocker retry limit (default 2) and fail
         # healthy tasks with "Retried waiting for GCLocker too often";
-        # raising the retry budget is the targeted JDK-17 mitigation
-        .config("spark.driver.extraJavaOptions", "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
+        # raising the retry budget is the targeted JDK-17 mitigation.
+        # ParallelGC over the JDK-17 G1 default: this is a pure batch
+        # throughput workload (no latency SLO), and G1's pause-goal
+        # housekeeping costs 5-8% wall at 32 task threads (interleaved
+        # A/B probes, BENCH/BASELINE.md §2; neutral at 8 threads). Same
+        # guidance as the Spark tuning guide's GC section.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

@@ -108,3 +108,52 @@ def test_eml_total_on_truncated_mail(subject, body, cut):
     ).encode("utf-8", "replace")
     r = parse_eml(raw[:cut])
     assert set(r) == _EML_KEYS
+
+
+# ---------------------------------------------------------------------------
+# round-4b: legacy OLE tier (operators/cfb.py) under the same contract
+# ---------------------------------------------------------------------------
+
+from open_semantic_etl_spark.operators.cfb import (  # noqa: E402
+    CFB_MAGIC,
+    build_doc,
+    build_msg,
+    build_ppt,
+    build_xls,
+    extract_cfb,
+)
+
+
+@st.composite
+def _mutated_ole(draw) -> bytes:
+    """a valid legacy-OLE payload, truncated and/or byte-flipped."""
+    kind = draw(st.sampled_from(["doc", "xls", "ppt", "msg"]))
+    text = draw(st.lists(st.text(max_size=20), min_size=1, max_size=4))
+    if kind == "doc":
+        data = build_doc(text, title="t", author="a")
+    elif kind == "xls":
+        data = build_xls([text], title="t", author="a")
+    elif kind == "ppt":
+        data = build_ppt(text, title="t", author="a")
+    else:
+        data = build_msg(text[0], "s@example.org", "\n".join(text))
+    cut = draw(st.integers(min_value=0, max_value=len(data)))
+    data = data[:cut] if draw(st.booleans()) else data
+    if data and draw(st.booleans()):
+        pos = draw(st.integers(min_value=0, max_value=len(data) - 1))
+        flip = draw(st.integers(min_value=1, max_value=255))
+        data = data[:pos] + bytes([data[pos] ^ flip]) + data[pos + 1:]
+    return data
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=512))
+def test_cfb_total_on_random_bytes(data):
+    _check_office_shape(extract_cfb(data))
+    _check_office_shape(extract_cfb(CFB_MAGIC + data))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_mutated_ole())
+def test_cfb_total_on_mutated_documents(data):
+    _check_office_shape(extract_cfb(data))
