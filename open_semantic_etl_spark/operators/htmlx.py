@@ -79,6 +79,43 @@ _ISO_TS_RE = re.compile(
 # doctype / PI start. Tag-free inputs are labeled text/plain.
 _TAG_HINT_RE = re.compile(r"<[a-zA-Z!/?]")
 
+# vObject family (RFC 5545 iCalendar / RFC 6350 vCard): tag-free text
+# the reference's Tika tier labels and indexes; unfold + pull the
+# display property as the title
+_VOBJECT_KINDS = (
+    ("BEGIN:VCALENDAR", "text/calendar", "SUMMARY"),
+    ("BEGIN:VCARD", "text/vcard", "FN"),
+)
+_VOBJ_UNFOLD_RE = re.compile(r"\r?\n[ \t]")
+
+
+def _vobject_sniff(text: str) -> tuple[str, str, str] | None:
+    head = text.lstrip()[:15].upper()
+    for magic, ctype, titleprop in _VOBJECT_KINDS:
+        if head.startswith(magic):
+            return magic, ctype, titleprop
+    return None
+
+
+def _vobject_extract(text: str, titleprop: str) -> tuple[str, str | None]:
+    """(unfolded body, title) — folding per RFC 5545 §3.1 (CRLF + WSP
+    continues the line); title = first ``titleprop`` property value
+    (parameters after ``;`` ignored, text-escapes ``\\,``/``\\;``/
+    ``\\n`` decoded)."""
+    unfolded = _VOBJ_UNFOLD_RE.sub("", text)
+    title = None
+    for line in unfolded.splitlines():
+        name, sep, value = line.partition(":")
+        if not sep:
+            continue
+        if name.split(";", 1)[0].strip().upper() == titleprop:
+            title = (
+                value.replace("\\n", " ").replace("\\,", ",")
+                .replace("\\;", ";").strip()
+            ) or None
+            break
+    return unfolded, title
+
 
 # Magic-byte content sniffing — the libmagic replacement
 # (enhance_mimetype.py:27-35). Checked before any HTML decode so binary
@@ -487,6 +524,17 @@ def extract_html(data: bytes | None) -> dict:
         if head.startswith("<?xml") and "xhtml" in text[:2048].lower():
             res["content_type"] = "application/xhtml+xml"
         elif not _TAG_HINT_RE.search(text):
+            vo = _vobject_sniff(text)
+            if vo is not None:
+                # iCalendar / vCard: unfold, label, title from the
+                # display property; whole body stays one block (same
+                # contract as text/plain below)
+                _, res["content_type"], titleprop = vo
+                body, res["title"] = _vobject_extract(text, titleprop)
+                res["content"] = body.strip()
+                res["n_blocks"] = 1
+                res["n_kept_blocks"] = 1
+                return res
             # tag-free payload (plain text / markdown): the parser sees
             # the whole body as ONE block (contract-tested in
             # test_html_extract), and the label says what Tika would

@@ -46,6 +46,7 @@ __all__ = [
     "build_docx",
     "build_xlsx",
     "build_odt",
+    "build_epub",
     "OFFICE_MIMES",
 ]
 
@@ -69,7 +70,9 @@ _ODF_MIMES = frozenset(
     )
 )
 
-OFFICE_MIMES = frozenset(m for _, m in _OOXML_MARKERS) | _ODF_MIMES
+_EPUB_MIME = "application/epub+zip"
+
+OFFICE_MIMES = frozenset(m for _, m in _OOXML_MARKERS) | _ODF_MIMES | {_EPUB_MIME}
 
 
 def _local(tag: str) -> str:
@@ -96,11 +99,17 @@ def sniff_office(data: bytes) -> str | None:
             names = set(zf.namelist())
             if "mimetype" in names:
                 mt = zf.read("mimetype").decode("ascii", "replace").strip()
-                if mt in _ODF_MIMES:
+                if mt in _ODF_MIMES or mt == _EPUB_MIME:
                     return mt
             for marker, mime in _OOXML_MARKERS:
                 if marker in names:
                     return mime
+            # mimetype-less EPUB (tolerated by readers): OCF container
+            # descriptor + an OPF package is the structural marker
+            if "META-INF/container.xml" in names and any(
+                n.endswith(".opf") for n in names
+            ):
+                return _EPUB_MIME
     except Exception:  # noqa: BLE001 — damaged zip: not an office doc
         return None
     return None
@@ -329,6 +338,119 @@ def _odf_meta(blob: bytes) -> tuple[str | None, str | None]:
 # --------------------------------------------------------------------------
 
 
+def extract_vobject(data: bytes) -> dict | None:
+    """iCalendar / vCard payloads under the office-extraction result
+    shape (content/title/author/content_type/n_blocks/ok/err); None
+    when the payload is not a vObject. Routing + unfold semantics live
+    in htmlx (_vobject_sniff/_vobject_extract) so extract_html and this
+    chain stay observably identical."""
+    from open_semantic_etl_spark.operators.htmlx import (
+        _vobject_extract,
+        _vobject_sniff,
+    )
+
+    try:
+        text = data.decode("utf-8", "replace")
+    except Exception:  # noqa: BLE001 — total-function contract
+        return None
+    vo = _vobject_sniff(text)
+    if vo is None:
+        return None
+    _, ctype, titleprop = vo
+    body, title = _vobject_extract(text, titleprop)
+    return {
+        "content": body.strip(),
+        "title": title,
+        "author": None,
+        "content_type": ctype,
+        "n_blocks": 1,
+        "ok": True,
+        "err": None,
+    }
+
+
+# --------------------------------------------------------------------------
+# EPUB (OCF zip container + OPF package; chapters are XHTML and ride
+# the repo's HTML scanner — reference covers EPUB via Tika's EpubParser,
+# enhance_extract_text_tika_server.py:33-262)
+# --------------------------------------------------------------------------
+
+
+def _epub_opf_path(zf: zipfile.ZipFile, names: set[str]) -> str | None:
+    """OPF package path from META-INF/container.xml (OCF 3.0 §3.5),
+    falling back to the first *.opf member."""
+    if "META-INF/container.xml" in names:
+        root = _parse_xml(zf.read("META-INF/container.xml"))
+        if root is not None:
+            for el in root.iter():
+                if _local(el.tag) == "rootfile":
+                    p = _attr(el, "full-path")
+                    if p and p in names:
+                        return p
+    for n in sorted(names):
+        if n.endswith(".opf"):
+            return n
+    return None
+
+
+def _epub_extract(
+    zf: zipfile.ZipFile, names: set[str]
+) -> tuple[list[str], int, str | None, str | None]:
+    """(content lines, n_blocks, title, author) of an EPUB package:
+    dc:title/dc:creator from the OPF metadata, spine-ordered XHTML
+    chapters through the HTML block scanner (same keep rules as pages)."""
+    # local import — htmlx routes zips here, so top-level would cycle
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+
+    opf_path = _epub_opf_path(zf, names)
+    if opf_path is None:
+        return [], 0, None, None
+    opf = _parse_xml(zf.read(opf_path))
+    if opf is None:
+        return [], 0, None, None
+    title = author = None
+    manifest: dict[str, str] = {}
+    spine: list[str] = []
+    for el in opf.iter():
+        loc = _local(el.tag)
+        if loc == "title" and title is None:
+            title = (el.text or "").strip() or None
+        elif loc == "creator" and author is None:
+            author = (el.text or "").strip() or None
+        elif loc == "item":
+            iid, href = _attr(el, "id"), _attr(el, "href")
+            if iid and href:
+                manifest[iid] = href
+        elif loc == "itemref":
+            ref = _attr(el, "idref")
+            if ref:
+                spine.append(ref)
+    base = opf_path.rpartition("/")[0]
+    lines: list[str] = []
+    n_blocks = 0
+    for ref in spine:
+        href = manifest.get(ref)
+        if not href:
+            continue
+        path = f"{base}/{href}" if base else href
+        # normalize ../ segments the way zip readers resolve them
+        parts: list[str] = []
+        for seg in path.split("/"):
+            if seg == "..":
+                if parts:
+                    parts.pop()
+            elif seg not in ("", "."):
+                parts.append(seg)
+        path = "/".join(parts)
+        if path not in names:
+            continue
+        ch = extract_html(zf.read(path))
+        if ch["content"]:
+            lines.extend(ch["content"].split("\n"))
+        n_blocks += ch["n_blocks"]
+    return lines, n_blocks, title, author
+
+
 def extract_office(data: bytes) -> dict | None:
     """full office extraction: None when the payload is not an office
     zip; else a dict with ``content`` (lines joined by ``\\n``, empty
@@ -358,6 +480,11 @@ def extract_office(data: bytes) -> dict | None:
                 lines = _xlsx_text(zf, names)
             elif mime.endswith("presentationml.presentation"):
                 lines = _pptx_text(zf, names)
+            elif mime == _EPUB_MIME:
+                lines, nb, res["title"], res["author"] = _epub_extract(zf, names)
+                res["n_blocks"] = nb
+                res["content"] = "\n".join(ln for ln in lines if ln.strip())
+                return res
             else:  # ODF family
                 root = (
                     _parse_xml(zf.read("content.xml"))
@@ -560,6 +687,7 @@ def office_expr(bytes_col):
                 extract_office(bytes(b))
                 or extract_rtf(bytes(b))
                 or extract_cfb(bytes(b))
+                or extract_vobject(bytes(b))
                 or empty
                 for b in series
             ]
@@ -655,6 +783,52 @@ def build_xlsx(rows: list[list[str]], title: str = "", author: str = "") -> byte
             zipfile.ZipInfo("docProps/core.xml", _ZIP_DT),
             _CORE_XML.format(title=_xesc(title), author=_xesc(author)),
         )
+    return buf.getvalue()
+
+
+def build_epub(chapters: list[str], title: str = "", author: str = "") -> bytes:
+    """minimal OCF/OPF package: one XHTML file per chapter string,
+    spine in list order, dc:title/dc:creator metadata."""
+    manifest = "".join(
+        f'<item id="c{i}" href="c{i}.xhtml" media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in range(len(chapters)))
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>{_xesc(title)}</dc:title><dc:creator>{_xesc(author)}</dc:creator>"
+        f"</metadata><manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container" version="1.0">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf"'
+        ' media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        mi = zipfile.ZipInfo("mimetype", _ZIP_DT)
+        zf.writestr(mi, _EPUB_MIME, zipfile.ZIP_STORED)
+        zf.writestr(
+            zipfile.ZipInfo("META-INF/container.xml", _ZIP_DT),
+            container, zipfile.ZIP_DEFLATED,
+        )
+        zf.writestr(
+            zipfile.ZipInfo("OEBPS/content.opf", _ZIP_DT), opf, zipfile.ZIP_DEFLATED
+        )
+        for i, ch in enumerate(chapters):
+            xhtml = (
+                '<?xml version="1.0"?>'
+                '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+                f"<title>{_xesc(title)}</title></head><body>"
+                f"<p>{_xesc(ch)}</p></body></html>"
+            )
+            zf.writestr(
+                zipfile.ZipInfo(f"OEBPS/c{i}.xhtml", _ZIP_DT),
+                xhtml, zipfile.ZIP_DEFLATED,
+            )
     return buf.getvalue()
 
 

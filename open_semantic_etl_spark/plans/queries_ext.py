@@ -221,10 +221,23 @@ def _build_office(d: int) -> bytes:
     )
     from open_semantic_etl_spark.operators.office import (
         build_docx,
+        build_epub,
         build_odt,
         build_xlsx,
     )
 
+    if d % 10 == 8:
+        return build_epub(
+            [f"Kapitel eins {d} mit genug Text zum Behalten.",
+             f"Kapitel zwei {d} ebenfalls mit genug Text."],
+            title=f"EBook {d}", author=f"Author {d}",
+        )
+    if d % 10 == 9:
+        return (
+            "BEGIN:VCALENDAR\nVERSION:2.0\nBEGIN:VEVENT\n"
+            f"SUMMARY:Termin {d}\nDESCRIPTION:Raum {d}\n"
+            "END:VEVENT\nEND:VCALENDAR"
+        ).encode()
     if d % 8 == 0:
         return build_docx(
             [f"Heading {d}", f"Body paragraph {d} with Grüßen."],
@@ -273,10 +286,11 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """native office text extraction: content lines + core-properties
     title/author + sniffed mimetype for DOCX / XLSX / ODT / RTF payloads
     plus the legacy OLE family (.doc piece table, .xls BIFF8, .ppt text
-    atoms, .msg property streams — operators/cfb.py). The same
-    extraction also rides the generic extract_html PK/OLE-sniff routing
-    (pytest-pinned in tests/test_office_eml.py + test_cfb.py); this
-    query pins the field values against the DuckDB oracle."""
+    atoms, .msg property streams — operators/cfb.py), EPUB (OCF/OPF
+    spine walk) and iCalendar (RFC 5545 unfold + SUMMARY title). The
+    same extraction also rides the generic extract_html PK/OLE-sniff
+    routing (pytest-pinned in tests/test_office_eml.py + test_cfb.py);
+    this query pins the field values against the DuckDB oracle."""
     from open_semantic_etl_spark.operators.office import office_expr
 
     src = _binary_source(
@@ -297,33 +311,43 @@ SQL_OFFICE_EXTRACT = """
 WITH m AS (SELECT doc_id, 'file:///docs/' || doc_id || '.office' AS url
            FROM documents WHERE doc_id < 200)
 SELECT url,
-  CASE doc_id % 8
-    WHEN 0 THEN 'Heading ' || doc_id || chr(10) || 'Body paragraph ' || doc_id || ' with Grüßen.'
-    WHEN 1 THEN 'name' || chr(9) || 'value' || chr(10) || 'item' || doc_id || chr(9) || doc_id || '.5'
-    WHEN 2 THEN 'ODT para ' || doc_id || '.' || chr(10) || 'Zweiter Absatz ' || doc_id || '.'
-    WHEN 3 THEN 'RTF body ' || doc_id || ' mit Grüßen.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
-    WHEN 4 THEN 'Doc para ' || doc_id || ' mit Grüßen.' || chr(10) || 'Unicode → arrow ' || doc_id || '.'
-    WHEN 5 THEN 'name' || chr(9) || 'value' || chr(10) || 'item' || doc_id || chr(9) || doc_id || '.5'
-    WHEN 6 THEN 'Slide ' || doc_id || ' title' || chr(10) || 'Bullet → ' || doc_id
+  CASE
+    WHEN doc_id % 10 = 8 THEN 'Kapitel eins ' || doc_id || ' mit genug Text zum Behalten.' || chr(10) || 'Kapitel zwei ' || doc_id || ' ebenfalls mit genug Text.'
+    WHEN doc_id % 10 = 9 THEN 'BEGIN:VCALENDAR' || chr(10) || 'VERSION:2.0' || chr(10) || 'BEGIN:VEVENT' || chr(10) || 'SUMMARY:Termin ' || doc_id || chr(10) || 'DESCRIPTION:Raum ' || doc_id || chr(10) || 'END:VEVENT' || chr(10) || 'END:VCALENDAR'
+    WHEN doc_id % 8 = 0 THEN 'Heading ' || doc_id || chr(10) || 'Body paragraph ' || doc_id || ' with Grüßen.'
+    WHEN doc_id % 8 = 1 THEN 'name' || chr(9) || 'value' || chr(10) || 'item' || doc_id || chr(9) || doc_id || '.5'
+    WHEN doc_id % 8 = 2 THEN 'ODT para ' || doc_id || '.' || chr(10) || 'Zweiter Absatz ' || doc_id || '.'
+    WHEN doc_id % 8 = 3 THEN 'RTF body ' || doc_id || ' mit Grüßen.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
+    WHEN doc_id % 8 = 4 THEN 'Doc para ' || doc_id || ' mit Grüßen.' || chr(10) || 'Unicode → arrow ' || doc_id || '.'
+    WHEN doc_id % 8 = 5 THEN 'name' || chr(9) || 'value' || chr(10) || 'item' || doc_id || chr(9) || doc_id || '.5'
+    WHEN doc_id % 8 = 6 THEN 'Slide ' || doc_id || ' title' || chr(10) || 'Bullet → ' || doc_id
     ELSE 'Zeile eins ' || doc_id || '.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
   END AS content_txt,
-  CASE doc_id % 8 WHEN 0 THEN 'Doc ' || doc_id WHEN 1 THEN 'Sheet ' || doc_id
-       WHEN 2 THEN 'ODoc ' || doc_id WHEN 3 THEN 'RTF ' || doc_id
-       WHEN 4 THEN 'WDoc ' || doc_id WHEN 5 THEN 'XSheet ' || doc_id
-       WHEN 6 THEN 'PDeck ' || doc_id ELSE 'Msg ' || doc_id END AS title_txt,
-  CASE doc_id % 8 WHEN 7 THEN 'sender' || doc_id || '@example.org'
-       ELSE 'Author ' || doc_id END AS author_ss,
-  CASE doc_id % 8
-    WHEN 0 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
-    WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
-    WHEN 2 THEN 'application/vnd.oasis.opendocument.text'
-    WHEN 3 THEN 'application/rtf'
-    WHEN 4 THEN 'application/msword'
-    WHEN 5 THEN 'application/vnd.ms-excel'
-    WHEN 6 THEN 'application/vnd.ms-powerpoint'
+  CASE
+    WHEN doc_id % 10 = 8 THEN 'EBook ' || doc_id
+    WHEN doc_id % 10 = 9 THEN 'Termin ' || doc_id
+    WHEN doc_id % 8 = 0 THEN 'Doc ' || doc_id WHEN doc_id % 8 = 1 THEN 'Sheet ' || doc_id
+    WHEN doc_id % 8 = 2 THEN 'ODoc ' || doc_id WHEN doc_id % 8 = 3 THEN 'RTF ' || doc_id
+    WHEN doc_id % 8 = 4 THEN 'WDoc ' || doc_id WHEN doc_id % 8 = 5 THEN 'XSheet ' || doc_id
+    WHEN doc_id % 8 = 6 THEN 'PDeck ' || doc_id ELSE 'Msg ' || doc_id END AS title_txt,
+  CASE
+    WHEN doc_id % 10 = 9 THEN NULL
+    WHEN doc_id % 10 = 8 THEN 'Author ' || doc_id
+    WHEN doc_id % 8 = 7 THEN 'sender' || doc_id || '@example.org'
+    ELSE 'Author ' || doc_id END AS author_ss,
+  CASE
+    WHEN doc_id % 10 = 8 THEN 'application/epub+zip'
+    WHEN doc_id % 10 = 9 THEN 'text/calendar'
+    WHEN doc_id % 8 = 0 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+    WHEN doc_id % 8 = 1 THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+    WHEN doc_id % 8 = 2 THEN 'application/vnd.oasis.opendocument.text'
+    WHEN doc_id % 8 = 3 THEN 'application/rtf'
+    WHEN doc_id % 8 = 4 THEN 'application/msword'
+    WHEN doc_id % 8 = 5 THEN 'application/vnd.ms-excel'
+    WHEN doc_id % 8 = 6 THEN 'application/vnd.ms-powerpoint'
     ELSE 'application/vnd.ms-outlook'
   END AS content_type_s,
-  2 AS n_blocks_i
+  CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 2 END AS n_blocks_i
 FROM m
 """
 

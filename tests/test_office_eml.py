@@ -278,3 +278,85 @@ def test_plain_text_payload_contract():
     bom = b"\xef\xbb\xbf" + txt.encode()
     rb = extract_html(bom)
     assert rb["content_type"] == "text/plain" and rb["encoding"] == "utf-8-sig"
+
+
+def test_epub_spine_order_and_opf_metadata():
+    """EPUB (OCF/OPF): chapters concatenate in SPINE order (not zip
+    order), dc:title/dc:creator come from the OPF, and the PK sniff
+    routes it through extract_html like every other office zip."""
+    from open_semantic_etl_spark.operators.office import build_epub
+
+    data = build_epub(
+        ["Erstes Kapitel mit ausreichend langem Inhalt.",
+         "Second chapter, also long enough to keep."],
+        title="Bookworm", author="E. Writer",
+    )
+    assert sniff_office(data) == "application/epub+zip"
+    r = extract_office(data)
+    assert r["ok"] and r["err"] is None
+    assert r["title"] == "Bookworm" and r["author"] == "E. Writer"
+    assert r["content"] == (
+        "Erstes Kapitel mit ausreichend langem Inhalt.\n"
+        "Second chapter, also long enough to keep."
+    )
+    assert r["n_blocks"] == 2
+    h = extract_html(data)
+    assert h["content_type"] == "application/epub+zip"
+    assert h["content"] == r["content"] and h["title"] == "Bookworm"
+
+    # spine order wins over manifest/zip order: build a package whose
+    # spine reverses the chapter ids
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<dc:title>Rev</dc:title></metadata>"
+        '<manifest><item id="a" href="a.xhtml" media-type="application/xhtml+xml"/>'
+        '<item id="b" href="b.xhtml" media-type="application/xhtml+xml"/></manifest>'
+        '<spine><itemref idref="b"/><itemref idref="a"/></spine></package>'
+    )
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr(
+            "META-INF/container.xml",
+            '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+            '<rootfiles><rootfile full-path="content.opf"/></rootfiles></container>',
+        )
+        zf.writestr("content.opf", opf)
+        zf.writestr("a.xhtml", "<html><body><p>alpha text comes second</p></body></html>")
+        zf.writestr("b.xhtml", "<html><body><p>bravo text comes first</p></body></html>")
+    rr = extract_office(buf.getvalue())
+    assert rr["content"] == "bravo text comes first\nalpha text comes second"
+
+
+def test_vobject_ics_vcf_labeling_and_unfold():
+    """iCalendar/vCard: content-type labels, RFC 5545 line unfolding,
+    SUMMARY/FN as title, body preserved as one block; both the
+    extract_html path and the office_expr chain adapter agree."""
+    from open_semantic_etl_spark.operators.office import extract_vobject
+
+    ics = (
+        b"BEGIN:VCALENDAR\r\nVERSION:2.0\r\nBEGIN:VEVENT\r\n"
+        b"SUMMARY;LANGUAGE=de:Planungstreffen im\r\n  Haus B\r\n"
+        b"DESCRIPTION:Raum 4\\, links\r\nEND:VEVENT\r\nEND:VCALENDAR"
+    )
+    r = extract_html(ics)
+    assert r["content_type"] == "text/calendar"
+    # unfold: CRLF + one WSP removed, rest of the fold kept verbatim
+    assert r["title"] == "Planungstreffen im Haus B"
+    assert "SUMMARY;LANGUAGE=de:Planungstreffen im Haus B" in r["content"]
+    assert r["n_blocks"] == 1 and r["ok"]
+    a = extract_vobject(ics)
+    assert a["content"] == r["content"] and a["title"] == r["title"]
+    assert a["content_type"] == "text/calendar" and a["author"] is None
+
+    vcf = b"BEGIN:VCARD\nVERSION:4.0\nFN:Erika Mustermann\nEND:VCARD"
+    v = extract_html(vcf)
+    assert v["content_type"] == "text/vcard" and v["title"] == "Erika Mustermann"
+    # non-vobject text is untouched
+    assert extract_vobject(b"just some text") is None
+    assert extract_html(b"BEGINNING of a story")["content_type"] == "text/plain"

@@ -20,10 +20,12 @@ from hypothesis import strategies as st
 from open_semantic_etl_spark.operators.eml import parse_eml
 from open_semantic_etl_spark.operators.office import (
     build_docx,
+    build_epub,
     build_odt,
     build_xlsx,
     extract_office,
     extract_rtf,
+    extract_vobject,
     sniff_office,
 )
 
@@ -48,7 +50,7 @@ def _check_office_shape(r):
 @st.composite
 def _mutated_doc(draw) -> bytes:
     """a valid office/rtf payload, truncated and/or byte-flipped."""
-    kind = draw(st.sampled_from(["docx", "xlsx", "odt", "rtf"]))
+    kind = draw(st.sampled_from(["docx", "xlsx", "odt", "rtf", "epub", "ics"]))
     text = draw(st.lists(st.text(max_size=20), min_size=1, max_size=4))
     if kind == "docx":
         data = build_docx(text, title="t", author="a")
@@ -56,6 +58,13 @@ def _mutated_doc(draw) -> bytes:
         data = build_xlsx([text], title="t", author="a")
     elif kind == "odt":
         data = build_odt(text, title="t", author="a")
+    elif kind == "epub":
+        data = build_epub(text, title="t", author="a")
+    elif kind == "ics":
+        body = "\n".join(t.replace("\r", " ").replace("\n", " ") for t in text)
+        data = f"BEGIN:VCALENDAR\nSUMMARY:{body}\nEND:VCALENDAR".encode(
+            "utf-8", "replace"
+        )
     else:
         body = "\\par ".join(t.replace("\\", "").replace("{", "").replace("}", "")
                              for t in text)
@@ -82,6 +91,7 @@ def test_office_rtf_total_on_random_bytes(data):
 def test_office_rtf_total_on_mutated_documents(data):
     _check_office_shape(extract_office(data))
     _check_office_shape(extract_rtf(data))
+    _check_office_shape(extract_vobject(data))
 
 
 @settings(max_examples=150, deadline=None)
