@@ -534,6 +534,108 @@ def _msg_prop(
 
 
 # ---------------------------------------------------------------------------
+# [MS-OXRTFCP] compressed RTF (the PR_RTF_COMPRESSED 0x1009 body most
+# real Outlook items carry instead of a plain-text 0x1000 body)
+# ---------------------------------------------------------------------------
+
+#: the spec's 207-byte preloaded dictionary ([MS-OXRTFCP] §2.1.2.1.1)
+_LZFU_DICT = (
+    b"{\\rtf1\\ansi\\mac\\deff0\\deftab720{\\fonttbl;}"
+    b"{\\f0\\fnil \\froman \\fswiss \\fmodern \\fscript "
+    b"\\fdecor MS Sans SerifSymbolArialTimes New RomanCourier"
+    b"{\\colortbl\\red0\\green0\\blue0\r\n"
+    b"\\par \\pard\\plain\\f0\\fs20\\b\\i\\u\\tab\\tx"
+)
+
+
+def _lzfu_decompress(blob: bytes) -> bytes | None:
+    """LZFu/MELA stream → raw RTF bytes; None when it is neither.
+
+    LZ77 over a 4096-byte circular dictionary preloaded with the spec
+    string, write cursor starting past it; control bits LSB-first,
+    0 = literal, 1 = big-endian 12-bit offset + 4-bit (length-2)
+    reference; a reference whose offset equals the write cursor
+    terminates.  The header CRC is deliberately NOT validated — a
+    poison document yields truncated text, never an exception (same
+    tolerance as every other extractor here).
+    """
+    if len(blob) < 16:
+        return None
+    rawsize = _u32(blob, 4)
+    comptype = blob[8:12]
+    if comptype == b"MELA":  # stored uncompressed
+        return bytes(blob[16 : 16 + rawsize])
+    if comptype != b"LZFu" or rawsize > _MAX_STREAM_BYTES:
+        return None
+    end = min(len(blob), 4 + _u32(blob, 0))
+    dic = bytearray(4096)
+    dic[: len(_LZFU_DICT)] = _LZFU_DICT
+    wpos = len(_LZFU_DICT)
+    out = bytearray()
+    pos = 16
+    while pos < end and len(out) < rawsize:
+        ctrl = blob[pos]
+        pos += 1
+        for bit in range(8):
+            if pos >= end or len(out) >= rawsize:
+                break
+            if ctrl >> bit & 1:
+                if pos + 2 > end:  # truncated reference: keep what we have
+                    return bytes(out[:rawsize])
+                ref = blob[pos] << 8 | blob[pos + 1]
+                pos += 2
+                offset = ref >> 4
+                if offset == wpos:  # terminator
+                    return bytes(out)
+                for i in range((ref & 0xF) + 2):
+                    b = dic[(offset + i) % 4096]
+                    out.append(b)
+                    dic[wpos] = b
+                    wpos = (wpos + 1) % 4096
+            else:
+                b = blob[pos]
+                pos += 1
+                out.append(b)
+                dic[wpos] = b
+                wpos = (wpos + 1) % 4096
+    return bytes(out[:rawsize])
+
+
+#: [MS-OXRTFCP] CRC table — standard reflected poly, init 0, no final
+#: xor (NOT zlib.crc32, which inits/xors with 0xFFFFFFFF)
+_LZFU_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _LZFU_CRC_TABLE.append(_c)
+
+
+def _lzfu_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = (crc >> 8) ^ _LZFU_CRC_TABLE[(crc ^ b) & 0xFF]
+    return crc
+
+
+def _lzfu_compress(raw: bytes) -> bytes:
+    """fixture encoder: all-literal items + the terminator reference —
+    a valid (if uncompressed) LZFu stream any conforming reader
+    accepts. Tests pin the decoder against a hand-built stream with
+    dictionary references too (the preload path literals never touch)."""
+    body = bytearray()
+    for i in range(0, len(raw), 8):
+        chunk = raw[i : i + 8]
+        body.append(0)  # control byte: 8 literals
+        body.extend(chunk)
+    wpos = (len(_LZFU_DICT) + len(raw)) % 4096
+    body.append(0b00000001)  # one reference item: the terminator
+    body.extend(bytes([(wpos >> 4) & 0xFF, (wpos & 0xF) << 4]))
+    head = struct.pack("<II4s", len(body) + 12, len(raw), b"LZFu")
+    return head + struct.pack("<I", _lzfu_crc(bytes(body))) + bytes(body)
+
+
+# ---------------------------------------------------------------------------
 # unified extraction entry point
 # ---------------------------------------------------------------------------
 
@@ -583,7 +685,29 @@ def extract_cfb(data: bytes) -> dict | None:
                 lines.extend(ln.strip() for ln in t.split("\n") if ln.strip())
         elif any(n.startswith(("__substg1.0_", "__properties_")) for n in top):
             res["content_type"] = _CT_MSG
-            body = _msg_prop(streams, "1000") or ""
+            body = _msg_prop(streams, "1000")
+            if body is None:
+                # body-format fallback chain, same order Outlook resolves:
+                # compressed RTF (0x1009, [MS-OXRTFCP]) then HTML (0x1013)
+                rtfc = streams.get(("__substg1.0_10090102",))
+                raw = _lzfu_decompress(rtfc) if rtfc is not None else None
+                if raw is not None and raw.startswith(b"{\\rtf"):
+                    from open_semantic_etl_spark.operators.office import (
+                        extract_rtf,
+                    )
+
+                    body = extract_rtf(raw)["content"]
+                else:
+                    html = streams.get(
+                        ("__substg1.0_10130102",)
+                    ) or streams.get(("__substg1.0_1013001E",))
+                    if html is not None:
+                        from open_semantic_etl_spark.operators.htmlx import (
+                            extract_html,
+                        )
+
+                        body = extract_html(bytes(html))["content"]
+            body = body or ""
             lines = [ln.strip() for ln in body.splitlines() if ln.strip()]
             res["title"] = _msg_prop(streams, "0037")
             res["author"] = _msg_prop(streams, "0C1A")
@@ -920,15 +1044,30 @@ def build_ppt(texts: list[str], title: str = "", author: str = "") -> bytes:
 
 
 def build_msg(
-    subject: str, sender: str, body: str, recipients: tuple[str, ...] = ()
+    subject: str,
+    sender: str,
+    body: str,
+    recipients: tuple[str, ...] = (),
+    body_format: str = "text",
 ) -> bytes:
-    """Outlook .msg: unicode property streams + recipient storages."""
+    """Outlook .msg: unicode property streams + recipient storages.
+
+    ``body_format``: 'text' → plain 0x1000 body; 'rtf' → LZFu-compressed
+    0x1009 body only (the common real-world shape); 'html' → 0x1013
+    HTML body only."""
     streams: dict[str | tuple[str, ...], bytes] = {
         "__substg1.0_0037001F": subject.encode("utf-16-le"),
         "__substg1.0_0C1A001F": sender.encode("utf-16-le"),
-        "__substg1.0_1000001F": body.encode("utf-16-le"),
         "__properties_version1.0": b"\x00" * 32,
     }
+    if body_format == "rtf":
+        rtf = "{\\rtf1\\ansi %s\\par}" % body.replace("\n", "\\par ")
+        streams["__substg1.0_10090102"] = _lzfu_compress(rtf.encode("cp1252", "replace"))
+    elif body_format == "html":
+        html = "<html><body><p>%s</p></body></html>" % body
+        streams["__substg1.0_10130102"] = html.encode("utf-8")
+    else:
+        streams["__substg1.0_1000001F"] = body.encode("utf-16-le")
     for i, name in enumerate(recipients):
         streams[
             ("__recip_version1.0_#%08X" % i, "__substg1.0_3001001F")

@@ -275,10 +275,13 @@ def _build_office(d: int) -> bytes:
             [f"Slide {d} title", f"Bullet → {d}"],
             title=f"PDeck {d}", author=f"Author {d}",
         )
+    # compressed-RTF body (PR_RTF_COMPRESSED, [MS-OXRTFCP]) — the shape
+    # real Outlook items carry; the oracle pin covers the LZFu path
     return build_msg(
         f"Msg {d}", f"sender{d}@example.org",
-        f"Zeile eins {d}.\r\nZeile zwei {d}.",
+        f"Zeile eins {d}.\nZeile zwei {d}.",
         recipients=(f"dest{d}@example.org",),
+        body_format="rtf",
     )
 
 

@@ -357,3 +357,75 @@ def test_summary_info_lpwstr():
     t, a = _parse_summary_info(blob)
     assert t == "wide → title"
     assert a is None
+
+
+# ---------------------------------------------------------------------------
+# [MS-OXRTFCP] compressed RTF bodies + HTML-body fallback
+# ---------------------------------------------------------------------------
+
+from open_semantic_etl_spark.operators.cfb import (  # noqa: E402
+    _LZFU_DICT,
+    _lzfu_compress,
+    _lzfu_decompress,
+    build_msg,
+)
+
+
+def test_lzfu_dictionary_is_spec_sized():
+    assert len(_LZFU_DICT) == 207
+
+
+def test_lzfu_roundtrip():
+    raw = b"{\\rtf1\\ansi Hello compressed world.\\par Zeile zwei.\\par}"
+    assert _lzfu_decompress(_lzfu_compress(raw)) == raw
+
+
+def test_lzfu_dictionary_reference_stream():
+    """hand-built stream whose first item REFERENCES the preloaded
+    dictionary (offset 0, len 11 = '{\\rtf1\\ansi') — a path the
+    all-literal fixture encoder never exercises, so a round-trip test
+    alone could not catch a preload/offset bug (the LZW EarlyChange
+    lesson from ADVICE r3)."""
+    body = bytearray()
+    body.append(0b00000001)           # item0 = reference, rest literals
+    body.extend(bytes([0x00, 0x09]))  # offset 0, length 9+2=11
+    body.extend(b" Hi}")
+    wpos = (207 + 11 + 4) % 4096
+    body.append(0b00000001)           # terminator reference
+    body.extend(bytes([(wpos >> 4) & 0xFF, (wpos & 0xF) << 4]))
+    blob = struct.pack("<II4sI", len(body) + 12, 15, b"LZFu", 0) + bytes(body)
+    assert _lzfu_decompress(blob) == b"{\\rtf1\\ansi Hi}"
+
+
+def test_lzfu_mela_stored_and_garbage():
+    raw = b"{\\rtf1 x}"
+    blob = struct.pack("<II4sI", len(raw) + 12, len(raw), b"MELA", 0) + raw
+    assert _lzfu_decompress(blob) == raw
+    assert _lzfu_decompress(b"short") is None
+    assert _lzfu_decompress(struct.pack("<II4sI", 12, 4, b"XXXX", 0)) is None
+    # truncated LZFu yields a prefix, never raises
+    raw = b"{\\rtf1\\ansi some body text}"
+    comp = _lzfu_compress(raw)
+    for cut in (16, 20, len(comp) - 3):
+        out = _lzfu_decompress(comp[:cut])
+        assert out is not None and raw.startswith(out)
+
+
+def test_msg_compressed_rtf_body():
+    """real-world .msg shape: no plain 0x1000 body, LZFu 0x1009 only —
+    body resolves through decompress + the RTF scanner."""
+    m = build_msg(
+        "Bericht", "chef@example.org", "Erste Zeile.\nZweite Zeile.",
+        body_format="rtf",
+    )
+    r = extract_cfb(m)
+    assert r["ok"] and r["content_type"] == "application/vnd.ms-outlook"
+    assert r["title"] == "Bericht"
+    assert r["content"] == "Erste Zeile.\nZweite Zeile."
+
+
+def test_msg_html_body_fallback():
+    m = build_msg("H", "a@example.org", "Body aus HTML hier.", body_format="html")
+    r = extract_cfb(m)
+    assert r["content"] == "Body aus HTML hier."
+    assert r["ok"]

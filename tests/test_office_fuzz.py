@@ -137,7 +137,7 @@ from open_semantic_etl_spark.operators.cfb import (  # noqa: E402
 @st.composite
 def _mutated_ole(draw) -> bytes:
     """a valid legacy-OLE payload, truncated and/or byte-flipped."""
-    kind = draw(st.sampled_from(["doc", "xls", "ppt", "msg"]))
+    kind = draw(st.sampled_from(["doc", "xls", "ppt", "msg", "msg-rtf", "msg-html"]))
     text = draw(st.lists(st.text(max_size=20), min_size=1, max_size=4))
     if kind == "doc":
         data = build_doc(text, title="t", author="a")
@@ -145,6 +145,10 @@ def _mutated_ole(draw) -> bytes:
         data = build_xls([text], title="t", author="a")
     elif kind == "ppt":
         data = build_ppt(text, title="t", author="a")
+    elif kind == "msg-rtf":
+        data = build_msg(text[0], "s@example.org", "\n".join(text), body_format="rtf")
+    elif kind == "msg-html":
+        data = build_msg(text[0], "s@example.org", "\n".join(text), body_format="html")
     else:
         data = build_msg(text[0], "s@example.org", "\n".join(text))
     cut = draw(st.integers(min_value=0, max_value=len(data)))
