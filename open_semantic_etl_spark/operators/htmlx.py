@@ -130,8 +130,41 @@ _MAGIC = (
     (b"PK\x03\x04", "application/zip"),
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (b"\x1f\x8b", "application/gzip"),
+    (b"BZh", "application/x-bzip2"),
+    (b"\xfd7zXZ\x00", "application/x-xz"),
     (b"WARC/", "application/warc"),
 )
+
+#: transparently-decompressed single-member formats (Tika's
+#: CompressorParser behavior: a .html.gz indexes as its inner html)
+_COMPRESSED_TYPES = frozenset(
+    ("application/gzip", "application/x-bzip2", "application/x-xz")
+)
+_DECOMPRESS_CAP = 1 << 26  # 64 MB inner bytes — zip-bomb guard
+
+
+def _decompress_member(data: bytes, ctype: str) -> bytes | None:
+    """single compressed member → inner bytes, or None when corrupt /
+    over the expansion cap (caller keeps the container label then)."""
+    try:
+        if ctype == "application/gzip":
+            import zlib
+
+            obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        elif ctype == "application/x-bzip2":
+            import bz2
+
+            obj = bz2.BZ2Decompressor()
+        else:
+            import lzma
+
+            obj = lzma.LZMADecompressor()
+        out = obj.decompress(data, _DECOMPRESS_CAP + 1)
+        if len(out) > _DECOMPRESS_CAP:
+            return None
+        return out
+    except Exception:  # noqa: BLE001 — corrupt stream: not transparent
+        return None
 
 
 def sniff_content_type(data: bytes) -> str | None:
@@ -427,12 +460,15 @@ def _fast_feed(parser: _ContentParser, text: str) -> None:
                 pos = n
 
 
-def extract_html(data: bytes | None) -> dict:
+def extract_html(data: bytes | None, _depth: int = 0) -> dict:
     """Run the full contract over raw page bytes.
 
     Returns a dict matching schema.EXTRACT_RESULT_TYPE field names.
     PDF payloads are detected by magic bytes and routed to the PDF
     parser (content-type sniffing ≈ enhance_mimetype.py:27-35).
+    Single-member gzip/bzip2/xz payloads are transparently
+    decompressed (size-capped) and re-dispatched, at most twice
+    (``_depth`` — nested-bomb guard).
     """
     res = {
         "content": "",
@@ -489,6 +525,14 @@ def extract_html(data: bytes | None) -> dict:
                 res["ok"] = ole["ok"]
                 res["err"] = ole["err"]
                 return res
+        if sniffed in _COMPRESSED_TYPES and _depth < 2:
+            inner = _decompress_member(data, sniffed)
+            if inner is not None and not inner.startswith(b"WARC/"):
+                # the inner document IS the document (x.html.gz → html);
+                # WARC members stay containers for the warc-explode path
+                return extract_html(inner, _depth + 1)
+            res["content_type"] = sniffed
+            return res
         if sniffed and sniffed != "application/pdf":
             res["content_type"] = sniffed
             return res

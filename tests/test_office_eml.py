@@ -360,3 +360,35 @@ def test_vobject_ics_vcf_labeling_and_unfold():
     # non-vobject text is untouched
     assert extract_vobject(b"just some text") is None
     assert extract_html(b"BEGINNING of a story")["content_type"] == "text/plain"
+
+
+def test_transparent_decompression_gz_bz2_xz():
+    """single-member gzip/bzip2/xz payloads re-dispatch to the inner
+    document (Tika CompressorParser behavior): x.html.gz indexes as
+    html, a gz'd docx as the docx; corrupt streams and >2 nesting keep
+    the container label; WARC members stay containers for explode."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<p>Inner page body with plenty of text to keep.</p></body></html>"
+    )
+    for blob in (_gzip.compress(html), _bz2.compress(html), _lzma.compress(html)):
+        r = extract_html(blob)
+        assert r["content_type"] == "text/html" and r["title"] == "T"
+        assert r["content"].startswith("Inner page body")
+    # inner office document routes on through the office tier
+    g = extract_html(_gzip.compress(build_docx(["Absatz im gz."], title="GZ")))
+    assert g["content_type"].endswith("wordprocessingml.document")
+    assert g["content"] == "Absatz im gz."
+    # depth guard: triple nesting stays a labeled container
+    deep = _gzip.compress(_gzip.compress(_gzip.compress(html)))
+    assert extract_html(deep)["content_type"] == "application/gzip"
+    # corrupt member: label, no exception
+    c = extract_html(b"\x1f\x8b\x08CORRUPT")
+    assert c["content_type"] == "application/gzip" and c["content"] == ""
+    # gz'd WARC keeps the container type (warc-explode owns it)
+    warc = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
+    assert extract_html(_gzip.compress(warc))["content_type"] == "application/gzip"
