@@ -43,6 +43,9 @@ __all__ = [
     "build_xls",
     "build_ppt",
     "build_msg",
+    "TNEF_MAGIC",
+    "extract_tnef",
+    "build_tnef",
 ]
 
 CFB_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
@@ -636,6 +639,136 @@ def _lzfu_compress(raw: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# [MS-OXTNEF] Transport Neutral Encapsulation Format (winmail.dat —
+# what Outlook attaches to RFC-822 mail instead of standard MIME parts)
+# ---------------------------------------------------------------------------
+
+TNEF_MAGIC = b"\x78\x9f\x3e\x22"  # LE 0x223E9F78
+
+_ATT_SUBJECT = 0x00018004  # atpString | attSubject
+_ATT_BODY = 0x0002800C     # atpText   | attBody
+_ATT_MSGPROPS = 0x00069003  # atpByte  | attMsgProps
+_ATT_FROM = 0x00008000     # atpTriples | attFrom
+
+_PT_BINARY = 0x0102
+_PR_RTF_COMPRESSED = 0x1009
+_PR_BODY_HTML = 0x1013
+
+
+def _tnef_msgprops_binary(blob: bytes, want_id: int) -> bytes | None:
+    """first value of a PT_BINARY property in an attMsgProps stream
+    (u32 count; per prop u32 tag then type-dependent payload). Stops at
+    the first named property (id ≥ 0x8000 carries a GUID block) or any
+    structural surprise — we only need the well-known body props, which
+    writers put early."""
+    if len(blob) < 4:
+        return None
+    n = _u32(blob, 0)
+    pos = 4
+    for _ in range(min(n, 512)):
+        if pos + 4 > len(blob):
+            return None
+        tag = _u32(blob, pos)
+        pos += 4
+        ptype, pid = tag & 0xFFFF, tag >> 16
+        if pid >= 0x8000:  # named property: GUID + kind block — bail
+            return None
+        if ptype in (_PT_BINARY, 0x001E, 0x001F, 0x000D, 0x1102):
+            # counted types: u32 value count, each value u32 size + data
+            if pos + 4 > len(blob):
+                return None
+            cnt = _u32(blob, pos)
+            pos += 4
+            if cnt > 4096:
+                return None
+            for _v in range(cnt):
+                if pos + 4 > len(blob):
+                    return None
+                size = _u32(blob, pos)
+                pos += 4
+                if pos + size > len(blob):
+                    return None
+                val = blob[pos : pos + size]
+                pos += size + (-size % 4)
+                if pid == want_id and ptype == _PT_BINARY:
+                    return val
+        elif ptype in (0x0002, 0x000B):  # i2 / bool: padded to 4
+            pos += 4
+        elif ptype in (0x0003, 0x0004, 0x000A):  # i4 / float / err
+            pos += 4
+        elif ptype in (0x0005, 0x0006, 0x0007, 0x0014, 0x0040):  # 8-byte
+            pos += 8
+        elif ptype == 0x0048:  # CLSID
+            pos += 16
+        else:
+            return None
+    return None
+
+
+def extract_tnef(data: bytes) -> dict | None:
+    """TNEF stream → office-extraction dict, or None without the magic.
+
+    Subject from attSubject, author from attFrom's address triple, body
+    from attBody, else from attMsgProps' PR_RTF_COMPRESSED (through the
+    LZFu decoder + RTF scanner) or PR_BODY_HTML (through the HTML
+    extractor). Attribute checksums are not validated (tolerant-reader
+    policy, same as the LZFu CRC).
+    """
+    if not isinstance(data, (bytes, bytearray)) or not data.startswith(TNEF_MAGIC):
+        return None
+    data = bytes(data)
+    res = {
+        "content": "", "title": None, "author": None,
+        "content_type": "application/vnd.ms-tnef",
+        "n_blocks": 0, "ok": True, "err": None,
+    }
+    try:
+        pos = 6  # magic + attach key
+        body: str | None = None
+        rtfc = htmlb = None
+        while pos + 9 <= len(data):
+            attr = _u32(data, pos + 1)  # level byte, then attribute
+            length = _u32(data, pos + 5)
+            start = pos + 9
+            if length > len(data) - start:
+                break  # truncated attribute: keep what we decoded
+            val = data[start : start + length]
+            pos = start + length + 2  # + checksum
+            if attr == _ATT_SUBJECT:
+                res["title"] = val.split(b"\x00", 1)[0].decode(
+                    "cp1252", "replace"
+                ).strip() or None
+            elif attr == _ATT_BODY:
+                body = val.split(b"\x00", 1)[0].decode("cp1252", "replace")
+            elif attr == _ATT_FROM and len(val) >= 8:
+                # TRP triple: u16 id, u16 total, u16 cch, u16 cb, then
+                # display-name\0 address\0; the address is the 2nd string
+                cch = _u16(val, 4)
+                addr = val[8 + cch :].split(b"\x00", 1)[0]
+                res["author"] = addr.decode("cp1252", "replace").strip() or None
+            elif attr == _ATT_MSGPROPS:
+                rtfc = _tnef_msgprops_binary(val, _PR_RTF_COMPRESSED)
+                htmlb = _tnef_msgprops_binary(val, _PR_BODY_HTML)
+        if body is None and rtfc is not None:
+            raw = _lzfu_decompress(rtfc)
+            if raw is not None and raw.startswith(b"{\\rtf"):
+                from open_semantic_etl_spark.operators.office import extract_rtf
+
+                body = extract_rtf(raw)["content"]
+        if body is None and htmlb is not None:
+            from open_semantic_etl_spark.operators.htmlx import extract_html
+
+            body = extract_html(htmlb)["content"]
+        lines = [ln.strip() for ln in (body or "").splitlines() if ln.strip()]
+        res["content"] = "\n".join(lines)
+        res["n_blocks"] = len(lines)
+    except Exception as e:  # noqa: BLE001 — total-function contract
+        res["ok"] = False
+        res["err"] = f"tnef: {e}"
+    return res
+
+
+# ---------------------------------------------------------------------------
 # unified extraction entry point
 # ---------------------------------------------------------------------------
 
@@ -1073,3 +1206,41 @@ def build_msg(
             ("__recip_version1.0_#%08X" % i, "__substg1.0_3001001F")
         ] = name.encode("utf-16-le")
     return build_cfb(streams)
+
+
+def build_tnef(
+    subject: str,
+    sender: str,
+    body: str,
+    body_format: str = "text",
+) -> bytes:
+    """winmail.dat fixture: attSubject + attFrom triple + body as
+    attBody ('text') or attMsgProps PR_RTF_COMPRESSED ('rtf')."""
+    def attribute(level: int, attr: int, val: bytes) -> bytes:
+        return (
+            struct.pack("<BII", level, attr, len(val))
+            + val
+            + struct.pack("<H", sum(val) & 0xFFFF)
+        )
+
+    out = bytearray(TNEF_MAGIC + struct.pack("<H", 0))
+    out += attribute(
+        1, _ATT_SUBJECT, subject.encode("cp1252", "replace") + b"\x00"
+    )
+    disp = b"Sender\x00"
+    addr = sender.encode("cp1252", "replace") + b"\x00"
+    trp = struct.pack("<HHHH", 4, 8 + len(disp) + len(addr), len(disp), len(addr))
+    out += attribute(1, _ATT_FROM, trp + disp + addr)
+    if body_format == "rtf":
+        rtf = "{\\rtf1\\ansi %s\\par}" % body.replace("\n", "\\par ")
+        comp = _lzfu_compress(rtf.encode("cp1252", "replace"))
+        pad = -len(comp) % 4
+        props = struct.pack(
+            "<II", 1, (_PR_RTF_COMPRESSED << 16) | _PT_BINARY
+        ) + struct.pack("<II", 1, len(comp)) + comp + b"\x00" * pad
+        out += attribute(1, _ATT_MSGPROPS, props)
+    else:
+        out += attribute(
+            1, _ATT_BODY, body.encode("cp1252", "replace") + b"\x00"
+        )
+    return bytes(out)

@@ -57,14 +57,22 @@ def _addrs(msg, headers: tuple[str, ...]) -> list[str]:
 
 def _body_text(msg) -> str:
     """first non-attachment text/plain part (transfer-decoded); falls
-    back to the first text/html part run through the HTML extractor."""
+    back to the first text/html part run through the HTML extractor,
+    then to a TNEF winmail.dat attachment (Outlook rich mail puts the
+    real body there — [MS-OXTNEF], operators/cfb.py extract_tnef)."""
     html_part = None
+    tnef_part = None
     for part in msg.walk():
         if part.is_multipart():
             continue
-        if part.get_content_disposition() == "attachment":
-            continue
         ctype = part.get_content_type()
+        if part.get_content_disposition() == "attachment":
+            if tnef_part is None and (
+                ctype in ("application/ms-tnef", "application/vnd.ms-tnef")
+                or (part.get_filename() or "").lower() == "winmail.dat"
+            ):
+                tnef_part = part
+            continue
         if ctype == "text/plain":
             return part.get_content()
         if ctype == "text/html" and html_part is None:
@@ -74,6 +82,12 @@ def _body_text(msg) -> str:
 
         payload = html_part.get_payload(decode=True) or b""
         return extract_html(payload)["content"]
+    if tnef_part is not None:
+        from open_semantic_etl_spark.operators.cfb import extract_tnef
+
+        t = extract_tnef(tnef_part.get_payload(decode=True) or b"")
+        if t is not None:
+            return t["content"]
     return ""
 
 

@@ -129,6 +129,7 @@ _MAGIC = (
     (b"GIF89a", "image/gif"),
     (b"PK\x03\x04", "application/zip"),
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
+    (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
     (b"\x1f\x8b", "application/gzip"),
     (b"BZh", "application/x-bzip2"),
     (b"\xfd7zXZ\x00", "application/x-xz"),
@@ -509,13 +510,21 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
                 res["ok"] = off["ok"]
                 res["err"] = off["err"]
                 return res
-        if sniffed == "application/x-ole-storage":
-            # legacy OLE family (.doc/.xls/.ppt/.msg) — native CFB tier
-            # (reference: Tika OfficeParser via
+        if sniffed in ("application/x-ole-storage", "application/vnd.ms-tnef"):
+            # legacy OLE family (.doc/.xls/.ppt/.msg) and TNEF
+            # (winmail.dat) — native CFB/TNEF tier (reference: Tika
+            # OfficeParser/TNEFParser via
             # enhance_extract_text_tika_server.py:33-262)
-            from open_semantic_etl_spark.operators.cfb import extract_cfb
+            from open_semantic_etl_spark.operators.cfb import (
+                extract_cfb,
+                extract_tnef,
+            )
 
-            ole = extract_cfb(data)
+            ole = (
+                extract_cfb(data)
+                if sniffed == "application/x-ole-storage"
+                else extract_tnef(data)
+            )
             if ole is not None:
                 res["content_type"] = ole["content_type"]
                 res["content"] = ole["content"]

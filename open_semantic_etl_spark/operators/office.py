@@ -680,13 +680,17 @@ def office_expr(bytes_col):
     # so the stringified hints (PEP 563) would not resolve when
     # pandas_udf inspects the signature
     def run(series):
-        from open_semantic_etl_spark.operators.cfb import extract_cfb
+        from open_semantic_etl_spark.operators.cfb import (
+            extract_cfb,
+            extract_tnef,
+        )
 
         return pd.DataFrame(
             [
                 extract_office(bytes(b))
                 or extract_rtf(bytes(b))
                 or extract_cfb(bytes(b))
+                or extract_tnef(bytes(b))
                 or extract_vobject(bytes(b))
                 or empty
                 for b in series

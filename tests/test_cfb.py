@@ -429,3 +429,67 @@ def test_msg_html_body_fallback():
     r = extract_cfb(m)
     assert r["content"] == "Body aus HTML hier."
     assert r["ok"]
+
+
+# ---------------------------------------------------------------------------
+# [MS-OXTNEF] winmail.dat
+# ---------------------------------------------------------------------------
+
+from open_semantic_etl_spark.operators.cfb import (  # noqa: E402
+    TNEF_MAGIC,
+    build_tnef,
+    extract_tnef,
+)
+
+
+def test_tnef_text_body_subject_sender():
+    t = build_tnef("Betreff", "chef@example.org", "Zeile eins.\nZeile zwei.")
+    r = extract_tnef(t)
+    assert r["ok"] and r["content_type"] == "application/vnd.ms-tnef"
+    assert r["title"] == "Betreff" and r["author"] == "chef@example.org"
+    assert r["content"] == "Zeile eins.\nZeile zwei."
+    assert r["n_blocks"] == 2
+
+
+def test_tnef_mapi_compressed_rtf_body():
+    """body only in attMsgProps PR_RTF_COMPRESSED — the MAPI property
+    walk + LZFu + RTF scanner chain."""
+    t = build_tnef("S", "a@example.org", "RTF A.\nRTF B.", body_format="rtf")
+    r = extract_tnef(t)
+    assert r["content"] == "RTF A.\nRTF B." and r["ok"]
+
+
+def test_tnef_routed_from_extract_html_and_eml_attachment():
+    from open_semantic_etl_spark.operators.eml import parse_eml
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+
+    t = build_tnef("Via HTML", "s@example.org", "Body over TNEF.")
+    h = extract_html(t)
+    assert h["content_type"] == "application/vnd.ms-tnef"
+    assert h["content"] == "Body over TNEF." and h["title"] == "Via HTML"
+
+    # Outlook rich mail: no text part, winmail.dat attachment carries it
+    import base64
+
+    raw = (
+        "From: s@example.org\r\nTo: d@example.org\r\nSubject: rich\r\n"
+        "MIME-Version: 1.0\r\n"
+        'Content-Type: multipart/mixed; boundary="B"\r\n\r\n'
+        "--B\r\n"
+        "Content-Type: application/ms-tnef; name=winmail.dat\r\n"
+        "Content-Disposition: attachment; filename=winmail.dat\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        + base64.encodebytes(t).decode() +
+        "\r\n--B--\r\n"
+    ).encode()
+    m = parse_eml(raw)
+    assert m["ok"] and m["content_txt"] == "Body over TNEF."
+
+
+def test_tnef_total_on_garbage_and_truncation():
+    assert extract_tnef(b"not tnef") is None
+    t = build_tnef("S", "a@example.org", "Some body here.")
+    for cut in (4, 6, 9, 20, len(t) - 1):
+        r = extract_tnef(t[:cut])
+        if r is not None:
+            assert isinstance(r["content"], str) and isinstance(r["ok"], bool)

@@ -129,15 +129,21 @@ from open_semantic_etl_spark.operators.cfb import (  # noqa: E402
     build_doc,
     build_msg,
     build_ppt,
+    build_tnef,
     build_xls,
     extract_cfb,
+    extract_tnef,
 )
 
 
 @st.composite
 def _mutated_ole(draw) -> bytes:
     """a valid legacy-OLE payload, truncated and/or byte-flipped."""
-    kind = draw(st.sampled_from(["doc", "xls", "ppt", "msg", "msg-rtf", "msg-html"]))
+    kind = draw(
+        st.sampled_from(
+            ["doc", "xls", "ppt", "msg", "msg-rtf", "msg-html", "tnef", "tnef-rtf"]
+        )
+    )
     text = draw(st.lists(st.text(max_size=20), min_size=1, max_size=4))
     if kind == "doc":
         data = build_doc(text, title="t", author="a")
@@ -149,6 +155,10 @@ def _mutated_ole(draw) -> bytes:
         data = build_msg(text[0], "s@example.org", "\n".join(text), body_format="rtf")
     elif kind == "msg-html":
         data = build_msg(text[0], "s@example.org", "\n".join(text), body_format="html")
+    elif kind == "tnef":
+        data = build_tnef(text[0], "s@example.org", "\n".join(text))
+    elif kind == "tnef-rtf":
+        data = build_tnef(text[0], "s@example.org", "\n".join(text), body_format="rtf")
     else:
         data = build_msg(text[0], "s@example.org", "\n".join(text))
     cut = draw(st.integers(min_value=0, max_value=len(data)))
@@ -165,9 +175,12 @@ def _mutated_ole(draw) -> bytes:
 def test_cfb_total_on_random_bytes(data):
     _check_office_shape(extract_cfb(data))
     _check_office_shape(extract_cfb(CFB_MAGIC + data))
+    _check_office_shape(extract_tnef(data))
+    _check_office_shape(extract_tnef(b"\x78\x9f\x3e\x22" + data))
 
 
 @settings(max_examples=150, deadline=None)
 @given(_mutated_ole())
 def test_cfb_total_on_mutated_documents(data):
     _check_office_shape(extract_cfb(data))
+    _check_office_shape(extract_tnef(data))
