@@ -576,6 +576,12 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
         head = text[:512].lstrip().lower()
         if head.startswith("<?xml") and "xhtml" in text[:2048].lower():
             res["content_type"] = "application/xhtml+xml"
+        elif head.startswith("<?xml") and "<html" not in text[:2048].lower():
+            # generic XML document (feed bytes, sitemaps, arbitrary
+            # exports): honest Tika-style label; the text pull itself
+            # is unchanged (structured handling lives in the rdf/feeds
+            # operators, which parse these bytes properly)
+            res["content_type"] = "application/xml"
         elif not _TAG_HINT_RE.search(text):
             vo = _vobject_sniff(text)
             if vo is not None:

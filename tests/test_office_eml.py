@@ -392,3 +392,15 @@ def test_transparent_decompression_gz_bz2_xz():
     # gz'd WARC keeps the container type (warc-explode owns it)
     warc = b"WARC/1.0\r\nWARC-Type: response\r\n\r\n"
     assert extract_html(_gzip.compress(warc))["content_type"] == "application/gzip"
+
+
+def test_generic_xml_label():
+    """bare XML (no html/xhtml root) is labeled application/xml; the
+    xhtml variant and html-after-prolog keep their labels."""
+    xml = b'<?xml version="1.0"?><rss><channel><title>F</title></channel></rss>'
+    assert extract_html(xml)["content_type"] == "application/xml"
+    xh = (b'<?xml version="1.0"?><html xmlns="http://www.w3.org/1999/xhtml">'
+          b"<body><p>x</p></body></html>")
+    assert extract_html(xh)["content_type"] == "application/xhtml+xml"
+    ht = b'<?xml version="1.0"?><html><body><p>y</p></body></html>'
+    assert extract_html(ht)["content_type"] == "text/html"
