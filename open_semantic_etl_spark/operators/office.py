@@ -537,6 +537,38 @@ _RTF_BREAKS = {b"par": "\n", b"line": "\n", b"row": "\n", b"tab": "\t",
                b"cell": "\t", b"sect": "\n", b"page": "\n"}
 
 
+def _fix_surrogates(s: str) -> str:
+    """Combine \\uN surrogate pairs (how RTF writers encode astral
+    chars) and replace lone surrogates with U+FFFD. chr() on a hostile
+    ``\\u55296`` would otherwise put a lone surrogate into the result
+    string, and THAT fails utf-8/Arrow serialization of the whole
+    batch — an exception outside the per-row try, i.e. a poison
+    document killing a Spark task."""
+    try:
+        s.encode("utf-8")
+        return s  # fast path: no surrogates at all
+    except UnicodeEncodeError:
+        pass
+    try:
+        # utf-16 round-trip fuses valid high+low pairs into astral chars
+        return s.encode("utf-16", "surrogatepass").decode("utf-16")
+    except UnicodeDecodeError:
+        out = []
+        i, n = 0, len(s)
+        while i < n:
+            c = ord(s[i])
+            if 0xD800 <= c <= 0xDBFF and i + 1 < n and 0xDC00 <= ord(s[i + 1]) <= 0xDFFF:
+                out.append(chr(0x10000 + ((c - 0xD800) << 10) + (ord(s[i + 1]) - 0xDC00)))
+                i += 2
+            elif 0xD800 <= c <= 0xDFFF:
+                out.append("�")
+                i += 1
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out)
+
+
 def extract_rtf(data: bytes) -> dict | None:
     """RTF → plain text + {\\info{\\title …}{\\author …}} metadata.
 
@@ -637,12 +669,12 @@ def extract_rtf(data: bytes) -> dict | None:
             (info_buf[info_dest] if info_dest else out).append(
                 txt.decode("cp1252", "replace")
             )
-        lines = [ln.strip() for ln in "".join(out).split("\n")]
+        lines = [ln.strip() for ln in _fix_surrogates("".join(out)).split("\n")]
         kept = [ln for ln in lines if ln]
         res["n_blocks"] = len(kept)
         res["content"] = "\n".join(kept)
-        res["title"] = "".join(info_buf["title"]).strip() or None
-        res["author"] = "".join(info_buf["author"]).strip() or None
+        res["title"] = _fix_surrogates("".join(info_buf["title"])).strip() or None
+        res["author"] = _fix_surrogates("".join(info_buf["author"])).strip() or None
     except Exception as e:  # noqa: BLE001
         res["ok"] = False
         res["err"] = f"{type(e).__name__}: {e}"
@@ -685,17 +717,20 @@ def office_expr(bytes_col):
             extract_tnef,
         )
 
-        return pd.DataFrame(
-            [
-                extract_office(bytes(b))
-                or extract_rtf(bytes(b))
-                or extract_cfb(bytes(b))
-                or extract_tnef(bytes(b))
-                or extract_vobject(bytes(b))
+        def one(b):
+            if b is None:
+                return empty
+            b = bytes(b)
+            return (
+                extract_office(b)
+                or extract_rtf(b)
+                or extract_cfb(b)
+                or extract_tnef(b)
+                or extract_vobject(b)
                 or empty
-                for b in series
-            ]
-        )
+            )
+
+        return pd.DataFrame([one(b) for b in series])
 
     return F.pandas_udf(run, rtype)(bytes_col)
 

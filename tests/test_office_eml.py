@@ -153,6 +153,26 @@ def test_rtf_extraction():
     assert extract_rtf(rb"{\rtf1 unterminated")["ok"] is True
 
 
+def test_rtf_surrogates_never_escape():
+    """\\uN with surrogate code points: pairs fuse to the astral char
+    (how writers encode emoji), lone surrogates become U+FFFD — the
+    result string must always be utf-8/Arrow-serializable (a lone
+    surrogate would fail the WHOLE Arrow batch, outside the per-row
+    error contract)."""
+    from open_semantic_etl_spark.operators.office import extract_rtf
+
+    # 😀 U+1F600 = D83D DE00 = signed-16 -10179 -8704
+    pair = extract_rtf(rb"{\rtf1 a\u-10179?\u-8704?b}")
+    assert pair["content"] == "a😀b", repr(pair["content"])
+    lone = extract_rtf(rb"{\rtf1 x\u55296?y {\info{\title t\u55296?t}}}")
+    assert lone["ok"] and lone["content"] == "x�y"
+    assert lone["title"] == "t�t"
+    lone["content"].encode("utf-8")  # must not raise
+    import pyarrow as pa
+
+    pa.array([lone["content"], pair["content"]])  # Arrow-safe
+
+
 def _mk_eml(
     body_b64: str = "TWFpbCBib2R5Lg==",  # "Mail body."
     with_html: bool = True,

@@ -45,6 +45,12 @@ def _check_office_shape(r):
     assert isinstance(r["ok"], bool)
     if not r["ok"]:
         assert r["err"]
+    # every output string must be utf-8 encodable (Arrow-serializable):
+    # a lone surrogate would fail the WHOLE batch outside the per-row
+    # error contract (regression: RTF \uN with a surrogate code point)
+    for k in ("content", "title", "author", "err"):
+        if r[k] is not None:
+            r[k].encode("utf-8")
 
 
 @st.composite
@@ -68,6 +74,12 @@ def _mutated_doc(draw) -> bytes:
     else:
         body = "\\par ".join(t.replace("\\", "").replace("{", "").replace("}", "")
                              for t in text)
+        # sprinkle \uN escapes over the FULL signed-16 range (incl.
+        # surrogate code points — the Arrow-serializability regression)
+        for n in draw(st.lists(
+            st.integers(min_value=-32768, max_value=32767), max_size=3
+        )):
+            body += f"\\u{n}?"
         data = ("{\\rtf1\\ansi " + body + "}").encode("cp1252", "replace")
     cut = draw(st.integers(min_value=0, max_value=len(data)))
     data = data[:cut] if draw(st.booleans()) else data
