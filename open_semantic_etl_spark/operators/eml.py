@@ -74,7 +74,15 @@ def _body_text(msg) -> str:
                 tnef_part = part
             continue
         if ctype == "text/plain":
-            return part.get_content()
+            try:
+                return part.get_content()
+            except Exception:  # noqa: BLE001 — bogus charset= is everyday
+                # real-world mail (charset=x-user-defined, ansi_x3.…):
+                # transfer-decode and read as cp1252 instead of failing
+                # the whole document
+                return (part.get_payload(decode=True) or b"").decode(
+                    "cp1252", "replace"
+                )
         if ctype == "text/html" and html_part is None:
             html_part = part
     if html_part is not None:

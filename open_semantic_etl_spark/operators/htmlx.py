@@ -542,10 +542,11 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
                 return extract_html(inner, _depth + 1)
             res["content_type"] = sniffed
             return res
-        if sniffed and sniffed != "application/pdf":
-            res["content_type"] = sniffed
-            return res
         if data.startswith(b"{\\rtf"):
+            # before the generic sniff early-return: an RTF with \binN
+            # embedded picture bytes carries NULs in its head and would
+            # otherwise mis-sniff as octet-stream — the `{\rtf` prefix
+            # at offset 0 is decisive
             from open_semantic_etl_spark.operators.office import extract_rtf
 
             rt = extract_rtf(data)
@@ -556,6 +557,9 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
             res["n_kept_blocks"] = rt["n_blocks"]
             res["ok"] = rt["ok"]
             res["err"] = rt["err"]
+            return res
+        if sniffed and sniffed != "application/pdf":
+            res["content_type"] = sniffed
             return res
         if sniffed == "application/pdf":
             from open_semantic_etl_spark.operators.pdfio import parse_pdf

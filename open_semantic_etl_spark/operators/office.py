@@ -585,6 +585,21 @@ def extract_rtf(data: bytes) -> dict | None:
         "ok": True, "err": None,
     }
     try:
+        if b"\\bin" in data:
+            # \binN is followed by N RAW bytes (embedded picture data);
+            # excise them before tokenizing — binary bytes containing
+            # { } \ would otherwise desync the group stack (letters
+            # after "bin" make a different control word, so requiring
+            # digits is exact)
+            parts: list[bytes] = []
+            pos = 0
+            for bm in re.finditer(rb"\\bin(\d+) ?", data):
+                if bm.start() < pos:
+                    continue  # inside a previously excised binary run
+                parts.append(data[pos : bm.start()])
+                pos = bm.end() + min(int(bm.group(1)), len(data) - bm.end())
+            parts.append(data[pos:])
+            data = b"".join(parts)
         out: list[str] = []
         # stack entries: [skipping?, uc_count, dest_name]
         stack: list[list] = [[False, 1, b""]]

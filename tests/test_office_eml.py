@@ -153,6 +153,34 @@ def test_rtf_extraction():
     assert extract_rtf(rb"{\rtf1 unterminated")["ok"] is True
 
 
+def test_rtf_with_binary_nuls_still_routes():
+    """an RTF whose head carries NUL bytes (embedded \\binN picture
+    data — legal RTF) must still extract: the `{\\rtf` prefix wins over
+    the NUL-ratio octet-stream sniff in extract_html."""
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+
+    blob = b"{\\rtf1\\ansi {\\*\\unknowndest \x00\x01\x02\x00} Visible words here.}"
+    r = extract_html(blob)
+    assert r["content_type"] == "application/rtf"
+    assert r["content"] == "Visible words here."
+
+
+def test_rtf_bin_raw_bytes_cannot_desync_groups():
+    """\\binN is followed by N RAW bytes; unbalanced braces inside that
+    run must not corrupt the group stack (RTF 1.9 §'\\bin')."""
+    from open_semantic_etl_spark.operators.office import extract_rtf
+
+    # 4 raw bytes containing } } — naive tokenizing would close the
+    # pict group AND the root group, dropping everything after
+    blob = b"{\\rtf1 {\\pict\\bin4 }}\x00{ after} visible end}"
+    r = extract_rtf(blob)
+    assert r["ok"] is True
+    assert "visible end" in r["content"], repr(r["content"])
+    assert "\x00" not in r["content"]
+    # huge hostile N caps at end of data, never raises
+    assert extract_rtf(b"{\\rtf1 a{\\pict\\bin999999999 xx}b}")["ok"] is True
+
+
 def test_rtf_surrogates_never_escape():
     """\\uN with surrogate code points: pairs fuse to the astral char
     (how writers encode emoji), lone surrogates become U+FFFD — the
@@ -257,6 +285,26 @@ def test_eml_quoted_printable_and_html_fallback():
     assert parse_eml(att)["content_txt"] == "real body"
     # garbage never raises
     assert parse_eml(b"\xff\x00 not a mail")["ok"] in (True, False)
+
+
+def test_eml_bogus_charset_recovers_body():
+    """real-world mail declares unknown charsets (x-user-defined,
+    ansi_x3.110-1983, …) constantly; the body must still extract via
+    the cp1252 fallback instead of failing the document (Tika's
+    OfficeParser recovers these the same way)."""
+    from open_semantic_etl_spark.operators.eml import parse_eml
+
+    raw = (
+        b"From: s@example.org\r\n"
+        b"Subject: odd charset\r\n"
+        b"Content-Type: text/plain; charset=x-bogus\r\n\r\n"
+        b"caf\xe9 body survives\r\n"
+    )
+    r = parse_eml(raw)
+    assert r["ok"] is True and r["err"] is None
+    assert r["content_txt"] == "caf\xe9 body survives"
+    assert r["message_from_ss"] == ["s@example.org"]
+    r["content_txt"].encode("utf-8")  # Arrow-safe
 
 
 def test_with_eml_gate(spark):
