@@ -33,7 +33,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann = brute+lsh+ivf tagged by `method`,
     ner = span-model+stanford-token paths tagged by `method`,
     rss_new_items = rss indexed-skip + sparql bindings walk tagged by
-    `kind`, pst_explode = member tree + RFC-822 parse of .eml children)
+    `kind`, pst_explode = member tree + RFC-822 parse of .eml children,
+    with every third container a real [MS-PST] Unicode file decoded by
+    the native operators/pst.py parser)
     — every operator's solo columns keep their names, so each stays
     pinned by the oracle hash."""
     return {

@@ -1,0 +1,854 @@
+"""Native Outlook PST parsing ([MS-PST], Unicode format).
+
+The reference shells out to the external ``readpst`` binary
+(enhance_pst.py:20-128) and re-ingests the dumped folder tree; until
+this module the repo carried that as a documented seam (the
+``!BDN``-magic payload raised NotImplementedError and only the
+deterministic extracted-tree fixture format decoded). This is the
+engine-native replacement: a pure-Python Node/Block Database (NDB) +
+Lists/Tables/Properties (LTP) walk over the public [MS-PST] spec —
+
+  NDB   header → ROOT → NBT/BBT BTree pages (§2.2.2.7), block reads
+        with BLOCKTRAILER slots (§2.2.2.8), XBLOCK/XXBLOCK data trees
+        (§2.2.2.8.3.2), SLBLOCK/SIBLOCK subnode BTrees (§2.2.2.8.3.3).
+  LTP   Heap-on-Node (HN, §2.3.1) with per-block page maps, BTree-on-
+        Heap (BTH, §2.3.2), Property Contexts (PC, §2.3.3) with
+        immediate / HID / subnode-NID value resolution.
+  MSG   every NID_TYPE_NORMAL_MESSAGE node becomes one RFC-822 member
+        (rendered from PidTagSubject/SenderEmailAddress/DisplayTo/
+        DisplayCc/ClientSubmitTime/Body); attachment subnodes
+        (NID_TYPE_ATTACHMENT PCs) become ``<msg>-<filename>`` members —
+        the same member tree readpst produces for the reference.
+
+Member naming: messages are named by their NID index (the PST's own
+stable node identifier — readpst uses order-dependent sequence
+counters carrying the same information), so the bare-number → ``.eml``
+rename rule in sources/explode.py applies unchanged.
+
+Scope and honesty notes:
+- Unicode PSTs (wVer ≥ 23) with ``bCryptMethod = NDB_CRYPT_NONE``
+  decode fully. PERMUTE/CYCLIC-encoded files (Outlook's default
+  obfuscation) need the spec's fixed 768 bytes of permutation tables,
+  which cannot be derived; those files fail loudly (ValueError) rather
+  than decode wrongly. ANSI (wVer 14/15) PSTs are rejected the same
+  way.
+- Trailer signatures/CRCs are not validated (tolerant-reader policy,
+  same as the PDF/CFB tiers): one poison document must yield an error
+  row or partial tree, never a wrong-text or a task-killing exception.
+- ``build_pst`` writes structurally real Unicode PSTs (valid header/
+  ROOT, BTree pages, block trailers with correct signatures, HN/BTH/PC
+  heaps, subnode trees, XBLOCK splits for >8176-byte values) with
+  ``fAMapValid = 0`` — allocation/density maps are reader-irrelevant
+  free-space metadata and are left unbuilt, which the spec marks as
+  the "needs rebuild" state.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta, timezone
+
+__all__ = ["PST_MAGIC", "parse_pst", "build_pst", "render_message"]
+
+PST_MAGIC = b"!BDN"
+
+_U16 = struct.Struct("<H")
+_U32 = struct.Struct("<I")
+_U64 = struct.Struct("<Q")
+
+# NID types (§2.2.2.1)
+_NID_NORMAL_FOLDER = 0x02
+_NID_NORMAL_MESSAGE = 0x04
+_NID_ATTACHMENT = 0x08
+_NID_LTP = 0x1F  # free-use type for value subnodes
+_NID_ROOT_FOLDER = 0x122
+
+# property ids / types
+_PT_UNICODE = 0x001F
+_PT_STRING8 = 0x001E
+_PT_BINARY = 0x0102
+_PT_SYSTIME = 0x0040
+
+_PID_MESSAGE_CLASS = 0x001A
+_PID_SUBJECT = 0x0037
+_PID_CLIENT_SUBMIT = 0x0039
+_PID_SENDER_NAME = 0x0C1A
+_PID_SENDER_EMAIL = 0x0C1F
+_PID_DISPLAY_CC = 0x0E03
+_PID_DISPLAY_TO = 0x0E04
+_PID_DELIVERY_TIME = 0x0E06
+_PID_BODY = 0x1000
+_PID_DISPLAY_NAME = 0x3001
+_PID_ATTACH_DATA = 0x3701
+_PID_ATTACH_FILENAME = 0x3704
+_PID_ATTACH_LONG_FILENAME = 0x3707
+
+_MAX_PAGES = 1 << 16          # btree walk guard
+_MAX_BLOCK_TREE = 1 << 14     # XBLOCK fan guard
+_MAX_NODE_BYTES = 1 << 28
+
+_FILETIME_EPOCH = datetime(1601, 1, 1, tzinfo=timezone.utc)
+
+
+def _u16(b: bytes, o: int) -> int:
+    return _U16.unpack_from(b, o)[0]
+
+
+def _u32(b: bytes, o: int) -> int:
+    return _U32.unpack_from(b, o)[0]
+
+
+def _u64(b: bytes, o: int) -> int:
+    return _U64.unpack_from(b, o)[0]
+
+
+def _block_sig(ib: int, bid: int) -> int:
+    """BLOCKTRAILER/PAGETRAILER wSig (§5.5)."""
+    v = ib ^ bid
+    return ((v >> 16) ^ v) & 0xFFFF
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+class _Ndb:
+    """Node/Block database over one Unicode PST byte string."""
+
+    def __init__(self, data: bytes):
+        if len(data) < 564 or not data.startswith(PST_MAGIC):
+            raise ValueError("not a PST file")
+        self.data = data
+        wver = _u16(data, 0x0A)
+        if wver < 23:
+            raise ValueError(f"ANSI PST (wVer={wver}) not supported")
+        if wver >= 36:
+            raise ValueError(f"WIP/4K-page PST (wVer={wver}) not supported")
+        crypt = data[0x201]
+        if crypt != 0:
+            raise ValueError(
+                f"bCryptMethod={crypt} (PERMUTE/CYCLIC) not supported — "
+                "the spec's fixed permutation tables are not shipped"
+            )
+        root = 0xB4
+        nbt_bref = (_u64(data, root + 36), _u64(data, root + 44))
+        bbt_bref = (_u64(data, root + 52), _u64(data, root + 60))
+        #: bid → (ib, cb)
+        self.blocks: dict[int, tuple[int, int]] = {}
+        self._walk_btree(bbt_bref[1], 0x80, self._add_bbt_leaf)
+        #: nid → (bidData, bidSub, nidParent)
+        self.nodes: dict[int, tuple[int, int, int]] = {}
+        self._walk_btree(nbt_bref[1], 0x81, self._add_nbt_leaf)
+
+    # -- BTree pages --------------------------------------------------------
+
+    def _add_bbt_leaf(self, ent: bytes) -> None:
+        bid, ib, cb = _u64(ent, 0), _u64(ent, 8), _u16(ent, 16)
+        self.blocks[bid] = (ib, cb)
+
+    def _add_nbt_leaf(self, ent: bytes) -> None:
+        nid = _u64(ent, 0) & 0xFFFFFFFF
+        self.nodes[nid] = (_u64(ent, 8), _u64(ent, 16), _u32(ent, 24))
+
+    def _walk_btree(self, ib: int, ptype: int, on_leaf) -> None:
+        seen: set[int] = set()
+        stack = [ib]
+        while stack:
+            ib = stack.pop()
+            if ib in seen or len(seen) > _MAX_PAGES:
+                raise ValueError("BTree page loop")
+            seen.add(ib)
+            if ib + 512 > len(self.data):
+                raise ValueError("BTree page out of file")
+            page = self.data[ib : ib + 512]
+            cent, _centmax, cbent, clevel = page[488], page[489], page[490], page[491]
+            if page[496] != ptype or cbent == 0 or cent * cbent > 488:
+                raise ValueError("malformed BTree page")
+            for i in range(cent):
+                ent = page[i * cbent : (i + 1) * cbent]
+                if clevel:  # BTENTRY: btkey u64, BREF{bid, ib}
+                    stack.append(_u64(ent, 16))
+                else:
+                    on_leaf(ent)
+
+    # -- blocks -------------------------------------------------------------
+
+    def read_block(self, bid: int) -> bytes:
+        if bid not in self.blocks:
+            raise ValueError(f"bid {bid:#x} not in BBT")
+        ib, cb = self.blocks[bid]
+        if ib + cb > len(self.data):
+            raise ValueError("block out of file")
+        return self.data[ib : ib + cb]
+
+    def node_data(self, bid: int, _depth: int = 0) -> bytes:
+        """data-tree read: plain block, or XBLOCK/XXBLOCK fan-in."""
+        if bid == 0:
+            return b""
+        if not bid & 2:  # external (raw data) block
+            return self.read_block(bid)
+        if _depth > 3:  # spec maxes at XXBLOCK→XBLOCK→data (depth 2)
+            raise ValueError("XBLOCK tree too deep")
+        blk = self.read_block(bid)
+        if len(blk) < 8 or blk[0] != 0x01:
+            raise ValueError("expected XBLOCK")
+        level, cent = blk[1], _u16(blk, 2)
+        if cent > _MAX_BLOCK_TREE:
+            raise ValueError("XBLOCK fan too large")
+        bids = [_u64(blk, 8 + 8 * i) for i in range(cent)]
+        out = bytearray()
+        if level == 1:  # XBLOCK → data blocks
+            for b in bids:
+                if b & 2:
+                    raise ValueError("XBLOCK leaf must be external")
+                out += self.read_block(b)
+                if len(out) > _MAX_NODE_BYTES:
+                    raise ValueError("node data over cap")
+        elif level == 2:  # XXBLOCK → XBLOCKs
+            for b in bids:
+                out += self.node_data(b, _depth + 1)
+                if len(out) > _MAX_NODE_BYTES:
+                    raise ValueError("node data over cap")
+        else:
+            raise ValueError("bad XBLOCK level")
+        return bytes(out[: _u32(blk, 4)])
+
+    def subnodes(self, bid_sub: int) -> dict[int, tuple[int, int]]:
+        """subnode BTree → {nid: (bidData, bidSub)} (§2.2.2.8.3.3)."""
+        out: dict[int, tuple[int, int]] = {}
+        if bid_sub == 0:
+            return out
+
+        def walk(bid: int, depth: int) -> None:
+            if depth > 8:
+                raise ValueError("subnode BTree too deep")
+            blk = self.read_block(bid)
+            if len(blk) < 8 or blk[0] != 0x02:
+                raise ValueError("expected SLBLOCK/SIBLOCK")
+            level, cent = blk[1], _u16(blk, 2)
+            if level == 0:  # SLENTRY: nid u64, bidData u64, bidSub u64
+                for i in range(cent):
+                    o = 8 + 24 * i
+                    out[_u64(blk, o) & 0xFFFFFFFF] = (
+                        _u64(blk, o + 8),
+                        _u64(blk, o + 16),
+                    )
+            else:  # SIENTRY: nid u64, bid u64
+                for i in range(cent):
+                    walk(_u64(blk, 8 + 16 * i + 8), depth + 1)
+
+        walk(bid_sub, 0)
+        return out
+
+
+class _Heap:
+    """Heap-on-Node over a node's (possibly multi-block) data (§2.3.1)."""
+
+    def __init__(self, raw_blocks: list[bytes]):
+        self.blocks = raw_blocks
+        hdr = raw_blocks[0]
+        if len(hdr) < 12 or hdr[2] != 0xEC:
+            raise ValueError("not a heap node")
+        self.client_sig = hdr[3]
+        self.user_root = _u32(hdr, 4)
+
+    def item(self, hid: int) -> bytes:
+        if hid == 0:
+            return b""
+        if hid & 0x1F:
+            raise ValueError("not an HID")
+        idx = (hid >> 5) & 0x7FF
+        bi = hid >> 16
+        if bi >= len(self.blocks) or idx == 0:
+            raise ValueError("HID out of heap")
+        blk = self.blocks[bi]
+        ibhnpm = _u16(blk, 0)
+        if ibhnpm + 4 > len(blk):
+            raise ValueError("bad heap page map")
+        calloc = _u16(blk, ibhnpm)
+        if idx > calloc:
+            raise ValueError("HID index out of page map")
+        o = ibhnpm + 4
+        start = _u16(blk, o + 2 * (idx - 1))
+        end = _u16(blk, o + 2 * idx)
+        if not (0 < start <= end <= len(blk)):
+            raise ValueError("heap item bounds")
+        return blk[start:end]
+
+
+def _heap_blocks(ndb: _Ndb, bid: int, _depth: int = 0) -> list[bytes]:
+    """a HN's per-block byte strings (block 0 carries HNHDR, later
+    blocks their own page maps — so XBLOCK fan-in must NOT concat)."""
+    if not bid & 2:
+        return [ndb.read_block(bid)]
+    if _depth > 3:
+        raise ValueError("heap XBLOCK tree too deep")
+    blk = ndb.read_block(bid)
+    if len(blk) < 8 or blk[0] != 0x01:
+        raise ValueError("expected XBLOCK")
+    level, cent = blk[1], _u16(blk, 2)
+    if cent > _MAX_BLOCK_TREE:
+        raise ValueError("XBLOCK fan too large")
+    bids = [_u64(blk, 8 + 8 * i) for i in range(cent)]
+    if level == 1:
+        return [ndb.read_block(b) for b in bids if not b & 2]
+    out: list[bytes] = []
+    for b in bids:
+        out.extend(_heap_blocks(ndb, b, _depth + 1))
+    return out
+
+
+def _bth_records(heap: _Heap, hdr_hid: int) -> list[tuple[bytes, bytes]]:
+    """BTree-on-Heap walk → [(key, data)] (§2.3.2)."""
+    hdr = heap.item(hdr_hid)
+    if len(hdr) < 8 or hdr[0] != 0xB5:
+        raise ValueError("not a BTH header")
+    cbkey, cbent, levels = hdr[1], hdr[2], hdr[3]
+    root = _u32(hdr, 4)
+    out: list[tuple[bytes, bytes]] = []
+
+    def walk(hid: int, level: int) -> None:
+        if hid == 0:
+            return
+        item = heap.item(hid)
+        if level > 0:  # intermediate: key + hidNextLevel u32
+            rec = cbkey + 4
+            for o in range(0, len(item) - rec + 1, rec):
+                walk(_u32(item, o + cbkey), level - 1)
+        else:
+            rec = cbkey + cbent
+            for o in range(0, len(item) - rec + 1, rec):
+                out.append((item[o : o + cbkey], item[o + cbkey : o + rec]))
+
+    walk(root, levels)
+    return out
+
+
+_IMMEDIATE_TYPES = frozenset((0x0001, 0x0002, 0x0003, 0x0004, 0x000A, 0x000B))
+
+
+def _read_pc(
+    ndb: _Ndb, bid_data: int, bid_sub: int
+) -> dict[int, tuple[int, bytes | int]]:
+    """Property Context → {propid: (ptype, value)} where value is an
+    int for immediate types and raw bytes otherwise (§2.3.3)."""
+    heap = _Heap(_heap_blocks(ndb, bid_data))
+    if heap.client_sig != 0xBC:
+        raise ValueError("not a PC heap")
+    sub = ndb.subnodes(bid_sub)
+    props: dict[int, tuple[int, bytes | int]] = {}
+    for key, data in _bth_records(heap, heap.user_root):
+        pid = _u16(key, 0)
+        ptype = _u16(data, 0)
+        hnid = _u32(data, 2)
+        if ptype in _IMMEDIATE_TYPES:
+            props[pid] = (ptype, hnid)
+        elif hnid == 0:
+            props[pid] = (ptype, b"")
+        elif hnid & 0x1F:  # NID → value lives in a subnode
+            if hnid not in sub:
+                raise ValueError(f"value subnode {hnid:#x} missing")
+            props[pid] = (ptype, ndb.node_data(sub[hnid][0]))
+        else:  # HID in this heap
+            props[pid] = (ptype, heap.item(hnid))
+    return props
+
+
+def _pc_str(props: dict, pid: int) -> str | None:
+    v = props.get(pid)
+    if v is None:
+        return None
+    ptype, raw = v
+    if not isinstance(raw, (bytes, bytearray)):
+        return None
+    if ptype == _PT_UNICODE:
+        s = bytes(raw).decode("utf-16-le", "replace")
+    elif ptype == _PT_STRING8:
+        s = bytes(raw).decode("cp1252", "replace")
+    else:
+        return None
+    if s[:1] == "\x01":
+        # PidTagSubject prefix block (0x01 + prefix-length char)
+        s = s[2:]
+    return s or None
+
+
+def _pc_time(props: dict, pid: int) -> datetime | None:
+    v = props.get(pid)
+    if v is None or v[0] != _PT_SYSTIME or not isinstance(v[1], (bytes, bytearray)):
+        return None
+    if len(v[1]) < 8:
+        return None
+    ft = _u64(bytes(v[1]), 0)
+    try:
+        return _FILETIME_EPOCH + timedelta(microseconds=ft // 10)
+    except OverflowError:
+        return None
+
+
+def render_message(
+    subject: str | None,
+    sender: str | None,
+    to: str | None,
+    cc: str | None,
+    when: datetime | None,
+    body: str,
+) -> bytes:
+    """MAPI properties → RFC-822 bytes (what readpst emits per mail).
+
+    Non-ASCII subjects travel as RFC 2047 base64 encoded-words, the
+    body as a base64 text/plain part — both round-trip exactly through
+    operators/eml.parse_eml."""
+    import base64
+    from email.utils import format_datetime
+
+    def hdr(value: str) -> str:
+        try:
+            value.encode("ascii")
+            return value
+        except UnicodeEncodeError:
+            return (
+                "=?utf-8?b?" + base64.b64encode(value.encode()).decode() + "?="
+            )
+
+    lines: list[str] = []
+    if sender:
+        lines.append(f"From: {hdr(sender)}")
+    if to:
+        lines.append(f"To: {hdr(to)}")
+    if cc:
+        lines.append(f"Cc: {hdr(cc)}")
+    if subject is not None:
+        lines.append(f"Subject: {hdr(subject)}")
+    if when is not None:
+        lines.append(f"Date: {format_datetime(when)}")
+    lines.append("MIME-Version: 1.0")
+    lines.append("Content-Type: text/plain; charset=utf-8")
+    lines.append("Content-Transfer-Encoding: base64")
+    b64 = base64.b64encode(body.encode()).decode()
+    wrapped = "\r\n".join(b64[i : i + 76] for i in range(0, len(b64), 76))
+    return ("\r\n".join(lines) + "\r\n\r\n" + wrapped + "\r\n").encode()
+
+
+def parse_pst(data: bytes) -> list[tuple[str, bytes]]:
+    """Unicode PST → [(member_path, payload)] — the member tree the
+    reference gets from readpst (enhance_pst.py:95-108): one bare-
+    number file per message (folder-qualified; the caller's rename rule
+    adds ``.eml``) and one ``<msg>-<filename>`` file per attachment."""
+    ndb = _Ndb(data)
+
+    # folder display names (nid → name) and parent chain
+    folder_name: dict[int, str] = {}
+    for nid, (bd, bs, _parent) in ndb.nodes.items():
+        if nid & 0x1F == _NID_NORMAL_FOLDER and bd:
+            try:
+                props = _read_pc(ndb, bd, bs)
+            except ValueError:
+                continue
+            folder_name[nid] = _pc_str(props, _PID_DISPLAY_NAME) or f"folder-{nid >> 5}"
+
+    def folder_path(nid: int) -> str:
+        parts: list[str] = []
+        seen: set[int] = set()
+        while (
+            nid in folder_name
+            and nid != _NID_ROOT_FOLDER
+            and nid not in seen
+            and len(parts) < 64
+        ):
+            seen.add(nid)
+            parts.append(folder_name[nid])
+            parent = ndb.nodes[nid][2]
+            if parent == nid:
+                break
+            nid = parent
+        return "/".join(reversed(parts))
+
+    members: list[tuple[str, bytes]] = []
+    for nid in sorted(ndb.nodes):
+        if nid & 0x1F != _NID_NORMAL_MESSAGE:
+            continue
+        bid_data, bid_sub, parent_nid = ndb.nodes[nid]
+        if not bid_data:
+            continue
+        try:
+            props = _read_pc(ndb, bid_data, bid_sub)
+        except ValueError:
+            continue  # undecodable message: skip, keep the rest
+        prefix = folder_path(parent_nid)
+        msg_no = nid >> 5
+        name = f"{prefix}/{msg_no}" if prefix else str(msg_no)
+        members.append(
+            (
+                name,
+                render_message(
+                    _pc_str(props, _PID_SUBJECT),
+                    _pc_str(props, _PID_SENDER_EMAIL)
+                    or _pc_str(props, _PID_SENDER_NAME),
+                    _pc_str(props, _PID_DISPLAY_TO),
+                    _pc_str(props, _PID_DISPLAY_CC),
+                    _pc_time(props, _PID_CLIENT_SUBMIT)
+                    or _pc_time(props, _PID_DELIVERY_TIME),
+                    _pc_str(props, _PID_BODY) or "",
+                ),
+            )
+        )
+        # attachment subnodes (NID_TYPE_ATTACHMENT PCs)
+        for sn, (sbd, sbs) in sorted(ndb.subnodes(bid_sub).items()):
+            if sn & 0x1F != _NID_ATTACHMENT or not sbd:
+                continue
+            try:
+                ap = _read_pc(ndb, sbd, sbs)
+            except ValueError:
+                continue
+            fname = (
+                _pc_str(ap, _PID_ATTACH_LONG_FILENAME)
+                or _pc_str(ap, _PID_ATTACH_FILENAME)
+                or "attachment.bin"
+            ).replace("/", "_")
+            payload = ap.get(_PID_ATTACH_DATA)
+            blob = (
+                bytes(payload[1])
+                if payload is not None and isinstance(payload[1], (bytes, bytearray))
+                else b""
+            )
+            aname = f"{prefix}/{msg_no}-{fname}" if prefix else f"{msg_no}-{fname}"
+            members.append((aname, blob))
+    return members
+
+
+# ---------------------------------------------------------------------------
+# builder — structurally real Unicode PST fixtures
+# ---------------------------------------------------------------------------
+
+_MAX_DATA_BLOCK = 8192 - 16  # §2.2.2.8: block incl. trailer caps at 8 KiB
+_SUBNODE_VALUE_CUTOFF = 3580  # §2.3.3.2: larger PC values move to subnodes
+
+
+class _PstWriter:
+    def __init__(self) -> None:
+        self._next_bid = 4
+        self._next_page_bid = 4
+        #: bid → payload bytes (blocks); laid out at the end
+        self.block_bytes: dict[int, bytes] = {}
+
+    def bid(self, internal: bool = False) -> int:
+        v = self._next_bid
+        self._next_bid += 4
+        return v | 2 if internal else v
+
+    def add_block(self, payload: bytes, internal: bool = False) -> int:
+        if len(payload) > _MAX_DATA_BLOCK:
+            raise ValueError("block payload over 8176 bytes")
+        b = self.bid(internal)
+        self.block_bytes[b] = payload
+        return b
+
+    def add_data(self, payload: bytes) -> int:
+        """data possibly larger than one block → plain block or XBLOCK."""
+        if len(payload) <= _MAX_DATA_BLOCK:
+            return self.add_block(payload)
+        parts = [
+            payload[i : i + _MAX_DATA_BLOCK]
+            for i in range(0, len(payload), _MAX_DATA_BLOCK)
+        ]
+        bids = [self.add_block(p) for p in parts]
+        xb = (
+            bytes((0x01, 0x01))
+            + _U16.pack(len(bids))
+            + _U32.pack(len(payload))
+            + b"".join(_U64.pack(b) for b in bids)
+        )
+        return self.add_block(xb, internal=True)
+
+
+def _hid(index: int, block: int = 0) -> int:
+    return (index << 5) | (block << 16)
+
+
+def _build_pc_heap(
+    w: _PstWriter, props: dict[int, tuple[int, bytes | int]]
+) -> tuple[int, int]:
+    """props → (bidData of the PC heap block, bidSub of its value
+    subnode tree or 0). Values over the spec cutoff go to subnodes."""
+    sub_entries: list[tuple[int, int]] = []  # (nid, bidData)
+    next_sub_index = 0x900000  # arbitrary high index space for value nids
+
+    items: list[bytes] = []  # heap items 3.. (values), 1-based overall
+
+    def add_item(blob: bytes) -> int:
+        items.append(blob)
+        return _hid(2 + len(items))  # items 1,2 reserved for BTH+records
+
+    records: list[bytes] = []
+    for pid in sorted(props):
+        ptype, val = props[pid]
+        if ptype in _IMMEDIATE_TYPES:
+            hnid = int(val)
+        else:
+            blob = bytes(val)  # type: ignore[arg-type]
+            if len(blob) > _SUBNODE_VALUE_CUTOFF:
+                nonloc_nid = (next_sub_index << 5) | _NID_LTP
+                next_sub_index += 1
+                sub_entries.append((nonloc_nid, w.add_data(blob)))
+                hnid = nonloc_nid
+            elif not blob:
+                hnid = 0
+            else:
+                hnid = add_item(blob)
+        records.append(_U16.pack(pid) + _U16.pack(ptype) + _U32.pack(hnid))
+
+    bth_header = bytes((0xB5, 2, 6, 0)) + _U32.pack(_hid(2) if records else 0)
+    heap_items = [bth_header, b"".join(records), *items]
+
+    # HNHDR + items + page map
+    body = bytearray(12)
+    offsets = [12]
+    for it in heap_items:
+        body += it
+        offsets.append(len(body))
+    ibhnpm = len(body)
+    body += _U16.pack(len(heap_items)) + _U16.pack(0)
+    for off in offsets:
+        body += _U16.pack(off)
+    struct.pack_into("<H", body, 0, ibhnpm)
+    body[2] = 0xEC  # bSig
+    body[3] = 0xBC  # bClientSig: PC
+    struct.pack_into("<I", body, 4, _hid(1))  # hidUserRoot → BTH header
+    bid_data = w.add_block(bytes(body))
+
+    bid_sub = 0
+    if sub_entries:
+        sl = bytearray(bytes((0x02, 0x00)) + _U16.pack(len(sub_entries)) + b"\x00" * 4)
+        for nid, bd in sorted(sub_entries):
+            sl += _U64.pack(nid) + _U64.pack(bd) + _U64.pack(0)
+        bid_sub = w.add_block(bytes(sl), internal=True)
+    return bid_data, bid_sub
+
+
+def _pc_unicode(s: str) -> tuple[int, bytes]:
+    return _PT_UNICODE, s.encode("utf-16-le")
+
+
+def _pc_systime(dt: datetime) -> tuple[int, bytes]:
+    ft = int((dt - _FILETIME_EPOCH).total_seconds() * 10_000_000)
+    return _PT_SYSTIME, _U64.pack(ft)
+
+
+def _build_btree_pages(
+    leaf_entries: list[bytes],
+    keys: list[int],
+    cbent_leaf: int,
+    w: _PstWriter,
+) -> list[dict]:
+    """bottom-up BTree page build → page specs, root LAST. Intermediate
+    pages carry child dict refs (their BREFs need the children's file
+    offsets, assigned at layout time)."""
+    pages: list[dict] = []
+    per_leaf = 488 // cbent_leaf
+    level0: list[dict] = []
+    for i in range(0, len(leaf_entries), per_leaf):
+        chunk = leaf_entries[i : i + per_leaf]
+        level0.append(
+            {
+                "entries": chunk,
+                "cbent": cbent_leaf,
+                "clevel": 0,
+                "key": keys[i],
+                "children": None,
+            }
+        )
+    level = level0
+    while len(level) > 1:
+        parent: list[dict] = []
+        per = 488 // 24
+        for i in range(0, len(level), per):
+            chunk = level[i : i + per]
+            parent.append(
+                {
+                    "entries": None,
+                    "cbent": 24,
+                    "clevel": chunk[0]["clevel"] + 1,
+                    "key": chunk[0]["key"],
+                    "children": chunk,
+                }
+            )
+        pages.extend(level)
+        level = parent
+    pages.extend(level)
+    for p in pages:
+        p["bid"] = w._next_page_bid
+        w._next_page_bid += 4
+    return pages  # root last
+
+
+def build_pst(folders: list[tuple[str, list[dict]]]) -> bytes:
+    """Write a structurally real Unicode PST.
+
+    ``folders``: [(folder_name, [message, …])] with message dicts:
+      nid_index (int), subject, sender, to, cc (str|None), body (str),
+      date (aware datetime|None),
+      attachments: [(filename, bytes)] (optional).
+    """
+    w = _PstWriter()
+    nbt: list[tuple[int, int, int, int]] = []  # nid, bidData, bidSub, parent
+
+    # root folder
+    root_bd, root_bs = _build_pc_heap(
+        w, {_PID_DISPLAY_NAME: _pc_unicode("Top of Personal Folders")}
+    )
+    nbt.append((_NID_ROOT_FOLDER, root_bd, root_bs, _NID_ROOT_FOLDER))
+
+    next_folder_index = 0x8000
+    for fname, messages in folders:
+        fnid = (next_folder_index << 5) | _NID_NORMAL_FOLDER
+        next_folder_index += 1
+        fbd, fbs = _build_pc_heap(w, {_PID_DISPLAY_NAME: _pc_unicode(fname)})
+        nbt.append((fnid, fbd, fbs, _NID_ROOT_FOLDER))
+        for msg in messages:
+            props: dict[int, tuple[int, bytes | int]] = {
+                _PID_MESSAGE_CLASS: _pc_unicode("IPM.Note"),
+                _PID_BODY: _pc_unicode(msg.get("body", "")),
+            }
+            for pid, key in (
+                (_PID_SUBJECT, "subject"),
+                (_PID_SENDER_EMAIL, "sender"),
+                (_PID_DISPLAY_TO, "to"),
+                (_PID_DISPLAY_CC, "cc"),
+            ):
+                if msg.get(key):
+                    props[pid] = _pc_unicode(msg[key])
+            if msg.get("date") is not None:
+                props[_PID_CLIENT_SUBMIT] = _pc_systime(msg["date"])
+            mbd, mbs = _build_pc_heap(w, props)
+            # attachments ride the message's subnode tree (merged with
+            # any value subnodes the PC itself spilled)
+            atts = msg.get("attachments") or []
+            if atts:
+                entries: list[tuple[int, int, int]] = []
+                if mbs:
+                    raw = w.block_bytes.pop(mbs)
+                    cent = _u16(raw, 2)
+                    for i in range(cent):
+                        o = 8 + 24 * i
+                        entries.append(
+                            (_u64(raw, o), _u64(raw, o + 8), _u64(raw, o + 16))
+                        )
+                att_index = 0xA00000
+                for filename, blob in atts:
+                    anid = (att_index << 5) | _NID_ATTACHMENT
+                    att_index += 1
+                    abd, abs_ = _build_pc_heap(
+                        w,
+                        {
+                            _PID_ATTACH_LONG_FILENAME: _pc_unicode(filename),
+                            _PID_ATTACH_DATA: (_PT_BINARY, blob),
+                        },
+                    )
+                    entries.append((anid, abd, abs_))
+                sl = bytearray(
+                    bytes((0x02, 0x00)) + _U16.pack(len(entries)) + b"\x00" * 4
+                )
+                for nid_, bd_, bs_ in sorted(entries):
+                    sl += _U64.pack(nid_) + _U64.pack(bd_) + _U64.pack(bs_)
+                mbs = w.add_block(bytes(sl), internal=True)
+            mnid = (int(msg["nid_index"]) << 5) | _NID_NORMAL_MESSAGE
+            nbt.append((mnid, mbd, mbs, fnid))
+
+    # ---- layout: blocks first (64-aligned), then pages (512-aligned) ----
+    cursor = 1024
+    block_at: dict[int, int] = {}
+    chunks: list[tuple[int, bytes]] = []
+    for bid, payload in w.block_bytes.items():
+        slot = ((len(payload) + 16 + 63) // 64) * 64
+        block_at[bid] = cursor
+        trailer = (
+            _U16.pack(len(payload))
+            + _U16.pack(_block_sig(cursor, bid))
+            + _U32.pack(0)  # dwCRC not validated by tolerant readers
+            + _U64.pack(bid)
+        )
+        chunks.append((cursor, payload + b"\x00" * (slot - 16 - len(payload)) + trailer))
+        cursor += slot
+    cursor = (cursor + 511) // 512 * 512
+
+    # BBT leaf entries (sorted by bid)
+    bbt_entries = [
+        _U64.pack(bid)
+        + _U64.pack(block_at[bid])
+        + _U16.pack(len(w.block_bytes[bid]))
+        + _U16.pack(1)
+        + b"\x00" * 4
+        for bid in sorted(w.block_bytes)
+    ]
+    bbt_keys = sorted(w.block_bytes)
+    # NBT leaf entries (sorted by nid)
+    nbt.sort()
+    nbt_entries = [
+        _U64.pack(nid) + _U64.pack(bd) + _U64.pack(bs) + _U32.pack(par) + b"\x00" * 4
+        for nid, bd, bs, par in nbt
+    ]
+    nbt_keys = [n[0] for n in nbt]
+
+    def serialize_pages(specs: list[dict], ptype: int) -> tuple[int, int]:
+        """lay pages out at the current cursor; returns root (bid, ib)."""
+        nonlocal cursor
+        for p in specs:
+            p["ib"] = cursor
+            cursor += 512
+        for p in specs:
+            if p["children"] is not None:
+                ents = [
+                    _U64.pack(c["key"]) + _U64.pack(c["bid"]) + _U64.pack(c["ib"])
+                    for c in p["children"]
+                ]
+            else:
+                ents = p["entries"]
+            body = bytearray(512)
+            raw = b"".join(ents)
+            body[: len(raw)] = raw
+            body[488] = len(ents)
+            body[489] = 488 // p["cbent"]
+            body[490] = p["cbent"]
+            body[491] = p["clevel"]
+            body[496] = ptype
+            body[497] = ptype
+            struct.pack_into("<H", body, 498, _block_sig(p["ib"], p["bid"]))
+            struct.pack_into("<Q", body, 504, p["bid"])
+            chunks.append((p["ib"], bytes(body)))
+        root = specs[-1]
+        return root["bid"], root["ib"]
+
+    nbt_specs = _build_btree_pages(nbt_entries, nbt_keys, 32, w)
+    bbt_specs = _build_btree_pages(bbt_entries, bbt_keys, 24, w)
+    nbt_root = serialize_pages(nbt_specs, 0x81)
+    bbt_root = serialize_pages(bbt_specs, 0x80)
+
+    total = cursor
+    header = bytearray(1024)
+    header[:4] = PST_MAGIC
+    struct.pack_into("<H", header, 0x08, 0x4D53)  # wMagicClient "SM"
+    struct.pack_into("<H", header, 0x0A, 23)      # wVer: Unicode
+    struct.pack_into("<H", header, 0x0C, 19)      # wVerClient
+    header[0x0E] = 0x01                            # bPlatformCreate
+    header[0x0F] = 0x01                            # bPlatformAccess
+    struct.pack_into("<Q", header, 0x20, w._next_page_bid)  # bidNextP
+    struct.pack_into("<I", header, 0x28, 1)        # dwUnique
+    root = 0xB4
+    struct.pack_into("<Q", header, root + 4, total)   # ibFileEof
+    struct.pack_into("<Q", header, root + 12, 512)    # ibAMapLast (unbuilt)
+    struct.pack_into("<Q", header, root + 36, nbt_root[0])
+    struct.pack_into("<Q", header, root + 44, nbt_root[1])
+    struct.pack_into("<Q", header, root + 52, bbt_root[0])
+    struct.pack_into("<Q", header, root + 60, bbt_root[1])
+    header[root + 68] = 0  # fAMapValid: INVALID — maps not built
+    header[0x200] = 0x80   # bSentinel
+    header[0x201] = 0x00   # bCryptMethod: NDB_CRYPT_NONE
+    struct.pack_into("<Q", header, 0x204, w._next_bid)  # bidNextB
+
+    out = bytearray(total)
+    out[: len(header)] = header
+    for at, blob in chunks:
+        out[at : at + len(blob)] = blob
+    return bytes(out)

@@ -143,6 +143,54 @@ def _eml_sent(d: int) -> bytes:
 
 
 def _build_pst(d: int) -> bytes:
+    """every third doc is a REAL Unicode PST ([MS-PST] NDB/LTP file,
+    operators/pst.py) carrying the same two mails + attachment; the
+    rest use the extracted-tree fixture (a pre-run readpst dump). Both
+    decode to identical rows, so one oracle pins the real parser and
+    the member-tree plumbing side by side."""
+    if d % 3 == 0:
+        from datetime import datetime, timezone
+
+        from open_semantic_etl_spark.operators.pst import build_pst
+
+        return build_pst(
+            [
+                (
+                    "Inbox",
+                    [
+                        {
+                            "nid_index": 1000 + d,
+                            "subject": f"Bericht Nr {d}",
+                            "sender": f"user{d}@example.org",
+                            "to": f"team{d}@example.org, rcpt{d}@example.net",
+                            "cc": f"cc{d}@example.org",
+                            "body": f"Mail body {d}.\nGrüße, User {d}",
+                            "date": datetime(
+                                2024, 3, 1, 7, 30, d % 60, tzinfo=timezone.utc
+                            ),
+                            "attachments": [
+                                ("report.txt", f"attachment {d}".encode())
+                            ],
+                        }
+                    ],
+                ),
+                (
+                    "Sent",
+                    [
+                        {
+                            "nid_index": 2000 + d,
+                            "subject": f"Sent {d}",
+                            "sender": f"sender{d}@example.org",
+                            "to": f"dest{d}@example.org",
+                            "body": f"Grüße {d}",
+                            "date": datetime(
+                                2024, 3, 1, 10, 0, d % 60, tzinfo=timezone.utc
+                            ),
+                        }
+                    ],
+                ),
+            ]
+        )
     from open_semantic_etl_spark.sources.explode import build_pst_fixture
 
     return build_pst_fixture(

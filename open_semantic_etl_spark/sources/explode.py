@@ -245,11 +245,11 @@ def explode_warc(df: DataFrame, id_col: str = "url", bytes_col: str = "html") ->
 # are ``number-filename``; child id = parent id + '/<folder>/<file>'
 # and ``container_s`` stays the outermost container (:71-74).
 #
-# Real-PST parsing needs readpst/libpff (not in this container) — that
-# path is an explicit NotImplementedError seam keyed on the PST magic.
-# The deterministic "extracted-tree" fixture format below carries the
-# same member structure (folder path + payload) so the id scheme,
-# .eml rename rule, and Spark plumbing are real and tested.
+# Real ``!BDN`` payloads decode through the engine-native [MS-PST]
+# parser (operators/pst.py — Unicode NDB/LTP walk; messages named by
+# NID index so the bare-number rename rule below applies unchanged).
+# The deterministic "extracted-tree" fixture format below still
+# decodes too (it mimics a pre-extracted readpst dump).
 # ---------------------------------------------------------------------------
 
 PST_MAGIC = b"!BDN"  # MS-PST §2.2.2.6 header magic
@@ -277,9 +277,20 @@ def parse_pst_members(data: bytes, base_id: str, container: str) -> list[dict]:
     bare-number file names (no '-') are e-mails and gain ``.eml``
     (enhance_pst.py:100-108); attachments keep ``number-filename``."""
     if data[:4] == PST_MAGIC:
-        raise NotImplementedError(
-            "real Outlook PST parsing requires readpst/libpff (enhance_pst seam)"
-        )
+        from open_semantic_etl_spark.operators.pst import parse_pst
+
+        out = []
+        for path, payload in parse_pst(bytes(data)):
+            name = path.rsplit("/", 1)[-1]
+            child_path = path + ".eml" if "-" not in name else path
+            out.append(
+                {
+                    "child_id": f"{base_id}/{child_path}",
+                    "container_s": container,
+                    "bytes": payload,
+                }
+            )
+        return out
     if not data.startswith(PST_FIXTURE_MAGIC):
         raise ValueError("not a PST fixture payload")
     out: list[dict] = []

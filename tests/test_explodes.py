@@ -174,7 +174,8 @@ def test_explode_sentences(spark):
 def test_explode_pst(spark):
     """enhance_pst.py:20-128: folder-tree members, bare-number mail files
     gain .eml, attachments (number-filename) keep their name, container
-    stays the pst id; real-PST payloads hit the readpst seam."""
+    stays the pst id; real ``!BDN`` payloads decode through the native
+    [MS-PST] parser (corrupt ones degrade to zero children)."""
     import pytest
 
     fixture = E.build_pst_fixture(
@@ -195,8 +196,9 @@ def test_explode_pst(spark):
     }
     assert bytes(rows["file:///m/box.pst/Inbox/4321.eml"]["html"]) == b"From: a@x\n\nBody text"
     assert all(r["container_s"] == "file:///m/box.pst" for r in rows.values())
-    # real Outlook PST magic → explicit NotImplementedError seam
-    with pytest.raises(NotImplementedError):
+    # corrupt real-PST magic → clean error from the native parser
+    # (tests/test_pst.py pins the full decode of valid files)
+    with pytest.raises(ValueError):
         E.parse_pst_members(b"!BDN" + b"\x00" * 16, "id", "id")
     # and through Spark the bad row degrades to zero children, like zip
     bad = spark.createDataFrame(
