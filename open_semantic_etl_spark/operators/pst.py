@@ -307,10 +307,14 @@ def _bth_records(heap: _Heap, hdr_hid: int) -> list[tuple[bytes, bytes]]:
     cbkey, cbent, levels = hdr[1], hdr[2], hdr[3]
     root = _u32(hdr, 4)
     out: list[tuple[bytes, bytes]] = []
+    budget = [_MAX_PAGES]  # crafted deep/self-referencing BTHs must not spin
 
     def walk(hid: int, level: int) -> None:
         if hid == 0:
             return
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError("BTH walk over budget")
         item = heap.item(hid)
         if level > 0:  # intermediate: key + hidNextLevel u32
             rec = cbkey + 4
