@@ -75,6 +75,19 @@ _EPUB_MIME = "application/epub+zip"
 OFFICE_MIMES = frozenset(m for _, m in _OOXML_MARKERS) | _ODF_MIMES | {_EPUB_MIME}
 
 
+#: zip-bomb guard: zipfile never yields more than a member's declared
+#: file_size, so a pre-read check bounds allocation (an OOM kill is not
+#: catchable by the per-row error contract)
+_MAX_PART_BYTES = 1 << 28   # 256 MB per XML part / chapter
+_MAX_TOTAL_BYTES = 1 << 30  # 1 GB decompressed per document
+
+
+def _zread(zf: zipfile.ZipFile, name: str) -> bytes:
+    if zf.getinfo(name).file_size > _MAX_PART_BYTES:
+        raise ValueError(f"zip member {name!r} over size cap")
+    return zf.read(name)
+
+
 def _local(tag: str) -> str:
     return tag.rpartition("}")[2]
 
@@ -98,7 +111,8 @@ def sniff_office(data: bytes) -> str | None:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             names = set(zf.namelist())
             if "mimetype" in names:
-                mt = zf.read("mimetype").decode("ascii", "replace").strip()
+                with zf.open("mimetype") as f:
+                    mt = f.read(256).decode("ascii", "replace").strip()
                 if mt in _ODF_MIMES or mt == _EPUB_MIME:
                     return mt
             for marker, mime in _OOXML_MARKERS:
@@ -217,7 +231,7 @@ def _xlsx_sheet_lines(root: ET.Element, shared: list[str]) -> list[str]:
 
 def _xlsx_text(zf: zipfile.ZipFile, names: set[str]) -> list[str]:
     shared = (
-        _shared_strings(zf.read("xl/sharedStrings.xml"))
+        _shared_strings(_zread(zf, "xl/sharedStrings.xml"))
         if "xl/sharedStrings.xml" in names
         else []
     )
@@ -227,7 +241,7 @@ def _xlsx_text(zf: zipfile.ZipFile, names: set[str]) -> list[str]:
     )
     lines: list[str] = []
     for sn in sheets:
-        root = _parse_xml(zf.read(sn))
+        root = _parse_xml(_zread(zf, sn))
         if root is not None:
             lines.extend(_xlsx_sheet_lines(root, shared))
     return lines
@@ -247,7 +261,7 @@ def _pptx_text(zf: zipfile.ZipFile, names: set[str]) -> list[str]:
     )
     lines: list[str] = []
     for sn in slides:
-        root = _parse_xml(zf.read(sn))
+        root = _parse_xml(_zread(zf, sn))
         if root is None:
             continue
         for el in root.iter():
@@ -380,7 +394,7 @@ def _epub_opf_path(zf: zipfile.ZipFile, names: set[str]) -> str | None:
     """OPF package path from META-INF/container.xml (OCF 3.0 §3.5),
     falling back to the first *.opf member."""
     if "META-INF/container.xml" in names:
-        root = _parse_xml(zf.read("META-INF/container.xml"))
+        root = _parse_xml(_zread(zf, "META-INF/container.xml"))
         if root is not None:
             for el in root.iter():
                 if _local(el.tag) == "rootfile":
@@ -405,7 +419,7 @@ def _epub_extract(
     opf_path = _epub_opf_path(zf, names)
     if opf_path is None:
         return [], 0, None, None
-    opf = _parse_xml(zf.read(opf_path))
+    opf = _parse_xml(_zread(zf, opf_path))
     if opf is None:
         return [], 0, None, None
     title = author = None
@@ -428,6 +442,7 @@ def _epub_extract(
     base = opf_path.rpartition("/")[0]
     lines: list[str] = []
     n_blocks = 0
+    budget = _MAX_TOTAL_BYTES
     for ref in spine:
         href = manifest.get(ref)
         if not href:
@@ -444,7 +459,11 @@ def _epub_extract(
         path = "/".join(parts)
         if path not in names:
             continue
-        ch = extract_html(zf.read(path))
+        size = zf.getinfo(path).file_size
+        if size > _MAX_PART_BYTES or size > budget:
+            continue  # oversized chapter: skip it, keep the rest
+        budget -= size
+        ch = extract_html(_zread(zf, path))
         if ch["content"]:
             lines.extend(ch["content"].split("\n"))
         n_blocks += ch["n_blocks"]
@@ -473,7 +492,7 @@ def extract_office(data: bytes) -> dict | None:
             names = set(zf.namelist())
             lines: list[str] = []
             if mime.endswith("wordprocessingml.document"):
-                root = _parse_xml(zf.read("word/document.xml"))
+                root = _parse_xml(_zread(zf, "word/document.xml"))
                 if root is not None:
                     lines = _docx_text(root)
             elif mime.endswith("spreadsheetml.sheet"):
@@ -487,7 +506,7 @@ def extract_office(data: bytes) -> dict | None:
                 return res
             else:  # ODF family
                 root = (
-                    _parse_xml(zf.read("content.xml"))
+                    _parse_xml(_zread(zf, "content.xml"))
                     if "content.xml" in names
                     else None
                 )
@@ -500,10 +519,10 @@ def extract_office(data: bytes) -> dict | None:
             if mime.startswith("application/vnd.openxmlformats"):
                 if "docProps/core.xml" in names:
                     res["title"], res["author"] = _core_props(
-                        zf.read("docProps/core.xml")
+                        _zread(zf, "docProps/core.xml")
                     )
             elif "meta.xml" in names:
-                res["title"], res["author"] = _odf_meta(zf.read("meta.xml"))
+                res["title"], res["author"] = _odf_meta(_zread(zf, "meta.xml"))
             res["n_blocks"] = len(lines)
             res["content"] = "\n".join(ln for ln in lines if ln.strip())
     except Exception as e:  # noqa: BLE001 — per-row error contract

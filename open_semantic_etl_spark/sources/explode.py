@@ -45,21 +45,49 @@ ZIP_CHILD_TYPE = T.ArrayType(
 )
 
 
-def _zip_members(data: bytes, base_id: str, container: str) -> list[dict]:
+#: zip-bomb guards: zipfile never yields more than a member's declared
+#: file_size, so checking it BEFORE read bounds allocation. A poison
+#: archive (high-ratio or overlap bomb) must not OOM the Python worker —
+#: that death is uncatchable by the per-row try.
+ZIP_MAX_MEMBER_BYTES = 1 << 28   # 256 MB per member
+ZIP_MAX_ARCHIVE_BYTES = 1 << 30  # 1 GB decompressed per container
+_ZIP_MAX_DEPTH = 8               # zip-in-zip nesting
+
+
+def _zip_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
     out: list[dict] = []
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue
+            if info.file_size > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+                continue  # oversized member: skip it, keep the rest
             payload = zf.read(info)
+            _budget[0] -= len(payload)
             child_id = f"{base_id}/{info.filename}"
-            if payload[:4] == b"PK\x03\x04" and info.filename.lower().endswith(".zip"):
+            if (
+                payload[:4] == b"PK\x03\x04"
+                and info.filename.lower().endswith(".zip")
+                and _depth < _ZIP_MAX_DEPTH
+            ):
                 # zip-in-zip: recurse, keep the OUTERMOST container id
-                out.extend(_zip_members(payload, child_id, container))
+                out.extend(
+                    _zip_members(payload, child_id, container, _depth + 1, _budget)
+                )
             else:
                 out.append(
                     {"child_id": child_id, "container_s": container, "bytes": payload}
                 )
+            if _budget[0] <= 0:
+                break
     return out
 
 

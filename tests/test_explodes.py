@@ -234,3 +234,60 @@ def test_pst_fixture_roundtrip_property():
             assert child["container_s"] == "file:///m/a.pst"
 
     check()
+
+
+def test_zip_bomb_member_skipped(monkeypatch):
+    """a member whose declared decompressed size exceeds the cap is
+    skipped before any allocation (zipfile never yields more than
+    file_size, so the pre-read check is sound); siblings survive."""
+    import io
+    import zipfile
+
+    monkeypatch.setattr(E, "ZIP_MAX_MEMBER_BYTES", 1024)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("bomb.bin", b"\x00" * 10_000)
+        zf.writestr("ok.txt", b"hello")
+    got = E._zip_members(buf.getvalue(), "file:///z.zip", "file:///z.zip")
+    assert [m["child_id"] for m in got] == ["file:///z.zip/ok.txt"]
+
+
+def test_zip_archive_budget_truncates(monkeypatch):
+    """total decompressed budget stops the walk — an overlap bomb with
+    thousands of cheap-to-declare members cannot run away."""
+    import io
+    import zipfile
+
+    monkeypatch.setattr(E, "ZIP_MAX_ARCHIVE_BYTES", 250)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(10):
+            zf.writestr(f"m{i}.txt", b"x" * 100)
+    got = E._zip_members(buf.getvalue(), "file:///z.zip", "file:///z.zip")
+    # 100+100 fit; the third (100 > 50 remaining) and everything after
+    # are skipped pre-read
+    assert len(got) == 2
+
+
+def test_zip_nesting_depth_capped():
+    """zip-in-zip recursion stops at the depth cap: the deepest archive
+    is emitted as an opaque member instead of recursed (a zip quine
+    cannot loop the worker)."""
+    import io
+    import zipfile
+
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("leaf.txt", b"core")
+    data = inner.getvalue()
+    for i in range(10):
+        outer = io.BytesIO()
+        with zipfile.ZipFile(outer, "w") as zf:
+            zf.writestr(f"n{i}.zip", data)
+        data = outer.getvalue()
+    got = E._zip_members(data, "file:///z.zip", "file:///z.zip")
+    assert len(got) == 1
+    # depth cap (8) hit before the leaf: the remaining nested archive
+    # surfaces as a raw .zip member rather than recursing forever
+    assert got[0]["child_id"].endswith(".zip")
+    assert got[0]["bytes"][:4] == b"PK\x03\x04"

@@ -472,3 +472,16 @@ def test_generic_xml_label():
     assert extract_html(xh)["content_type"] == "application/xhtml+xml"
     ht = b'<?xml version="1.0"?><html><body><p>y</p></body></html>'
     assert extract_html(ht)["content_type"] == "text/html"
+
+
+def test_office_zip_bomb_capped(monkeypatch):
+    """an office part whose declared decompressed size exceeds the cap
+    fails the row with ok=False/err instead of allocating it."""
+    from open_semantic_etl_spark.operators import office
+
+    monkeypatch.setattr(office, "_MAX_PART_BYTES", 1024)
+    doc = office.build_docx(["x" * 5000], title="t", author="a")
+    res = office.extract_office(doc)
+    assert res is not None and res["ok"] is False
+    assert "size cap" in res["err"]
+    assert res["content"] == ""
