@@ -493,3 +493,49 @@ def test_tnef_total_on_garbage_and_truncation():
         r = extract_tnef(t[:cut])
         if r is not None:
             assert isinstance(r["content"], str) and isinstance(r["ok"], bool)
+
+
+# ---------------------------------------------------------------------------
+# independent crypto oracle: pdfio's from-scratch AES/RC4 vs the
+# `cryptography` package (OpenSSL-backed). The AES tables are derived
+# algebraically in pdfio, so a systematic derivation error would pass
+# every self-round-trip test — only an external implementation pins it.
+# ---------------------------------------------------------------------------
+
+
+def test_pdfio_aes_rc4_match_openssl():
+    pytest = __import__("pytest")
+    try:
+        from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4
+        from cryptography.hazmat.primitives.ciphers import (
+            Cipher,
+            algorithms,
+            modes,
+        )
+    except ImportError:
+        pytest.skip("cryptography not available")
+    import random
+
+    from open_semantic_etl_spark.operators.pdfio import (
+        _aes_cbc_decrypt,
+        _aes_cbc_encrypt,
+        _rc4,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    for klen in (16, 24, 32):
+        for _ in range(8):
+            key = bytes(rng.randrange(256) for _ in range(klen))
+            iv = bytes(rng.randrange(256) for _ in range(16))
+            pt = bytes(rng.randrange(256) for _ in range(rng.choice((16, 48, 160))))
+            enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+            want = enc.update(pt) + enc.finalize()
+            got = _aes_cbc_encrypt(key, iv, pt, pad=False)
+            assert got == want, f"AES-{klen * 8} CBC encrypt diverges"
+            assert _aes_cbc_decrypt(key, iv, want, pad=False) == pt
+    for klen in (5, 16, 32):
+        for _ in range(8):
+            key = bytes(rng.randrange(256) for _ in range(klen))
+            pt = bytes(rng.randrange(256) for _ in range(100))
+            enc = Cipher(ARC4(key), mode=None).encryptor()
+            assert _rc4(key, pt) == enc.update(pt), "RC4 diverges"
