@@ -495,6 +495,18 @@ def extract_office(data: bytes) -> dict | None:
                 root = _parse_xml(_zread(zf, "word/document.xml"))
                 if root is not None:
                     lines = _docx_text(root)
+                # footnotes/endnotes are document text (Tika includes
+                # them); headers/footers stay excluded — running page
+                # furniture is exactly the boilerplate this engine
+                # strips everywhere else
+                for part in ("word/footnotes.xml", "word/endnotes.xml"):
+                    if part not in names:
+                        continue
+                    nroot = _parse_xml(_zread(zf, part))
+                    if nroot is not None:
+                        # separator/continuation pseudo-notes carry no
+                        # w:t runs, so the empty-line filter drops them
+                        lines.extend(_docx_text(nroot))
             elif mime.endswith("spreadsheetml.sheet"):
                 lines = _xlsx_text(zf, names)
             elif mime.endswith("presentationml.presentation"):

@@ -485,3 +485,46 @@ def test_office_zip_bomb_capped(monkeypatch):
     assert res is not None and res["ok"] is False
     assert "size cap" in res["err"]
     assert res["content"] == ""
+
+
+def test_docx_footnotes_and_endnotes_extracted():
+    """footnotes/endnotes are document text (the reference's Tika tier
+    emits them); separator pseudo-notes carry no runs and vanish via
+    the empty-line filter. Headers/footers stay excluded (running page
+    furniture = boilerplate)."""
+    import io
+    import zipfile
+
+    from open_semantic_etl_spark.operators import office
+
+    base = office.build_docx(["Body para"], title="t", author="a")
+    buf = io.BytesIO(base)
+    fn = (
+        '<?xml version="1.0"?>'
+        '<w:footnotes xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        '<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:separator/></w:r></w:p></w:footnote>'
+        '<w:footnote w:id="1"><w:p><w:r><w:t>A footnote.</w:t></w:r></w:p></w:footnote>'
+        "</w:footnotes>"
+    )
+    en = (
+        '<?xml version="1.0"?>'
+        '<w:endnotes xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        '<w:endnote w:id="1"><w:p><w:r><w:t>An endnote.</w:t></w:r></w:p></w:endnote>'
+        "</w:endnotes>"
+    )
+    hdr = (
+        '<?xml version="1.0"?>'
+        '<w:hdr xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:p><w:r><w:t>Page header furniture</w:t></w:r></w:p></w:hdr>"
+    )
+    out = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(base)) as zin, zipfile.ZipFile(out, "w") as zf:
+        for info in zin.infolist():
+            zf.writestr(info, zin.read(info))
+        zf.writestr("word/footnotes.xml", fn)
+        zf.writestr("word/endnotes.xml", en)
+        zf.writestr("word/header1.xml", hdr)
+    res = office.extract_office(out.getvalue())
+    assert res["ok"]
+    assert res["content"] == "Body para\nA footnote.\nAn endnote."
+    assert "furniture" not in res["content"]
