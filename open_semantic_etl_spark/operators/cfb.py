@@ -438,6 +438,13 @@ def _rk_value(rk: int) -> float:
     return val / 100.0 if rk & 0x01 else val
 
 
+#: BIFF BErr error codes ([MS-XLS] 2.5.10)
+_XLS_ERRORS = {
+    0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
+    0x1D: "#NAME?", 0x24: "#NUM!", 0x2A: "#N/A",
+}
+
+
 def _xls_lines(workbook: bytes) -> list[str]:
     """Cell text lines (tab-joined per row, sheets in file order)."""
     sst: list[str] = []
@@ -477,6 +484,12 @@ def _xls_lines(workbook: bytes) -> list[str]:
         elif rec == 0x027E and len(body) >= 10:  # RK
             rw, col = _u16(body, 0), _u16(body, 2)
             cells[(sheet, rw, col)] = _num_repr(_rk_value(_u32(body, 6)))
+        elif rec == 0x0205 and len(body) >= 8:  # BOOLERR
+            rw, col, v, is_err = _u16(body, 0), _u16(body, 2), body[6], body[7]
+            if is_err:
+                cells[(sheet, rw, col)] = _XLS_ERRORS.get(v, "#ERR!")
+            else:
+                cells[(sheet, rw, col)] = "TRUE" if v else "FALSE"
     if pending_sst is not None:  # SST at end of stream
         rd = _Chunks(pending_sst)
         rd.read(8)

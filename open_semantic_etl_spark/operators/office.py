@@ -222,7 +222,10 @@ def _xlsx_sheet_lines(root: ET.Element, shared: list[str]) -> list[str]:
                     cells.append(shared[int(raw)])
                 except (ValueError, IndexError):
                     cells.append("")
-            else:
+            elif ctype == "b":
+                # Excel (and Tika) display booleans as TRUE/FALSE, not 1/0
+                cells.append("TRUE" if raw.strip() == "1" else "FALSE")
+            else:  # n / str / e: the cached <v> text is the display text
                 cells.append(raw)
         if cells:
             lines.append("\t".join(cells))

@@ -539,3 +539,29 @@ def test_pdfio_aes_rc4_match_openssl():
             pt = bytes(rng.randrange(256) for _ in range(100))
             enc = Cipher(ARC4(key), mode=None).encryptor()
             assert _rc4(key, pt) == enc.update(pt), "RC4 diverges"
+
+
+def test_xls_boolerr_cells():
+    """BOOLERR records (0x0205) render the way Excel displays them:
+    TRUE/FALSE for booleans, the #-error string for errors."""
+    import struct as _s
+
+    from open_semantic_etl_spark.operators.cfb import (
+        _xls_lines,
+        build_xls,
+        extract_cfb,
+        parse_cfb,
+    )
+
+    base = build_xls([["label", 7]])
+    streams = parse_cfb(base)
+    wb = bytearray(streams[("Workbook",)])
+
+    def boolerr(rw, col, v, is_err):
+        body = _s.pack("<HHHBB", rw, col, 0, v, is_err)
+        return _s.pack("<HH", 0x0205, len(body)) + body
+
+    # splice extra records just before the stream end
+    extra = boolerr(1, 0, 1, 0) + boolerr(1, 1, 0, 0) + boolerr(2, 0, 0x07, 1)
+    lines = _xls_lines(bytes(wb) + extra)
+    assert lines == ["label\t7", "TRUE\tFALSE", "#DIV/0!"]

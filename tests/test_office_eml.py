@@ -528,3 +528,28 @@ def test_docx_footnotes_and_endnotes_extracted():
     assert res["ok"]
     assert res["content"] == "Body para\nA footnote.\nAn endnote."
     assert "furniture" not in res["content"]
+
+
+def test_xlsx_bool_and_error_cells():
+    """t=\"b\" cells display TRUE/FALSE; t=\"e\" cells carry the error
+    display text in <v> and pass through."""
+    import io
+    import zipfile
+
+    from open_semantic_etl_spark.operators.office import extract_office
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="b"><v>1</v></c><c r="B1" t="b"><v>0</v></c>'
+        '<c r="C1" t="e"><v>#DIV/0!</v></c><c r="D1"><v>42</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", "<workbook/>")
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    res = extract_office(buf.getvalue())
+    assert res["ok"] and res["content"] == "TRUE\tFALSE\t#DIV/0!\t42"
