@@ -44,12 +44,36 @@ def fake_ocr(image_bytes: bytes) -> str:
     return ""
 
 
-def tesseract_ocr(image_bytes: bytes) -> str:  # pragma: no cover - env seam
-    """real engine seam — tesseract is not installed in this container."""
-    raise NotImplementedError(
-        "tesseract is not available in this environment; plug a real "
-        "engine here (enhance_ocr.py:42-50 equivalent) or use fake_ocr"
-    )
+def tesseract_ocr(image_bytes: bytes, lang: str = "eng") -> str:
+    """real engine binding (enhance_ocr.py:42-50: the reference shells
+    to the tesseract binary per image). Wired but dormant here — the
+    container ships no tesseract, so absence raises the documented
+    NotImplementedError; when the binary exists on PATH the binding is
+    live (tests exercise it through a stand-in executable)."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    exe = shutil.which("tesseract")
+    if exe is None:
+        raise NotImplementedError(
+            "tesseract is not on PATH in this environment; install it or "
+            "use the deterministic fake_ocr engine"
+        )
+    fd, path = tempfile.mkstemp(suffix=".png")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(image_bytes)
+        out = subprocess.run(
+            [exe, path, "stdout", "-l", lang],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+        return out.stdout.decode("utf-8", "replace")
+    finally:
+        os.unlink(path)
 
 
 ENGINES: dict[str, Callable[[bytes], str]] = {

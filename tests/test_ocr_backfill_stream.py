@@ -224,3 +224,31 @@ def test_multimodal_frames_and_audio(spark):
     assert metas["a1"]["duration_ms"] == 500
     assert metas["a1"]["ok"] is True
     assert metas["a2"]["ok"] is False and "torchaudio" in metas["a2"]["err"]
+
+
+def test_tesseract_binding_shells_when_binary_present(tmp_path, monkeypatch):
+    """the real-engine binding is wired: with a tesseract executable on
+    PATH it shells out (stand-in script proves the subprocess contract:
+    argv = <img> stdout -l <lang>, text on stdout); without one it
+    raises the documented NotImplementedError."""
+    import os
+    import stat
+
+    from open_semantic_etl_spark.operators.ocr import tesseract_ocr
+
+    fake = tmp_path / "tesseract"
+    fake.write_text(
+        '#!/bin/sh\n'
+        '[ "$2" = "stdout" ] || exit 2\n'
+        '[ "$3" = "-l" ] || exit 2\n'
+        'printf "OCR(%s):" "$4"\ncat "$1"\n'
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+    assert tesseract_ocr(b"pixels", lang="deu") == "OCR(deu):pixels"
+
+    monkeypatch.setenv("PATH", str(tmp_path / "empty"))
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        tesseract_ocr(b"pixels")
