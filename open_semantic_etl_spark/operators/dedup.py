@@ -450,6 +450,154 @@ def ngram_decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# exact-substring duplicated spans (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def _tokens_and_grams(text: Column, n: int) -> Column:
+    """struct<nt:int, gs:array<string>>: token count plus word
+    ``n``-grams in document order (NOT distinct — positions matter;
+    index in the array == 0-based start token). Tokenizer is
+    single-sourced with :func:`word_shingles` (lowercase, trim, split
+    on whitespace); BOTH outputs come from one let-bound token array
+    so the split runs once per row — not once per gram, and not again
+    for the count."""
+    from open_semantic_etl_spark.functions.binding import let
+
+    def body(words: Column) -> Column:
+        k = F.size(words) - (n - 1)
+        gs = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(F.size(words).alias("nt"), gs.alias("gs"))
+
+    return let(F.split(F.lower(F.trim(text)), r"\s+"), body)
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """exact-substring duplicate detection: the distributed stand-in for
+    the suffix-array dedup of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better", §3.2 ExactSubstr). A token is
+    *duplicated* when it is covered by some word ``n``-gram occurring
+    ``min_count``-or-more times corpus-wide (within- OR cross-document
+    — the paper removes self-repeats too). Overlapping duplicated
+    grams merge into maximal spans.
+
+    Returns one row per input row: ``id_col``, ``total_tokens``,
+    ``dup_tokens`` (union size of the duplicated spans, in tokens),
+    ``dup_spans`` (count of maximal spans), ``dup_frac``.
+
+    Scale shape (the reason this replaces a suffix array on Spark):
+    the corpus crosses the wire as (gram_hash 8 B, doc_id, pos) rows —
+    never text. One shuffle counts gram occurrences (map-side partial
+    aggregation collapses each partition's repeats first), one
+    re-shuffle joins the surviving duplicated hashes back to positions
+    (AQE picks broadcast when the duplicated set is small), and the
+    island merge is a per-doc sort + fold — O(corpus tokens) total
+    work, same as the paper's suffix array, but embarrassingly
+    partitionable. Reference bar: the reference engine has no dedup
+    tier at all (SURVEY §2 LLM-ops addendum); semantics follow the
+    paper.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        _tokens_and_grams(F.col(text_col), n).alias("_tg"),
+    ).select(
+        "_id",
+        F.col("_tg.nt").alias("total_tokens"),
+        F.col("_tg.gs").alias("_grams"),
+    )
+    # posexplode_outer, NOT posexplode: the non-outer Generate makes
+    # Catalyst push a size(grams)>0 filter below it, and that filter
+    # (plus its scan DataFilter twin) re-evaluates the whole let-bound
+    # tokenize+gram expression per row — 3 evaluations per scan instead
+    # of 1 (no CSE across Filter/Project operator boundaries). The
+    # outer variant emits one null row for gram-less docs, dropped by a
+    # cheap filter on the GENERATED column.
+    grams = (
+        base.select("_id", F.posexplode_outer("_grams").alias("pos", "g"))
+        .filter(F.col("pos").isNotNull())
+        .select("_id", "pos", F.xxhash64("g").alias("gh"))
+    )
+    dup_hashes = (
+        grams.groupBy("gh").count().filter(F.col("count") >= min_count).select("gh")
+    )
+    hit_pos = grams.join(dup_hashes, "gh").select("_id", "pos")
+
+    # per-doc island merge: sorted start positions fold left; spans of
+    # equal length n merge when the next start is <= prev_start + n
+    s = lambda sp, tk, st, pv: F.struct(  # noqa: E731
+        sp.alias("spans"), tk.alias("toks"), st.alias("start"), pv.alias("prev")
+    )
+    zero = F.lit(0).cast("long")
+    init = s(zero, zero, F.lit(-1).cast("long"), F.lit(-1).cast("long"))
+
+    def step(st: Column, p: Column) -> Column:
+        pl = p.cast("long")
+        return (
+            F.when(st["start"] < 0, s(F.lit(1).cast("long"), zero, pl, pl))
+            .when(pl <= st["prev"] + n, s(st["spans"], st["toks"], st["start"], pl))
+            .otherwise(
+                s(
+                    st["spans"] + 1,
+                    st["toks"] + st["prev"] - st["start"] + n,
+                    pl,
+                    pl,
+                )
+            )
+        )
+
+    def finish(st: Column) -> Column:
+        closed = F.when(
+            st["start"] >= 0, st["toks"] + st["prev"] - st["start"] + n
+        ).otherwise(zero)
+        return F.struct(st["spans"].alias("spans"), closed.alias("toks"))
+
+    per_doc = (
+        hit_pos.groupBy("_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .select(
+            "_id",
+            F.aggregate(F.col("ps"), init, step, finish).alias("r"),
+        )
+        .select(
+            "_id",
+            F.col("r.spans").alias("dup_spans"),
+            F.col("r.toks").alias("dup_tokens"),
+        )
+    )
+    out = (
+        base.drop("_grams")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("total_tokens").cast("int").alias("total_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("int").alias("dup_tokens"),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("int").alias("dup_spans"),
+        )
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.when(
+            F.col("total_tokens") > 0,
+            F.col("dup_tokens").cast("double") / F.col("total_tokens"),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1881,14 +1881,21 @@ FROM urls u LEFT JOIN (SELECT url, allow FROM m WHERE rn = 1) m USING (url)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPT-3-style benchmark decontamination: flag documents sharing
-    any 5-gram with the 'benchmark' subset (doc_id % 97 == 0)."""
-    from open_semantic_etl_spark.operators.dedup import ngram_decontaminate
+    """GPT-3-style benchmark decontamination (flag documents sharing
+    any 5-gram with the 'benchmark' subset doc_id % 97 == 0), plus the
+    exact-substring duplicated-span stats of Lee et al. 2021 §3.2 over
+    the same 5-gram tokenization (consolidated here — same per-doc
+    grain — to hold the driver's 50-query cap)."""
+    from open_semantic_etl_spark.operators.dedup import (
+        exact_substring_spans,
+        ngram_decontaminate,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
-    out = ngram_decontaminate(docs, bench, n=5)
-    return out.select("doc_id", "n_overlap", "is_contaminated")
+    deco = ngram_decontaminate(docs, bench, n=5)
+    spans = exact_substring_spans(docs, n=5)
+    return deco.select("doc_id", "n_overlap", "is_contaminated").join(spans, "doc_id")
 
 
 SQL_DECONTAMINATE = """
@@ -1904,11 +1911,43 @@ WITH w AS (
 ), bench AS (
   SELECT list(DISTINCT g) AS bl
   FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0)
+), deco AS (
+  SELECT doc_id,
+         len(list_intersect(sh, bl))::int AS n_overlap,
+         (len(list_intersect(sh, bl)) > 0)::int AS is_contaminated
+  FROM sh, bench
+), g AS (
+  SELECT doc_id, i - 1 AS pos,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM w WHERE len(w) >= 5)
+), dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), hp AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+              THEN 0 ELSE 1 END AS brk
+  FROM hp
+), isl2 AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+), sp AS (
+  SELECT doc_id, island, max(pos) - min(pos) + 5 AS toks
+  FROM isl2 GROUP BY doc_id, island
+), es AS (
+  SELECT doc_id, count(*)::int AS dup_spans, sum(toks)::int AS dup_tokens
+  FROM sp GROUP BY doc_id
 )
-SELECT doc_id,
-       len(list_intersect(sh, bl))::int AS n_overlap,
-       (len(list_intersect(sh, bl)) > 0)::int AS is_contaminated
-FROM sh, bench
+SELECT d.doc_id, d.n_overlap, d.is_contaminated,
+       len(w.w)::int AS total_tokens,
+       coalesce(es.dup_tokens, 0)::int AS dup_tokens,
+       coalesce(es.dup_spans, 0)::int AS dup_spans,
+       CASE WHEN len(w.w) > 0
+            THEN coalesce(es.dup_tokens, 0)::double / len(w.w)
+            ELSE 0.0 END AS dup_frac
+FROM deco d JOIN w USING (doc_id) LEFT JOIN es USING (doc_id)
 """
 
 

@@ -541,3 +541,82 @@ def test_curation_null_lang_drops(spark):
     assert got[1][0] == 1
     assert got[2][0] == 0 and "lang" in got[2][1]  # NULL lang fails CLOSED
     assert got[3][0] == 0 and "lang" in got[3][1]
+
+
+def test_exact_substring_spans(spark):
+    """Lee et al. 2021 exact-substring semantics: cross-doc shared runs
+    and within-doc self-repeats both count; islands merge; short docs
+    contribute nothing (hand-verified expectations)."""
+    from open_semantic_etl_spark.operators.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g x y z"),   # shares "a b c d e f g" with 2
+            (2, "q r a b c d e f g"),
+            (3, "m n o p q m n o p q"),   # self-repeat -> whole doc dup
+            (4, "u1 u2 u3 u4 u5 u6"),     # unique
+            (5, "s t"),                   # sub-n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["total_tokens"], r["dup_tokens"], r["dup_spans"])
+        for r in exact_substring_spans(df, n=5).collect()
+    }
+    assert got[1] == (10, 7, 1)
+    assert got[2] == (9, 7, 1)
+    assert got[3] == (10, 10, 1)  # two overlapping occurrences merge
+    assert got[4] == (6, 0, 0)
+    assert got[5] == (2, 0, 0)
+
+
+def test_exact_substring_matches_bruteforce(spark):
+    """randomized corpus vs an independent pure-Python oracle: the set
+    of duplicated token positions (union of >=min_count n-grams) and
+    the maximal-span count must match exactly."""
+    import random
+
+    from open_semantic_etl_spark.operators.dedup import exact_substring_spans
+
+    rng = random.Random(42)
+    n = 4
+    docs = []
+    vocab = [f"w{i}" for i in range(30)]
+    for i in range(60):
+        length = rng.randint(0, 25)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(length))))
+
+    # independent oracle
+    from collections import Counter
+
+    grams = Counter()
+    tokd = {}
+    for i, t in docs:
+        # match the split(r"\s+") contract: empty text -> [""]
+        w = t.lower().strip().split() if t.strip() else [""]
+        tokd[i] = w
+        for p in range(len(w) - n + 1):
+            grams[tuple(w[p : p + n])] += 1
+    expect = {}
+    for i, w in tokd.items():
+        covered = set()
+        starts = [
+            p for p in range(len(w) - n + 1) if grams[tuple(w[p : p + n])] >= 2
+        ]
+        for p in starts:
+            covered.update(range(p, p + n))
+        spans = 0
+        prev = None
+        for tok in sorted(covered):
+            if prev is None or tok > prev + 1:
+                spans += 1
+            prev = tok
+        expect[i] = (len(covered), spans)
+
+    got = {
+        r["doc_id"]: (r["dup_tokens"], r["dup_spans"])
+        for r in exact_substring_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=n
+        ).collect()
+    }
+    assert got == expect

@@ -491,6 +491,38 @@ def main() -> int:
         ],
     )
 
+    # 16b. exact-substring spans (Lee et al. 2021): the gram-count
+    # shuffle and the hit-join carry (gh, _id, pos) bigints only — the
+    # text / gram strings never ride an exchange; the per-gram concat
+    # runs over a LET-BOUND token array (split once per scan)
+    from open_semantic_etl_spark.operators.dedup import exact_substring_spans
+
+    ess = exact_substring_spans(docs.select("doc_id", "text"), n=5)
+    section(
+        "exact-substring spans — key-only shuffles, split let-bound",
+        ess,
+        [
+            ("no text column in any shuffle Exchange input", no_text_in_shuffle),
+            (
+                "no gram string in any shuffle Exchange input",
+                lambda p: not any(
+                    re.search(r"\bg#\d+", m.group(1))
+                    for m in re.finditer(
+                        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p
+                    )
+                ),
+            ),
+            # 3 doc scans (gram-count side, hit-join side, output
+            # side), each evaluating the let-bound split exactly once —
+            # posexplode_outer keeps the size()>0 pushdown from
+            # tripling the count (see dedup.py exact_substring_spans)
+            (
+                "tokenizer split appears once per doc scan (<= 3)",
+                lambda p: p.count("split(") <= 3,
+            ),
+        ],
+    )
+
     # 17b. same let-binding guard on the shingle scan feeding
     # decontamination/jaccard (word_shingles)
     from open_semantic_etl_spark.operators.dedup import word_shingles
