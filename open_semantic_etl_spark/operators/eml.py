@@ -56,10 +56,13 @@ def _addrs(msg, headers: tuple[str, ...]) -> list[str]:
 
 
 def _body_text(msg) -> str:
-    """first non-attachment text/plain part (transfer-decoded); falls
-    back to the first text/html part run through the HTML extractor,
-    then to a TNEF winmail.dat attachment (Outlook rich mail puts the
-    real body there — [MS-OXTNEF], operators/cfb.py extract_tnef)."""
+    """first NON-EMPTY non-attachment text/plain part (transfer-
+    decoded); falls back to the first text/html part run through the
+    HTML extractor, then to a TNEF winmail.dat attachment (Outlook rich
+    mail puts the real body there — [MS-OXTNEF], operators/cfb.py
+    extract_tnef). An empty/whitespace plain part must NOT short-
+    circuit the fallbacks: many mailers emit multipart/alternative with
+    a blank text/plain placeholder next to the real HTML body."""
     html_part = None
     tnef_part = None
     for part in msg.walk():
@@ -75,14 +78,16 @@ def _body_text(msg) -> str:
             continue
         if ctype == "text/plain":
             try:
-                return part.get_content()
+                plain = part.get_content()
             except Exception:  # noqa: BLE001 — bogus charset= is everyday
                 # real-world mail (charset=x-user-defined, ansi_x3.…):
                 # transfer-decode and read as cp1252 instead of failing
                 # the whole document
-                return (part.get_payload(decode=True) or b"").decode(
+                plain = (part.get_payload(decode=True) or b"").decode(
                     "cp1252", "replace"
                 )
+            if plain and plain.strip():
+                return plain
         if ctype == "text/html" and html_part is None:
             html_part = part
     if html_part is not None:

@@ -163,6 +163,13 @@ def _decompress_member(data: bytes, ctype: str) -> bytes | None:
         out = obj.decompress(data, _DECOMPRESS_CAP + 1)
         if len(out) > _DECOMPRESS_CAP:
             return None
+        if not obj.eof:
+            # truncated stream: the decoder returned the bytes it had
+            # without error, but the member never ended — indexing half
+            # a document as if complete is worse than keeping the
+            # container label (all three stdlib decompressors expose
+            # .eof for exactly this check)
+            return None
         return out
     except Exception:  # noqa: BLE001 — corrupt stream: not transparent
         return None

@@ -37,6 +37,15 @@ FAKE_IMG_PREFIX = b"FAKEIMG:"
 OCR_PENDING_MARKER = "[Image (no OCR yet)]"  # reference sentinel (:235-236)
 
 
+class OcrEngineError(RuntimeError):
+    """transient engine failure (non-zero exit, timeout, killed child).
+
+    Distinct from NotImplementedError (engine not installed — a config
+    error that must fail loudly): an OcrEngineError result is NOT
+    memoized, so the image retries on the next run instead of a ''
+    poisoning the durable cache forever."""
+
+
 def fake_ocr(image_bytes: bytes) -> str:
     """deterministic test engine: FAKEIMG:<text> → <text>."""
     if image_bytes.startswith(FAKE_IMG_PREFIX):
@@ -65,12 +74,22 @@ def tesseract_ocr(image_bytes: bytes, lang: str = "eng") -> str:
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(image_bytes)
-        out = subprocess.run(
-            [exe, path, "stdout", "-l", lang],
-            capture_output=True,
-            timeout=120,
-            check=False,
-        )
+        try:
+            out = subprocess.run(
+                [exe, path, "stdout", "-l", lang],
+                capture_output=True,
+                timeout=120,
+                check=False,
+            )
+        except subprocess.TimeoutExpired as e:
+            raise OcrEngineError(f"tesseract timed out after 120s") from e
+        if out.returncode != 0:
+            # missing traineddata, corrupt image, OOM-killed child —
+            # transient/per-image; must not be cached as an empty result
+            raise OcrEngineError(
+                "tesseract exit %d: %s"
+                % (out.returncode, out.stderr.decode("utf-8", "replace")[:200])
+            )
         return out.stdout.decode("utf-8", "replace")
     finally:
         os.unlink(path)
@@ -80,6 +99,19 @@ ENGINES: dict[str, Callable[[bytes], str]] = {
     "fake": fake_ocr,
     "tesseract": tesseract_ocr,
 }
+
+
+def _ocr_or_none(ocr_fn: Callable[[bytes], str], b: bytes) -> str | None:
+    """one image through the engine; transient failures → None.
+
+    None rows are excluded from the memo append (retry next run) and
+    skipped by array_join in the page concat (a failed image simply
+    contributes no text). NotImplementedError still propagates — a
+    missing engine is a job config error, not a per-image failure."""
+    try:
+        return ocr_fn(b)
+    except OcrEngineError:
+        return None
 
 # embedded images inside html payloads carry data URIs in the fixture
 # format; PDF payloads go through the real pdfimages-equivalent parse
@@ -165,7 +197,7 @@ def run_ocr_phase(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf["ocr_text"] = [ocr_fn(bytes(b)) for b in pdf["img"]]
+            pdf["ocr_text"] = [_ocr_or_none(ocr_fn, bytes(b)) for b in pdf["img"]]
             yield pdf[[id_col, "pos", "img_hash", "ocr_text"]]
 
     # persist the miss results ONCE: the memo append and the output both
@@ -183,9 +215,13 @@ def run_ocr_phase(
     # append still writes one footer per task — a warm cache re-run loop
     # was growing the memo listing without adding a single row).
     if fresh.count():
-        fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"]).coalesce(
-            8
-        ).write.mode("append").parquet(memo_path)
+        # null ocr_text = transient engine failure: NOT memoized, so the
+        # image retries next run instead of '' poisoning the cache
+        fresh.filter(F.col("ocr_text").isNotNull()).select(
+            "img_hash", "ocr_text"
+        ).dropDuplicates(["img_hash"]).coalesce(8).write.mode("append").parquet(
+            memo_path
+        )
     fresh_rows = fresh.select(id_col, "pos", "ocr_text")
 
     all_rows = fresh_rows if hits is None else hits.unionByName(fresh_rows)
@@ -246,7 +282,7 @@ def run_pdf_ocr_phase(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf["ocr_text"] = [ocr_fn(bytes(b)) for b in pdf["img"]]
+            pdf["ocr_text"] = [_ocr_or_none(ocr_fn, bytes(b)) for b in pdf["img"]]
             yield pdf[[id_col, "pos", "page_i", "img_hash", "ocr_text"]]
 
     fresh = misses.mapInPandas(
@@ -256,9 +292,12 @@ def run_pdf_ocr_phase(
     # skip-empty + coalesce: same memo-file-count discipline as
     # run_ocr_phase — steady all-hits reps must not append empty files
     if fresh.count():
-        fresh.select("img_hash", "ocr_text").dropDuplicates(["img_hash"]).coalesce(
-            8
-        ).write.mode("append").parquet(memo_path)
+        # same retry discipline as run_ocr_phase: failures not memoized
+        fresh.filter(F.col("ocr_text").isNotNull()).select(
+            "img_hash", "ocr_text"
+        ).dropDuplicates(["img_hash"]).coalesce(8).write.mode("append").parquet(
+            memo_path
+        )
     fresh_rows = fresh.select(id_col, "pos", "page_i", "ocr_text")
 
     all_rows = fresh_rows if hits is None else hits.unionByName(fresh_rows)

@@ -142,15 +142,27 @@ def _parse_xml(blob: bytes) -> ET.Element | None:
 
 
 def _docx_paragraph(p: ET.Element) -> str:
+    # manual stack walk, NOT p.iter(): a text box (w:pict/w:drawing >
+    # w:txbxContent > w:p) nests whole paragraphs inside a run — those
+    # get their own line from _docx_text's document-order walk, so
+    # descending into them here would emit their text twice. w:pPr is
+    # skipped too: its w:tabs/w:tab children define tab STOPS (layout
+    # metadata), not tab characters.
     frags: list[str] = []
-    for el in p.iter():
+    stack = list(reversed(list(p)))
+    while stack:
+        el = stack.pop()
         name = _local(el.tag)
+        if name in ("p", "pPr"):
+            continue
         if name == "t" and el.text:
             frags.append(el.text)
         elif name == "tab":
             frags.append("\t")
         elif name in ("br", "cr"):
             frags.append("\n")
+        else:
+            stack.extend(reversed(list(el)))
     return "".join(frags)
 
 
@@ -219,7 +231,10 @@ def _xlsx_sheet_lines(root: ET.Element, shared: list[str]) -> list[str]:
             raw = (v.text or "") if v is not None else ""
             if ctype == "s":
                 try:
-                    cells.append(shared[int(raw)])
+                    idx = int(raw)
+                    # a crafted negative index would wrap via Python
+                    # negative indexing and show an unrelated string
+                    cells.append(shared[idx] if idx >= 0 else "")
                 except (ValueError, IndexError):
                     cells.append("")
             elif ctype == "b":
@@ -693,7 +708,11 @@ def extract_rtf(data: bytes) -> dict | None:
                             sym.decode()
                         )
                     elif sym == b"~":
-                        out.append(" ")
+                        # non-breaking space follows the current
+                        # destination like any other character — inside
+                        # \info{\title...} it belongs to the title, not
+                        # the document body
+                        (info_buf[info_dest] if info_dest else out).append(" ")
                 continue
             first_in_group = False
             star = False

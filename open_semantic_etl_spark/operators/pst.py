@@ -333,14 +333,21 @@ _IMMEDIATE_TYPES = frozenset((0x0001, 0x0002, 0x0003, 0x0004, 0x000A, 0x000B))
 
 
 def _read_pc(
-    ndb: _Ndb, bid_data: int, bid_sub: int
+    ndb: _Ndb,
+    bid_data: int,
+    bid_sub: int,
+    sub: dict[int, tuple[int, int]] | None = None,
 ) -> dict[int, tuple[int, bytes | int]]:
     """Property Context → {propid: (ptype, value)} where value is an
-    int for immediate types and raw bytes otherwise (§2.3.3)."""
+    int for immediate types and raw bytes otherwise (§2.3.3).
+    ``sub`` lets a caller that already walked the subnode BTree pass
+    the map in (parse_pst needs it again for the attachment loop —
+    without this the SLBLOCK/SIBLOCK tree parses twice per message)."""
     heap = _Heap(_heap_blocks(ndb, bid_data))
     if heap.client_sig != 0xBC:
         raise ValueError("not a PC heap")
-    sub = ndb.subnodes(bid_sub)
+    if sub is None:
+        sub = ndb.subnodes(bid_sub)
     props: dict[int, tuple[int, bytes | int]] = {}
     for key, data in _bth_records(heap, heap.user_root):
         pid = _u16(key, 0)
@@ -408,6 +415,11 @@ def render_message(
     from email.utils import format_datetime
 
     def hdr(value: str) -> str:
+        # strip CR/LF/other ASCII control chars FIRST: PST-controlled
+        # strings would otherwise inject extra RFC-822 headers into the
+        # synthesized .eml (spoofed From:/Content-Type: lines), since
+        # ASCII values pass through verbatim below
+        value = "".join(c for c in value if c >= " " or c == "\t")
         try:
             value.encode("ascii")
             return value
@@ -477,7 +489,8 @@ def parse_pst(data: bytes) -> list[tuple[str, bytes]]:
         if not bid_data:
             continue
         try:
-            props = _read_pc(ndb, bid_data, bid_sub)
+            msg_sub = ndb.subnodes(bid_sub)
+            props = _read_pc(ndb, bid_data, bid_sub, sub=msg_sub)
         except ValueError:
             continue  # undecodable message: skip, keep the rest
         prefix = folder_path(parent_nid)
@@ -498,8 +511,9 @@ def parse_pst(data: bytes) -> list[tuple[str, bytes]]:
                 ),
             )
         )
-        # attachment subnodes (NID_TYPE_ATTACHMENT PCs)
-        for sn, (sbd, sbs) in sorted(ndb.subnodes(bid_sub).items()):
+        # attachment subnodes (NID_TYPE_ATTACHMENT PCs) — reuse the
+        # subnode map computed for the message PC above
+        for sn, (sbd, sbs) in sorted(msg_sub.items()):
             if sn & 0x1F != _NID_ATTACHMENT or not sbd:
                 continue
             try:

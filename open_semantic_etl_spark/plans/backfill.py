@@ -21,7 +21,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from open_semantic_etl_spark.plans.checkpoint import Tables, merge_by_url, read_table
+from open_semantic_etl_spark.plans.checkpoint import (
+    N_BUCKETS,
+    Tables,
+    merge_by_url,
+    read_table,
+)
 
 
 def missing_stage(spark: SparkSession, tables: Tables, stage: str) -> DataFrame:
@@ -40,9 +45,12 @@ def run_backfill(
     stage: str,
     stage_fn: Callable[[SparkSession, DataFrame], DataFrame],
     fields: tuple[str, ...],
+    n_buckets: int = N_BUCKETS,
 ) -> int:
     """run ``stage_fn`` over rows missing ``stage``; merge + mark done.
 
+    ``n_buckets`` must match the tables' layout (per-table constant —
+    a merge in the wrong bucket space prunes the wrong partitions).
     ``fields`` mirrors the reference's plugin ``fields`` attribute
     (etl_enrich.py:68-86): the backfill scan reads only these columns.
     ``stage_fn(spark, pruned_rows) -> DataFrame[url, ...new columns]``.
@@ -64,7 +72,7 @@ def run_backfill(
     # files the swap is about to replace (Iceberg snapshots make this a
     # non-issue on a real cluster; locally localCheckpoint pins the rows)
     result = stage_fn(spark, pruned).localCheckpoint(eager=True)
-    merge_by_url(spark, result, tables.enriched)
+    merge_by_url(spark, result, tables.enriched, n_buckets=n_buckets)
 
     # checkpoint upsert ∝ batch: only the rows whose stages_done gains
     # the stage are rewritten (merge_by_url prunes to their buckets)
@@ -73,5 +81,5 @@ def run_backfill(
         cp.join(result.select("url"), "url", "left_semi")
         .withColumn("stages_done", F.array_union(F.col("stages_done"), F.array(F.lit(stage))))
     )
-    merge_by_url(spark, updated, tables.checkpoint)
+    merge_by_url(spark, updated, tables.checkpoint, n_buckets=n_buckets)
     return result.count()  # served from the checkpointed blocks

@@ -102,12 +102,16 @@ def delete_by_url(
     return int(obs.get["deleted"])
 
 
-def delete_where(spark: SparkSession, root: str, predicate: Column) -> int:
+def delete_where(
+    spark: SparkSession, root: str, predicate: Column, n_buckets: int = N_BUCKETS
+) -> int:
     """empty-index / delete-by-query form (etl_delete.py:64-67) — an
     arbitrary predicate can hit any bucket, so this is the one
     full-table rewrite (Iceberg: DELETE FROM … WHERE <predicate>).
     The deleted count comes from the single rewrite scan (Observation),
-    not separate before/after counts."""
+    not separate before/after counts. ``n_buckets`` must match the
+    table's layout (a per-table constant — rewriting into a different
+    bucket space silently breaks every later pruned merge/delete)."""
     tables = Tables(root)
     # park-recovery FIRST: a merge crash can leave a bucket's live rows
     # only in the __swap staging dir — reading without recovery would
@@ -121,7 +125,9 @@ def delete_where(spark: SparkSession, root: str, predicate: Column) -> int:
     # observed TRUE count equals exactly the rows removed (plain
     # ~predicate would silently drop NULL rows uncounted)
     _atomic_overwrite(
-        observed.filter(~F.coalesce(predicate, F.lit(False))), tables.enriched
+        observed.filter(~F.coalesce(predicate, F.lit(False))),
+        tables.enriched,
+        n_buckets=n_buckets,
     )
     return int(obs.get["deleted"])
 

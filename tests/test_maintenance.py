@@ -240,3 +240,53 @@ def test_alt_sink_shapes(spark):
     # person facet uses the NER umbrella label; tags keep their label
     assert ("u1", "Named Entity Recognition", "Alice") in r
     assert ("u2", "Tag", "tech") in r
+
+
+def test_delete_where_respects_table_bucket_count(spark, tmp_path):
+    """a table laid out with n_buckets=8 must be rewritten in 8-bucket
+    space — delete_where defaulting to 64 would silently re-bucket the
+    table and break every later pruned merge/delete."""
+    import os
+
+    from open_semantic_etl_spark.plans.checkpoint import run_incremental
+
+    root = str(tmp_path / "ds8")
+    run_incremental(spark, pages_df(spark, 40, partitions=2), root, n_buckets=8)
+    t = Tables(root)
+    n = delete_where(
+        spark, root, F.col("url").contains("doc-1"), n_buckets=8
+    )
+    assert n > 0
+    dirs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(t.enriched)
+        if d.startswith("_bucket=")
+    )
+    assert dirs and max(dirs) < 8, f"rewrite left 64-space buckets: {dirs}"
+
+
+def test_backfill_respects_table_bucket_count(spark, tmp_path):
+    """run_backfill's merges must happen in the table's bucket space."""
+    import os
+
+    from open_semantic_etl_spark.plans.backfill import run_backfill
+    from open_semantic_etl_spark.plans.checkpoint import run_incremental
+
+    root = str(tmp_path / "ds8b")
+    run_incremental(spark, pages_df(spark, 30, partitions=2), root, n_buckets=8)
+    t = Tables(root)
+
+    def add_shout(_spark, rows):
+        return rows.select("url", F.upper(F.col("title_txt")).alias("title_txt"))
+
+    n = run_backfill(
+        spark, root, "shout", add_shout, fields=("title_txt",), n_buckets=8
+    )
+    assert n == 30
+    for table in (t.enriched, t.checkpoint):
+        dirs = sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(table)
+            if d.startswith("_bucket=")
+        )
+        assert dirs and max(dirs) < 8, f"{table} gained 64-space buckets: {dirs}"

@@ -252,3 +252,54 @@ def test_tesseract_binding_shells_when_binary_present(tmp_path, monkeypatch):
 
     with pytest.raises(NotImplementedError):
         tesseract_ocr(b"pixels")
+
+
+def test_tesseract_failure_raises_engine_error(tmp_path, monkeypatch):
+    """non-zero engine exit must surface as OcrEngineError (so the memo
+    layer can skip it), never as empty text."""
+    import os
+    import stat
+
+    import pytest
+
+    from open_semantic_etl_spark.operators.ocr import OcrEngineError, tesseract_ocr
+
+    fake = tmp_path / "tesseract"
+    fake.write_text('#!/bin/sh\necho "no traineddata" >&2\nexit 1\n')
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+    with pytest.raises(OcrEngineError, match="exit 1"):
+        tesseract_ocr(b"pixels")
+
+
+def test_ocr_engine_failure_not_memoized(spark, tmp_path):
+    """a transient engine failure must not write an empty memo row —
+    the image retries (and succeeds) on the next run."""
+    from open_semantic_etl_spark.operators import ocr as ocr_mod
+    from open_semantic_etl_spark.operators.ocr import OcrEngineError, fake_ocr
+
+    memo = str(tmp_path / "ocr_memo_fail")
+    df = _ocr_corpus(spark)
+
+    def flaky(b):  # noqa: ANN001
+        if b == b"FAKEIMG:OCRTextTwo":
+            raise OcrEngineError("transient")
+        return fake_ocr(b)
+
+    ocr_mod.ENGINES["flaky"] = flaky
+    try:
+        out = {r["url"]: r["ocr_t"] for r in
+               run_ocr_phase(spark, df, memo, engine="flaky").collect()}
+        # failed image contributes no text but does not kill the doc
+        assert out == {"u1": "OCRTextOne", "u2": "OCRTextOne"}
+        # ONLY the success is memoized
+        memo_rows = {r["ocr_text"] for r in spark.read.parquet(memo).collect()}
+        assert memo_rows == {"OCRTextOne"}
+    finally:
+        del ocr_mod.ENGINES["flaky"]
+
+    # next run with a healthy engine: the failed image retries
+    out2 = {r["url"]: r["ocr_t"] for r in
+            run_ocr_phase(spark, df, memo).collect()}
+    assert out2 == {"u1": "OCRTextOne\nOCRTextTwo", "u2": "OCRTextOne"}
+    assert spark.read.parquet(memo).count() == 2

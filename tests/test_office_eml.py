@@ -553,3 +553,123 @@ def test_xlsx_bool_and_error_cells():
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
     res = extract_office(buf.getvalue())
     assert res["ok"] and res["content"] == "TRUE\tFALSE\t#DIV/0!\t42"
+
+
+def test_eml_empty_plain_falls_through_to_html():
+    """a blank text/plain placeholder next to a real HTML body (a shape
+    many mailers emit) must NOT short-circuit the HTML fallback."""
+    from open_semantic_etl_spark.operators.eml import parse_eml
+
+    raw = (
+        "From: a@example.org\r\n"
+        "To: b@example.org\r\n"
+        "Subject: s\r\n"
+        "MIME-Version: 1.0\r\n"
+        'Content-Type: multipart/alternative; boundary="bnd9"\r\n\r\n'
+        "--bnd9\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n\r\n"
+        "\r\n"
+        "--bnd9\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n\r\n"
+        "<html><body><p>The real body lives in the HTML part here.</p>"
+        "</body></html>\r\n"
+        "--bnd9--\r\n"
+    ).encode()
+    r = parse_eml(raw)
+    assert r["ok"]
+    assert "real body lives in the HTML part" in r["content_txt"]
+
+
+def test_docx_text_box_paragraph_not_duplicated():
+    """nested w:p (text box: w:pict > w:txbxContent > w:p) gets its own
+    line and must not ALSO ride the enclosing paragraph's run walk."""
+    import io
+    import zipfile
+
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body>"
+        "<w:p><w:r><w:t xml:space=\"preserve\">Outer </w:t></w:r>"
+        "<w:r><w:pict><w:txbxContent>"
+        "<w:p><w:r><w:t>BoxText</w:t></w:r></w:p>"
+        "</w:txbxContent></w:pict></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc)
+    r = extract_office(buf.getvalue())
+    assert r["content"] == "Outer\nBoxText" or r["content"] == "Outer \nBoxText"
+    assert r["content"].count("BoxText") == 1
+
+
+def test_docx_tab_stop_definitions_are_not_tabs():
+    """w:pPr/w:tabs/w:tab defines tab STOPS (layout), not characters."""
+    import io
+    import zipfile
+
+    doc = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+        "<w:body><w:p>"
+        '<w:pPr><w:tabs><w:tab w:val="left" w:pos="720"/></w:tabs></w:pPr>'
+        "<w:r><w:t>A</w:t><w:tab/><w:t>B</w:t></w:r>"
+        "</w:p></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", doc)
+    assert extract_office(buf.getvalue())["content"] == "A\tB"
+
+
+def test_rtf_nbsp_routes_to_info_destination():
+    r"""\~ inside \info{\title ...} belongs to the title, not the body."""
+    from open_semantic_etl_spark.operators.office import extract_rtf
+
+    r = extract_rtf(rb"{\rtf1{\info{\title A\~B}}Body text here.}")
+    assert r["title"] == "A B"
+    assert r["content"] == "Body text here."
+
+
+def test_xlsx_negative_shared_string_index_is_empty():
+    """a crafted <c t="s"><v>-1</v></c> must not wrap to the LAST
+    shared string via Python negative indexing."""
+    import io
+    import zipfile
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row><c t="s"><v>-1</v></c>'
+        '<c t="s"><v>0</v></c></row></sheetData></worksheet>'
+    )
+    shared = (
+        '<?xml version="1.0"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<si><t>good</t></si></sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("xl/workbook.xml", "<workbook/>")
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert extract_office(buf.getvalue())["content"] == "\tgood"
+
+
+def test_truncated_gzip_member_keeps_container_label():
+    """a .html.gz cut off mid-stream decodes partially without error in
+    zlib — the extractor must detect the missing end-of-stream (obj.eof)
+    and keep the container label instead of indexing half a document."""
+    import gzip
+
+    inner = b"<html><body><p>" + b"sentence here. " * 200 + b"</p></body></html>"
+    gz = gzip.compress(inner)
+    whole = extract_html(gz)
+    assert whole["content"]  # sanity: complete member extracts
+    truncated = extract_html(gz[: len(gz) // 2])
+    assert truncated["content"] == ""
+    assert truncated["content_type"] == "application/gzip"

@@ -180,3 +180,32 @@ def test_fuzz_total_function(data):
             path.encode("utf-8")  # member paths stay Arrow-safe
     except (ValueError, struct.error, IndexError, OverflowError):
         pass
+
+
+def test_pst_header_injection_sanitized():
+    """CR/LF in PST-controlled strings must not inject extra RFC-822
+    headers into the synthesized .eml (spoofed From:/Content-Type:)."""
+    pst = build_pst(
+        [
+            (
+                "Inbox",
+                [
+                    {
+                        "nid_index": 1001,
+                        "subject": "Hi\r\nFrom: spoof@evil.example",
+                        "sender": "real@example.org",
+                        "to": "team@example.org",
+                        "body": "Body.",
+                        "date": datetime(2024, 3, 1, tzinfo=timezone.utc),
+                    }
+                ],
+            )
+        ]
+    )
+    members = parse_pst(pst)
+    eml = next(payload for name, payload in members if name.endswith("1001") or "/" in name)
+    r = parse_eml(eml)
+    assert r["ok"], r["err"]
+    assert r["message_from_ss"] == ["real@example.org"]
+    assert "spoof@evil.example" not in " ".join(r["message_from_ss"])
+    assert r["subject_txt"] == "HiFrom: spoof@evil.example"
