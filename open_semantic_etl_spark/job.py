@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "clustered subset; leave unset for full passes "
                         "(byte-uniform input splits balance without a shuffle)")
     p.add_argument("--run-id", default=None)
+    p.add_argument("--n-buckets", type=int, default=None,
+                   help="merge-bucket count; per-table constant "
+                        "(buckets ~= corpus_bytes / target_rewrite_unit). "
+                        "Must match the table layout on every later run")
     p.add_argument("--master", default=None,
                    help="local testing only; omit under spark-submit")
     return p
@@ -100,6 +104,7 @@ def main(argv: list[str] | None = None) -> dict:
             stages=tuple(s for s in args.stages.split(",") if s),
             repartition=args.repartition,
             run_id=args.run_id,
+            **({"n_buckets": args.n_buckets} if args.n_buckets else {}),
         )
     finally:
         if args.master:  # local run owns the session; cluster leaves it
