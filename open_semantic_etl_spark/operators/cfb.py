@@ -445,12 +445,42 @@ _XLS_ERRORS = {
 }
 
 
+def _xl_inline_str(body: bytes, off: int, biff5: bool) -> str:
+    """inline cell string: BIFF8 XLUnicodeString (cch, grbit, chars) or
+    BIFF5 byte string (cch, cp1252 bytes) — LABEL/STRING records."""
+    if off + 2 > len(body):
+        return ""
+    cch = _u16(body, off)
+    if biff5:
+        return body[off + 2 : off + 2 + cch].decode("cp1252", "replace")
+    if off + 3 > len(body):
+        return ""
+    grbit = body[off + 2]
+    p = off + 3
+    if grbit & 0x08:  # rich-text run count
+        p += 2
+    if grbit & 0x04:  # far-east ext size
+        p += 4
+    if grbit & 0x01:
+        return body[p : p + 2 * cch].decode("utf-16-le", "replace")
+    return body[p : p + cch].decode("latin-1")
+
+
 def _xls_lines(workbook: bytes) -> list[str]:
-    """Cell text lines (tab-joined per row, sheets in file order)."""
+    """Cell text lines (tab-joined per row, sheets in file order).
+
+    Beyond LABELSST/NUMBER/RK/BOOLERR, real Excel writers also emit
+    MULRK (one record per run of >=2 consecutive numeric cells), LABEL
+    (inline string — the ONLY text record BIFF5/Excel-95 has), and
+    FORMULA with its cached result (string results arrive in the
+    following STRING record) — without these a real .xls row [1, 2, 3]
+    extracted as an empty row and formula cells vanished."""
     sst: list[str] = []
     cells: dict[tuple[int, int, int], str] = {}
     sheet = -1  # globals substream first; worksheet BOFs increment
     i = 0
+    biff5 = False
+    pending_formula: tuple[int, int, int] | None = None
     pending_sst: list[bytes] | None = None
     while i + 4 <= len(workbook):
         rec, ln = _u16(workbook, i), _u16(workbook, i + 2)
@@ -470,6 +500,8 @@ def _xls_lines(workbook: bytes) -> list[str]:
         if rec == 0x00FC:  # SST (may be continued)
             pending_sst = [body]
         elif rec == 0x0809 and len(body) >= 4:  # BOF
+            if _u16(body, 0) < 0x0600:  # 0x0500 = BIFF5/7 (Excel 5/95)
+                biff5 = True
             if _u16(body, 2) == 0x0010:
                 sheet += 1
         elif rec == 0x00FD and len(body) >= 10:  # LABELSST
@@ -490,6 +522,34 @@ def _xls_lines(workbook: bytes) -> list[str]:
                 cells[(sheet, rw, col)] = _XLS_ERRORS.get(v, "#ERR!")
             else:
                 cells[(sheet, rw, col)] = "TRUE" if v else "FALSE"
+        elif rec == 0x00BD and len(body) >= 12:  # MULRK (run of RK cells)
+            rw, col0 = _u16(body, 0), _u16(body, 2)
+            n = (len(body) - 6) // 6
+            for k in range(n):
+                cells[(sheet, rw, col0 + k)] = _num_repr(
+                    _rk_value(_u32(body, 4 + 6 * k + 2))
+                )
+        elif rec in (0x0204, 0x00D6) and len(body) >= 8:  # LABEL / RSTRING
+            rw, col = _u16(body, 0), _u16(body, 2)
+            cells[(sheet, rw, col)] = _xl_inline_str(body, 6, biff5)
+        elif rec == 0x0006 and len(body) >= 16:  # FORMULA (cached result)
+            rw, col = _u16(body, 0), _u16(body, 2)
+            if _u16(body, 12) == 0xFFFF:  # non-numeric sentinel
+                kind = body[6]
+                if kind == 0:  # string: text follows in a STRING record
+                    pending_formula = (sheet, rw, col)
+                elif kind == 1:  # boolean
+                    cells[(sheet, rw, col)] = "TRUE" if body[8] else "FALSE"
+                elif kind == 2:  # error
+                    cells[(sheet, rw, col)] = _XLS_ERRORS.get(body[8], "#ERR!")
+                # kind 3 = empty string: no cell text
+            else:
+                cells[(sheet, rw, col)] = _num_repr(
+                    struct.unpack_from("<d", body, 6)[0]
+                )
+        elif rec == 0x0207 and pending_formula is not None:  # STRING
+            cells[pending_formula] = _xl_inline_str(body, 0, biff5)
+            pending_formula = None
     if pending_sst is not None:  # SST at end of stream
         rd = _Chunks(pending_sst)
         rd.read(8)

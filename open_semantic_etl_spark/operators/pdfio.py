@@ -280,6 +280,21 @@ def build_pdf(
                 b"/StmF /StdCF /StrF /StdCF /P -1 %s/O <%s> /U <%s> >>"
                 % (b"" if enc_meta else b"/EncryptMetadata false ", hx(O), hx(U))
             )
+        elif encrypt == "rc4-128-v4":
+            # Acrobat 7+ RC4 form: V4/R4 crypt filter /CFM /V2 (the
+            # crypt-filter /Length is a BYTE count; the top-level one
+            # is key bits — parser must not confuse them)
+            cipher, per_object = "rc4", True
+            R = 4
+            O = _std_owner_entry(R, 16)
+            key = _std_file_key(O, -1, id0, R, 16)
+            U = _std_user_entry(key, R, id0)
+            enc_num = add(
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P -1 /O <%s> /U <%s> >>"
+                % (hx(O), hx(U))
+            )
         elif encrypt in ("rc4-40", "rc4-128"):
             cipher, per_object = "rc4", True
             R, V, bits = (2, 1, 40) if encrypt == "rc4-40" else (3, 2, 128)
@@ -319,7 +334,16 @@ def build_pdf(
             )
             if not sm:
                 return dict_part
-            payload = _enc(ok, sm.group(1))
+            # the serializer above always writes payload + b"\nendstream"
+            # and _STREAM_RE's capture runs through 'endstream', so the
+            # capture carries exactly ONE framing LF (§7.3.8.1) — strip
+            # exactly that. Never strip b"\r\n": the \r would be a real
+            # data byte (flate output legitimately ends with 0x0D, and a
+            # two-byte strip truncated that stream by one byte)
+            raw = sm.group(1)
+            if raw.endswith(b"\n"):
+                raw = raw[:-1]
+            payload = _enc(ok, raw)
             # AES grows streams (IV + padding): keep /Length honest
             dict_part = re.sub(
                 rb"/Length\s+\d+", b"/Length %d" % len(payload), dict_part
@@ -328,7 +352,7 @@ def build_pdf(
                 dict_part
                 + b"stream\n"
                 + payload
-                + b"endstream"
+                + b"\nendstream"
                 + body[sm.end():]
             )
 
@@ -638,7 +662,8 @@ _NUM_FIELD = {
     "N": re.compile(rb"/N\s+(\d+)"),
     "First": re.compile(rb"/First\s+(\d+)"),
 }
-_CATALOG_PAGES_RE = re.compile(rb"/Type\s*/Catalog\b[^>]*?/Pages\s+(\d+)\s+0\s+R")
+_CATALOG_TYPE_RE = re.compile(rb"/Type\s*/Catalog\b")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
 _PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
 _PAGE_TYPE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)*)\s*\]")
@@ -683,10 +708,15 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     empty when no catalog/page-tree is resolvable."""
     root = None
     for body in objs.values():
-        m = _CATALOG_PAGES_RE.search(body)
-        if m:
-            root = int(m.group(1))
-            break
+        # dict key order is arbitrary (§7.3.7): check /Type /Catalog
+        # and the /Pages ref as independent searches over the object
+        # body — a single ordered regex missed '<< /Pages N 0 R /Type
+        # /Catalog >>' and silently disabled the whole page-tree walk
+        if _CATALOG_TYPE_RE.search(body):
+            m = _PAGES_REF_RE.search(body)
+            if m:
+                root = int(m.group(1))
+                break
     if root is None or root not in objs:
         return []
     order: list[int] = []
@@ -784,7 +814,10 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
     return "\n".join(lines) if found else None
 _TEXT_SHOW_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|'|\")"   # (literal) Tj / ' / aw ac "
-    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"           # [array] TJ (literal or hex items)
+    # [array] TJ: string items may contain ']' — the array body must be
+    # tokenized string-aware ((…) | \x | bare non-] chars), else
+    # '[(cite [1])] TJ' never matches and the line silently vanishes
+    rb"|\[(?:\((?:[^()\\]|\\.)*\)|[^\]()\\]|\\.)*\]\s*TJ"
     rb"|<[0-9A-Fa-f\s]+>\s*(?:Tj|'|\")"      # <hex> Tj (Type0/CID strings)
 )
 _STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
@@ -1209,6 +1242,27 @@ def _obj_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
     return k[: min(len(file_key) + 5, 16)]
 
 
+def _strip_cf_subdict(enc_body: bytes) -> bytes:
+    """remove the /CF << … >> crypt-filter sub-dictionary (with its
+    nested << >> levels) so top-level key searches cannot match keys
+    that belong to a crypt filter."""
+    m = re.search(rb"/CF\s*<<", enc_body)
+    if not m:
+        return enc_body
+    i, depth = m.end(), 1
+    while i < len(enc_body) and depth:
+        two = enc_body[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return enc_body[: m.start()] + enc_body[i:]
+
+
 def _parse_enc_string(body: bytes, name: bytes) -> bytes | None:
     """/O or /U value: hex string or escaped literal."""
     m = re.search(name + rb"\s*<([0-9A-Fa-f\s]+)>", body)
@@ -1258,7 +1312,12 @@ def _maybe_decrypt(data: bytes) -> bytes:
         cipher = "aes"
         per_object_key = False
     elif (V, R) == (4, 4) or (V in (1, 2) and R in (2, 3)):
-        lm = re.search(rb"/Length\s+(\d+)", enc_body)
+        # the top-level /Length (key bits) must come from the /Encrypt
+        # dict itself, NOT the /CF crypt-filter sub-dict whose /Length
+        # is a BYTE count — '/CF << /StdCF << /CFM /V2 /Length 16 >> >>'
+        # before '/Length 128' is legal ordering and used to yield a
+        # 2-byte key (valid files rejected as password-protected)
+        lm = re.search(rb"/Length\s+(\d+)", _strip_cf_subdict(enc_body))
         keylen = (int(lm.group(1)) if lm else 40) // 8
         if V == 4:
             cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
@@ -1324,11 +1383,28 @@ def _maybe_decrypt(data: bytes) -> bytes:
         dict_part = combined.sub(_string_repl, dict_part)
         if not sm:
             return dict_part
+        # ciphertext is exactly /Length bytes; the regex capture also
+        # grabs the framing EOL before 'endstream', which under RC4 (a
+        # stream cipher) would decrypt to a trailing garbage byte
+        payload = sm.group(1)
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[: sm.start()])
+        if lm and int(lm.group(1)) <= len(payload):
+            payload = payload[: int(lm.group(1))]
+        elif payload.endswith(b"\r\n"):
+            payload = payload[:-2]
+        elif payload.endswith(b"\n"):
+            payload = payload[:-1]
         return (
             dict_part
             + b"stream\n"
-            + _dec(ok, sm.group(1))
-            + b"endstream"
+            + _dec(ok, payload)
+            # standard EOL before endstream (§7.3.8.1, not part of the
+            # data): real writers encrypt exactly /Length bytes, so the
+            # plaintext rarely ends with \n — without this the image
+            # regex (which requires '\nendstream' to strip the EOL)
+            # never matched and pdf_images returned [] for every real
+            # encrypted PDF
+            + b"\nendstream"
             + body[sm.end():]
         )
 
@@ -1394,9 +1470,14 @@ _INFO_FIELD_RE = {
     "author": re.compile(rb"/Author\s*\(((?:[^()\\]|\\.)*)\)"),
 }
 _PAGE_COUNT_RE = re.compile(rb"/Type\s*/Pages\b[^>]*?/Count\s+(\d+)")
+_COUNT_NUM_RE = re.compile(rb"/Count\s+(\d+)")
 _IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
 
-_UNESC = {b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\", b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t"}
+_UNESC = {
+    b"\\(": b"(", b"\\)": b")", b"\\\\": b"\\",
+    b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
+    b"\\b": b"\x08", b"\\f": b"\x0c",
+}
 
 
 def _unescape(raw: bytes) -> str:
@@ -1410,6 +1491,22 @@ def _unescape(raw: bytes) -> str:
             if pair in _UNESC:
                 out += _UNESC[pair]
                 i += 2
+                continue
+            nxt = raw[i + 1]
+            if 0x30 <= nxt <= 0x37:  # \ddd octal (1-3 digits, §7.3.4.2)
+                # the standard way producers emit non-ASCII bytes in
+                # literal strings — dropping the backslash turned
+                # 'Caf\351' into 'Caf351' (wrong text with ok=True)
+                j = i + 2
+                while j < len(raw) and j < i + 4 and 0x30 <= raw[j] <= 0x37:
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            if nxt in (0x0D, 0x0A):  # \<EOL>: line continuation — drop
+                i += 2
+                if nxt == 0x0D and i < len(raw) and raw[i] == 0x0A:
+                    i += 1
                 continue
             out += raw[i + 1 : i + 2]
             i += 2
@@ -1483,11 +1580,19 @@ def parse_pdf(data: bytes) -> dict:
                     break
         res["npages"] = len(order) if order else None
         if res["npages"] is None:
-            for blob in corpus:
-                m = _PAGE_COUNT_RE.search(blob)
-                if m:
-                    res["npages"] = int(m.group(1))
-                    break
+            # per-object: key order is arbitrary, so /Type /Pages and
+            # /Count are independent searches within one object body
+            # (NOT over the whole file — outlines carry /Count too)
+            for body in objs.values():
+                if _PAGES_TYPE_RE.search(body):
+                    m = _COUNT_NUM_RE.search(body)
+                    if m:
+                        res["npages"] = int(m.group(1))
+                        break
+        if res["npages"] is None:
+            m = _PAGE_COUNT_RE.search(data)  # ordered whole-file fallback
+            if m:
+                res["npages"] = int(m.group(1))
         if res["npages"] is None:
             res["npages"] = len(page_texts)
         res["pages"] = page_texts
@@ -1509,7 +1614,6 @@ def parse_pdf(data: bytes) -> dict:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page\b")
-_XOBJ_REF_RE = re.compile(rb"/Im\d+\s+(\d+)\s+0\s+R")
 _IMG_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\nendstream", re.DOTALL)
 
 
@@ -1558,7 +1662,12 @@ def pdf_images(data: bytes) -> list[dict]:
         # (common in real files) — same resolution as _page_fonts
         rm = _RESOURCES_REF_RE.search(page_body)
         res = objs.get(int(rm.group(1)), b"") if rm else page_body
-        for num in (int(r) for r in _XOBJ_REF_RE.findall(res)):
+        # resource names are writer-chosen (/Im1, /X0, /Img3, …): match
+        # ANY indirect ref and filter by the image map — only image
+        # XObject object numbers are in it, so font/content refs can't
+        # false-positive (the old /Im\d+-only pattern lost page
+        # association for every real writer's naming scheme)
+        for num in (int(r) for r in _REF_RE.findall(res)):
             if num in images:
                 out.append({"page_i": page_i, "image": images[num]})
                 seen.add(num)

@@ -565,3 +565,82 @@ def test_xls_boolerr_cells():
     extra = boolerr(1, 0, 1, 0) + boolerr(1, 1, 0, 0) + boolerr(2, 0, 0x07, 1)
     lines = _xls_lines(bytes(wb) + extra)
     assert lines == ["label\t7", "TRUE\tFALSE", "#DIV/0!"]
+
+
+def test_xls_mulrk_label_formula_cells():
+    """real-writer records: MULRK (run of consecutive RK cells), LABEL
+    (inline string), FORMULA cached results (numeric, bool, error) and
+    a string result in the following STRING record — each used to be
+    silently dropped."""
+    def bof(dt):
+        return struct.pack("<HH", 0x0809, 16) + struct.pack(
+            "<HHHHII", 0x600, dt, 0, 0, 0, 0
+        )
+
+    mulrk = (
+        struct.pack("<HH", 0x00BD, 4 + 6 * 3 + 2)
+        + struct.pack("<HH", 0, 0)                       # row 0, colFirst 0
+        + b"".join(
+            struct.pack("<HI", 0, (v << 2) | 0x02) for v in (1, 2, 3)
+        )
+        + struct.pack("<H", 2)                           # colLast
+    )
+    label_s = b"hi"
+    label = (
+        struct.pack("<HH", 0x0204, 6 + 3 + len(label_s))
+        + struct.pack("<HHH", 1, 0, 0)
+        + struct.pack("<HB", len(label_s), 0x00) + label_s
+    )
+    f_num = (
+        struct.pack("<HH", 0x0006, 22)
+        + struct.pack("<HHH", 2, 0, 0) + struct.pack("<d", 6.5)
+        + struct.pack("<HIH", 0, 0, 0)
+    )
+    f_bool = (
+        struct.pack("<HH", 0x0006, 22)
+        + struct.pack("<HHH", 2, 1, 0)
+        + bytes([1, 0, 1, 0, 0, 0]) + b"\xff\xff"        # bool TRUE
+        + struct.pack("<HIH", 0, 0, 0)
+    )
+    f_err = (
+        struct.pack("<HH", 0x0006, 22)
+        + struct.pack("<HHH", 2, 2, 0)
+        + bytes([2, 0, 0x07, 0, 0, 0]) + b"\xff\xff"     # #DIV/0!
+        + struct.pack("<HIH", 0, 0, 0)
+    )
+    f_str = (
+        struct.pack("<HH", 0x0006, 22)
+        + struct.pack("<HHH", 2, 3, 0)
+        + bytes([0, 0, 0, 0, 0, 0]) + b"\xff\xff"        # string result
+        + struct.pack("<HIH", 0, 0, 0)
+    )
+    s = "=sum"
+    string_rec = (
+        struct.pack("<HH", 0x0207, 3 + len(s))
+        + struct.pack("<HB", len(s), 0x00) + s.encode()
+    )
+    wb = (
+        bof(0x10) + mulrk + label + f_num + f_bool + f_err + f_str
+        + string_rec + struct.pack("<HH", 0x000A, 0)
+    )
+    res = extract_cfb(build_cfb({"Workbook": wb}))
+    assert res["ok"], res["err"]
+    assert res["content"] == "1\t2\t3\nhi\n6.5\tTRUE\t#DIV/0!\t=sum"
+
+
+def test_xls_biff5_label_cells():
+    """Excel 5/95 (BIFF5 'Book' stream): text lives in inline LABEL
+    byte strings (no SST) — used to extract numbers only."""
+    label_s = b"alt text"
+    wb = (
+        struct.pack("<HH", 0x0809, 8) + struct.pack("<HHHH", 0x500, 0x10, 0, 0)
+        + struct.pack("<HH", 0x0204, 6 + 2 + len(label_s))
+        + struct.pack("<HHH", 0, 0, 0)
+        + struct.pack("<H", len(label_s)) + label_s
+        + struct.pack("<HH", 0x0203, 14)
+        + struct.pack("<HHH", 0, 1, 0) + struct.pack("<d", 9.0)
+        + struct.pack("<HH", 0x000A, 0)
+    )
+    res = extract_cfb(build_cfb({"Book": wb}))
+    assert res["ok"], res["err"]
+    assert res["content"] == "alt text\t9"

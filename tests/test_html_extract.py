@@ -580,3 +580,102 @@ def test_pdf_images_indirect_resources():
     )
     got = [(d["page_i"], bytes(d["image"])) for d in pdf_images(pdf)]
     assert got == [(1, b"payload")], got
+
+
+def test_pdf_octal_escapes_and_continuations():
+    """\\ddd octal escapes (the standard way writers emit non-ASCII in
+    literal strings, §7.3.4.2) and \\<EOL> continuations must decode —
+    'Caf\\351' used to extract as 'Caf351' with ok=True."""
+    from open_semantic_etl_spark.operators.pdfio import _unescape
+
+    assert _unescape(rb"Caf\351") == "Café"
+    assert _unescape(rb"\101\102\103") == "ABC"
+    assert _unescape(rb"\0531") == "+1"      # 3-digit max, then literal
+    assert _unescape(b"long \\\nline") == "long line"  # \<LF> drops
+    assert _unescape(b"a\\\r\nb") == "ab"    # \<CRLF> drops both
+    assert _unescape(rb"\b\f") == "\x08\x0c"
+
+
+def test_pdf_tj_array_with_bracket_in_string():
+    """a ']' inside a TJ string item ('[(cite [1])] TJ') must not stop
+    the show-array from tokenizing — the line used to vanish silently."""
+    from open_semantic_etl_spark.operators.pdfio import _stream_text
+
+    blob = b"BT /F1 12 Tf [(see citation [1] here)] TJ ET"
+    body = b"<< /Length %d >>\nstream\n" % len(blob) + blob + b"\nendstream"
+    assert _stream_text(body, fonts={}) == "see citation [1] here"
+
+
+def test_pdf_catalog_key_order_irrelevant():
+    """'<< /Pages N 0 R /Type /Catalog >>' is legal (dict key order is
+    arbitrary, §7.3.7) and must still enable the page-tree walk."""
+    import re as _re
+
+    data = build_pdf(["page one text", "page two text"], compress=False)
+    reordered = _re.sub(
+        rb"<<\s*/Type\s*/Catalog\s*/Pages\s+(\d+)\s+0\s+R",
+        rb"<< /Pages \1 0 R /Type /Catalog",
+        data,
+    )
+    assert reordered != data  # the rewrite actually happened
+    r = parse_pdf(reordered)
+    assert r["ok"] and r["pages"] == ["page one text", "page two text"]
+
+
+def test_pdf_encrypted_real_writer_framing():
+    """real writers encrypt exactly /Length bytes with an EOL before
+    'endstream' that is framing, not data: text AND images must both
+    survive (pdf_images returned [] for every real encrypted PDF)."""
+    from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+    for mode in ("rc4-128", "aes-128"):
+        p = build_pdf(
+            ["text page", "second page"],
+            images=[[b"img-one"], [b"img-two"]],
+            encrypt=mode,
+        )
+        r = parse_pdf(p)
+        assert r["ok"] and r["pages"] == ["text page", "second page"], mode
+        got = {(d["page_i"], bytes(d["image"])) for d in pdf_images(p)}
+        assert got == {(1, b"img-one"), (2, b"img-two")}, mode
+
+
+def test_pdf_cf_subdict_length_not_key_bits():
+    """the /CF crypt-filter sub-dict's /Length is a BYTE count; only
+    the top-level /Length gives key bits. '/CF <<...Length 16...>>'
+    ordered before '/Length 128' used to yield a 2-byte key and reject
+    valid files as password-protected."""
+    import re as _re
+
+    data = build_pdf(["enc text page"], encrypt="rc4-128-v4")
+    r0 = parse_pdf(data)
+    assert r0["ok"] and r0["pages"] == ["enc text page"], r0["err"]
+    # move the /CF sub-dict in front of the top-level /Length
+    m = _re.search(
+        rb"(/Filter /Standard /V 4 /R 4) (/Length 128) "
+        rb"(/CF << /StdCF << /CFM /V2 .*?>> >>)",
+        data,
+    )
+    assert m, "encrypt dict shape changed; update this test"
+    reordered = data[: m.start()] + b"%s %s %s" % (
+        m.group(1), m.group(3), m.group(2),
+    ) + data[m.end():]
+    r = parse_pdf(reordered)
+    assert r["ok"], r["err"]
+    assert r["pages"] == ["enc text page"]
+
+
+def test_pdf_image_page_assoc_any_resource_name():
+    """image resource names are writer-chosen (/X0, /Img1, …) — page
+    association must not depend on this module's own /ImN convention."""
+    import re as _re
+
+    from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+    data = build_pdf(
+        ["p one", "p two"], images=[[b"first-img"], [b"second-img"]]
+    )
+    renamed = _re.sub(rb"/Im(\d+)\b", rb"/Xq\1", data)
+    assert renamed != data
+    got = {(d["page_i"], bytes(d["image"])) for d in pdf_images(renamed)}
+    assert got == {(1, b"first-img"), (2, b"second-img")}
