@@ -91,6 +91,10 @@ def main(argv: list[str] | None = None) -> dict:
     from open_semantic_etl_spark.session import get_spark
 
     args = build_parser().parse_args(argv)
+    if args.n_buckets is not None and args.n_buckets <= 0:
+        # fail fast: a falsy 0 silently fell through to the default 64,
+        # violating the must-match-table-layout contract in the help
+        raise SystemExit("--n-buckets must be a positive integer")
     gz = load_gazetteer_tsv(args.gazetteer) if args.gazetteer else None
     # "submit" = inherit the master from spark-submit / cluster conf
     spark = get_spark(app_name="osel-enrich", master=args.master or "submit")
@@ -104,7 +108,7 @@ def main(argv: list[str] | None = None) -> dict:
             stages=tuple(s for s in args.stages.split(",") if s),
             repartition=args.repartition,
             run_id=args.run_id,
-            **({"n_buckets": args.n_buckets} if args.n_buckets else {}),
+            **({"n_buckets": args.n_buckets} if args.n_buckets is not None else {}),
         )
     finally:
         if args.master:  # local run owns the session; cluster leaves it

@@ -328,7 +328,7 @@ def build_pdf(
             dict_part = body[: sm.start()] if sm else body
             dict_part = _STR_RE.sub(
                 lambda m: b"<"
-                + hx(_enc(ok, _unescape(m.group(1)).encode("latin-1")))
+                + hx(_enc(ok, _unescape_bytes(m.group(1))))
                 + b">",
                 dict_part,
             )
@@ -799,7 +799,8 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
             # small values are kerning and join silently)
             parts: list[str] = []
             for im in re.finditer(
-                rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>|(-?\d+(?:\.\d+)?)",
+                rb"\((" + _LITSTR_INNER + rb")\)"
+                rb"|<([0-9A-Fa-f\s]+)>|(-?\d+(?:\.\d+)?)",
                 tok,
             ):
                 if im.group(1) is not None:
@@ -812,15 +813,23 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
                 parts.pop()  # a trailing adjustment is not a space
             lines.append("".join(parts))
     return "\n".join(lines) if found else None
+# literal-string body: balanced unescaped parens are LEGAL inside a
+# string (§7.3.4.2 — pdfTeX emits '(a (b) c)') and supported two levels
+# deep (regexes cannot do unbounded depth; two covers observed writers);
+# the alternatives are first-char-disjoint so matching stays linear on
+# malformed input
+_LITSTR_L0 = rb"(?:[^()\\]|\\.)*"
+_LITSTR_L1 = rb"(?:[^()\\]|\\.|\(" + _LITSTR_L0 + rb"\))*"
+_LITSTR_INNER = rb"(?:[^()\\]|\\.|\(" + _LITSTR_L1 + rb"\))*"
 _TEXT_SHOW_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|'|\")"   # (literal) Tj / ' / aw ac "
+    rb"\(" + _LITSTR_INNER + rb"\)\s*(?:Tj|'|\")"  # (literal) Tj / ' / aw ac "
     # [array] TJ: string items may contain ']' — the array body must be
     # tokenized string-aware ((…) | \x | bare non-] chars), else
     # '[(cite [1])] TJ' never matches and the line silently vanishes
-    rb"|\[(?:\((?:[^()\\]|\\.)*\)|[^\]()\\]|\\.)*\]\s*TJ"
+    rb"|\[(?:\(" + _LITSTR_INNER + rb"\)|[^\]()\\]|\\.)*\]\s*TJ"
     rb"|<[0-9A-Fa-f\s]+>\s*(?:Tj|'|\")"      # <hex> Tj (Type0/CID strings)
 )
-_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_STR_RE = re.compile(rb"\((" + _LITSTR_INNER + rb")\)")
 _HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]+)>")
 _TF_RE = re.compile(rb"/(\w+)\s+[\d.]+\s+Tf")
 _CONTENT_TOKEN_RE = re.compile(_TF_RE.pattern + rb"|" + _TEXT_SHOW_RE.pattern)
@@ -1242,6 +1251,26 @@ def _obj_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
     return k[: min(len(file_key) + 5, 16)]
 
 
+def _named_subdict(body: bytes, name: bytes) -> bytes | None:
+    """bytes inside ``name << … >>`` (nested << >> balanced), or None
+    when the key is absent or its value is not an inline dict."""
+    m = re.search(name + rb"\s*<<", body)
+    if not m:
+        return None
+    i, depth = m.end(), 1
+    while i < len(body) and depth:
+        two = body[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return body[m.end() : i - 2] if not depth else None
+
+
 def _strip_cf_subdict(enc_body: bytes) -> bytes:
     """remove the /CF << … >> crypt-filter sub-dictionary (with its
     nested << >> levels) so top-level key searches cannot match keys
@@ -1270,7 +1299,7 @@ def _parse_enc_string(body: bytes, name: bytes) -> bytes | None:
         return bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode("ascii"))
     m = re.search(name + rb"\s*\(((?:[^()\\]|\\.)*)\)", body)
     if m:
-        return _unescape(m.group(1)).encode("latin-1")
+        return _unescape_bytes(m.group(1))
     return None
 
 
@@ -1317,8 +1346,19 @@ def _maybe_decrypt(data: bytes) -> bytes:
         # is a BYTE count — '/CF << /StdCF << /CFM /V2 /Length 16 >> >>'
         # before '/Length 128' is legal ordering and used to yield a
         # 2-byte key (valid files rejected as password-protected)
-        lm = re.search(rb"/Length\s+(\d+)", _strip_cf_subdict(enc_body))
-        keylen = (int(lm.group(1)) if lm else 40) // 8
+        lm = re.search(rb"/Length\s+(\d+)(?!\d)", _strip_cf_subdict(enc_body))
+        if lm:
+            keylen = int(lm.group(1)) // 8
+        elif V == 4:
+            # ISO 32000-1 defines the top-level /Length only for V 2/3;
+            # a conformant V4 file carries the key length in the crypt
+            # filter's /Length instead (bytes per spec, though some
+            # writers store bits — ≥40 can only be a bit count)
+            cm = re.search(rb"/CF\s*<<.*?/Length\s+(\d+)(?!\d)", enc_body, re.DOTALL)
+            n = int(cm.group(1)) if cm else 5
+            keylen = n // 8 if n >= 40 else n
+        else:
+            keylen = 5
         if V == 4:
             cfm = re.search(rb"/CFM\s*/(\w+)", enc_body)
             name = cfm.group(1) if cfm else b""
@@ -1376,7 +1416,7 @@ def _maybe_decrypt(data: bytes) -> bytes:
             if m.group(1) is not None:
                 raw = bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode("ascii"))
             else:
-                raw = _unescape(m.group(2)).encode("latin-1")
+                raw = _unescape_bytes(m.group(2))
             return b"(" + _esc(_dec(ok, raw).decode("latin-1")).encode("latin-1") + b")"
 
         combined = re.compile(_DICT_HEXSTR_RE.pattern + rb"|" + _STR_RE.pattern)
@@ -1387,12 +1427,16 @@ def _maybe_decrypt(data: bytes) -> bytes:
         # grabs the framing EOL before 'endstream', which under RC4 (a
         # stream cipher) would decrypt to a trailing garbage byte
         payload = sm.group(1)
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body[: sm.start()])
+        # (?!\d) stops the indirect-ref lookahead from backtracking
+        # into a digit prefix: '/Length 128 0 R' must NOT capture '12'
+        lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", body[: sm.start()])
         if lm and int(lm.group(1)) <= len(payload):
             payload = payload[: int(lm.group(1))]
-        elif payload.endswith(b"\r\n"):
-            payload = payload[:-2]
         elif payload.endswith(b"\n"):
+            # no usable /Length: strip ONLY the framing LF. A preceding
+            # \r is ambiguous (CRLF framing vs data-0x0D + LF framing)
+            # and losing a real ciphertext byte is the worse failure —
+            # CRLF-framed files leave one trailing garbage byte instead
             payload = payload[:-1]
         return (
             dict_part
@@ -1465,9 +1509,15 @@ def _decode_cid_hex(hexbytes: bytes, cmap) -> str:
     if len(h) % 2:  # odd digit count: spec pads with trailing 0
         h += b"0"
     return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+# metadata values appear as literal strings OR hex strings (Ghostscript
+# writes '/Title <FEFF...>'); nested balanced parens are legal in titles
 _INFO_FIELD_RE = {
-    "title": re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)"),
-    "author": re.compile(rb"/Author\s*\(((?:[^()\\]|\\.)*)\)"),
+    "title": re.compile(
+        rb"/Title\s*(?:\((" + _LITSTR_INNER + rb")\)|<([0-9A-Fa-f\s]*)>)"
+    ),
+    "author": re.compile(
+        rb"/Author\s*(?:\((" + _LITSTR_INNER + rb")\)|<([0-9A-Fa-f\s]*)>)"
+    ),
 }
 _PAGE_COUNT_RE = re.compile(rb"/Type\s*/Pages\b[^>]*?/Count\s+(\d+)")
 _COUNT_NUM_RE = re.compile(rb"/Count\s+(\d+)")
@@ -1480,9 +1530,32 @@ _UNESC = {
 }
 
 
+def _text_string(b: bytes) -> str:
+    """decode a PDF *text string* (§7.9.2.2 — Info dict values, outline
+    titles): UTF-16BE with BOM FE FF (what Word/Acrobat emit for ANY
+    non-ASCII metadata — without this a real title decoded to
+    'þÿ\\x00R…' mojibake), UTF-8 with BOM EF BB BF (PDF 2.0), else
+    PDFDocEncoding approximated as latin-1 (identical over printable
+    ASCII + 0xA0-0xFF; the 0x18-0x1F/0x80-0x9F accent/punct slots are
+    the documented divergence — not reproduced from memory)."""
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", "replace")
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b[3:].decode("utf-8", "replace")
+    return b.decode("latin-1")
+
+
 def _unescape(raw: bytes) -> str:
-    if b"\\" not in raw:  # no escapes (the common case): direct decode
-        return raw.decode("latin-1")
+    """escape-resolved literal string as latin-1 text (content-stream
+    show strings: byte codes are font-encoded, latin-1 is the simple-
+    font approximation). Metadata text strings go through
+    ``_text_string(_unescape_bytes(...))`` instead."""
+    return _unescape_bytes(raw).decode("latin-1")
+
+
+def _unescape_bytes(raw: bytes) -> bytes:
+    if b"\\" not in raw:  # no escapes (the common case)
+        return raw
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -1513,7 +1586,7 @@ def _unescape(raw: bytes) -> str:
             continue
         out += raw[i : i + 1]
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
 
 
 def parse_pdf(data: bytes) -> dict:
@@ -1576,7 +1649,14 @@ def parse_pdf(data: bytes) -> dict:
             for blob in corpus:
                 m = rx.search(blob)
                 if m:
-                    res[field] = _unescape(m.group(1))
+                    if m.group(1) is not None:
+                        raw = _unescape_bytes(m.group(1))
+                    else:
+                        h = re.sub(rb"\s", b"", m.group(2))
+                        if len(h) % 2:  # odd count: implied trailing 0 (§7.3.4.3)
+                            h += b"0"
+                        raw = bytes.fromhex(h.decode("ascii"))
+                    res[field] = _text_string(raw)
                     break
         res["npages"] = len(order) if order else None
         if res["npages"] is None:
@@ -1662,14 +1742,24 @@ def pdf_images(data: bytes) -> list[dict]:
         # (common in real files) — same resolution as _page_fonts
         rm = _RESOURCES_REF_RE.search(page_body)
         res = objs.get(int(rm.group(1)), b"") if rm else page_body
-        # resource names are writer-chosen (/Im1, /X0, /Img3, …): match
-        # ANY indirect ref and filter by the image map — only image
-        # XObject object numbers are in it, so font/content refs can't
-        # false-positive (the old /Im\d+-only pattern lost page
-        # association for every real writer's naming scheme)
-        for num in (int(r) for r in _REF_RE.findall(res)):
-            if num in images:
+        # resource names are writer-chosen (/Im1, /X0, /Img3, …): scan
+        # every indirect ref INSIDE the /XObject sub-dict and filter by
+        # the image map. Scoping to /XObject (not the whole page body)
+        # keeps non-painted refs — /Thumb thumbnails, /Annots — out of
+        # the painted-image list, matching pdfimages' numbering; the
+        # per-page set collapses a name bound twice to one object
+        xobj = _named_subdict(res, rb"/XObject")
+        if xobj is None:
+            xm = re.search(rb"/XObject\s+(\d+)\s+0\s+R", res)
+            if xm:  # the /XObject dict itself may be indirect
+                xobj = objs.get(int(xm.group(1)), b"")
+            else:  # no /XObject key at all: scan the resources as-is
+                xobj = b"" if rb"/XObject" in res else res
+        page_seen: set[int] = set()
+        for num in (int(r) for r in _REF_RE.findall(xobj)):
+            if num in images and num not in page_seen:
                 out.append({"page_i": page_i, "image": images[num]})
+                page_seen.add(num)
                 seen.add(num)
     for num, blob in images.items():
         if num not in seen:

@@ -679,3 +679,114 @@ def test_pdf_image_page_assoc_any_resource_name():
     assert renamed != data
     got = {(d["page_i"], bytes(d["image"])) for d in pdf_images(renamed)}
     assert got == {(1, b"first-img"), (2, b"second-img")}
+
+
+def test_pdf_indirect_length_no_digit_backtrack():
+    """'/Length 128 0 R' (indirect) must not capture '12' via lookahead
+    backtracking — an encrypted stream was silently truncated to 12
+    bytes and decrypted to garbage."""
+    import re as _re
+
+    m = _re.search(
+        rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)",
+        b"<< /Length 128 0 R /Filter /FlateDecode >>",
+    )
+    assert m is None
+    m2 = _re.search(
+        rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", b"<< /Length 128 >>"
+    )
+    assert m2 and m2.group(1) == b"128"
+
+
+def test_pdf_balanced_parens_in_strings():
+    """balanced unescaped parens inside literal strings are legal
+    (§7.3.4.2, pdfTeX emits them) — both Tj and TJ-array items must
+    keep the line instead of dropping it."""
+    from open_semantic_etl_spark.operators.pdfio import _stream_text
+
+    for blob, want in (
+        (b"BT /F1 12 Tf [(a (b) c)] TJ ET", "a (b) c"),
+        (b"BT (x (y) z) Tj ET", "x (y) z"),
+    ):
+        body = b"<< /Length %d >>\nstream\n" % len(blob) + blob + b"\nendstream"
+        assert _stream_text(body, fonts={}) == want, blob
+
+
+def test_pdf_v4_key_length_from_crypt_filter():
+    """ISO 32000-1 defines the top-level /Length only for V 2/3: a V4
+    file may carry the key length solely in the crypt filter's /Length
+    (a BYTE count) — it used to default to 40-bit and reject the file."""
+    import re as _re
+
+    data = build_pdf(["v4 page"], encrypt="rc4-128-v4")
+    stripped = _re.sub(rb"/V 4 /R 4 /Length 128 ", b"/V 4 /R 4 ", data)
+    assert stripped != data
+    r = parse_pdf(stripped)
+    assert r["ok"], r["err"]
+    assert r["pages"] == ["v4 page"]
+
+
+def test_pdf_images_ignore_thumb_and_dup_refs():
+    """non-painted image refs (/Thumb) must not join the painted-image
+    list (pdfimages numbering), and a page referencing one image object
+    twice yields ONE row."""
+    import re as _re
+
+    from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+    data = build_pdf(["p one"], images=[[b"painted"]])
+    # attach a thumbnail image object and point /Thumb at it from the page
+    thumb = (
+        b"99 0 obj\n<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 5 >>\n"
+        b"stream\nthumb\nendstream\nendobj\n"
+    )
+    with_thumb = _re.sub(
+        rb"/Type\s*/Page\b(?!s)", b"/Type /Page /Thumb 99 0 R", data, count=1
+    )
+    assert with_thumb != data
+    i = with_thumb.find(b"xref")
+    if i == -1:
+        i = len(with_thumb)
+    with_thumb = with_thumb[:i] + thumb + with_thumb[i:]
+    got = [(d["page_i"], bytes(d["image"])) for d in pdf_images(with_thumb)]
+    # painted image on page 1; thumb unassociated (page_i=0), not page 1
+    assert got == [(1, b"painted"), (0, b"thumb")], got
+    # duplicate ref: bind a second name to the same image object
+    m = _re.search(rb"/XObject\s*<<\s*(/\w+)\s+(\d+)\s+0\s+R", data)
+    assert m, "fixture resource shape changed"
+    dup = data[: m.end()] + b" /ImDup %s 0 R" % m.group(2) + data[m.end():]
+    got2 = [(d["page_i"], bytes(d["image"])) for d in pdf_images(dup)]
+    assert got2 == [(1, b"painted")], got2
+
+
+def test_pdf_utf16be_and_hex_metadata():
+    """text strings (§7.9.2.2): /Title as UTF-16BE-with-BOM literal
+    (Word/Acrobat's form for any non-ASCII metadata — used to decode as
+    'þÿ\\x00R…' mojibake) and as a hex string (Ghostscript's form —
+    used to be missed entirely)."""
+    import re as _re
+
+    base = build_pdf(["body text"], title="XXTITLEXX", author="AUT")
+    # 'Résumé' as UTF-16BE with BOM, emitted through octal escapes
+    u16 = "Résumé".encode("utf-16-be")
+    lit = b"".join(b"\\%03o" % c for c in b"\xfe\xff" + u16)
+    with_u16 = base.replace(b"/Title (XXTITLEXX)", b"/Title (" + lit + b")")
+    assert with_u16 != base
+    r = parse_pdf(with_u16)
+    assert r["ok"] and r["title"] == "Résumé", r
+    assert r["pages"] == ["body text"]
+
+    hexs = (b"\xfe\xff" + u16).hex().upper().encode()
+    with_hex = base.replace(b"/Title (XXTITLEXX)", b"/Title <" + hexs + b">")
+    assert with_hex != base
+    r2 = parse_pdf(with_hex)
+    assert r2["ok"] and r2["title"] == "Résumé", r2
+    assert r2["author"] == "AUT"
+
+    # nested balanced parens in a plain title survive
+    with_paren = base.replace(
+        b"/Title (XXTITLEXX)", b"/Title (Report (draft (v2)))"
+    )
+    r3 = parse_pdf(with_paren)
+    assert r3["ok"] and r3["title"] == "Report (draft (v2))", r3

@@ -51,3 +51,19 @@ def test_job_end_to_end_resume(spark, tmp_path, capsys):
     # resubmit the same command: checkpoint makes it a no-op (resume)
     stats2 = main(argv)
     assert stats2["processed"] == 0
+
+
+def test_job_rejects_nonpositive_n_buckets(tmp_path):
+    """--n-buckets 0 must fail fast, not silently fall through to the
+    default 64 (a mismatched bucket count corrupts the table layout
+    contract)."""
+    import pytest
+
+    from open_semantic_etl_spark.job import main
+
+    with pytest.raises(SystemExit, match="n-buckets"):
+        main([
+            "--input", str(tmp_path / "in"),
+            "--root", str(tmp_path / "out"),
+            "--n-buckets", "0",
+        ])
