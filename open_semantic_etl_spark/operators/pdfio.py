@@ -789,7 +789,7 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
         found = True
         if tok.startswith(b"("):  # literal show — never scan for hex
             for s in _STR_RE.findall(tok):
-                lines.append(_unescape(s))
+                lines.append(_decode_simple(_unescape_bytes(s), cur_cmap))
         elif tok.startswith(b"<"):  # CID hex show
             for hx in _HEXSTR_RE.findall(tok):
                 lines.append(_decode_cid_hex(hx, cur_cmap))
@@ -804,7 +804,7 @@ def _stream_text(body: bytes, fonts: dict[str, dict | None] | None = None) -> st
                 tok,
             ):
                 if im.group(1) is not None:
-                    parts.append(_unescape(im.group(1)))
+                    parts.append(_decode_simple(_unescape_bytes(im.group(1)), cur_cmap))
                 elif im.group(2):
                     parts.append(_decode_cid_hex(im.group(2), cur_cmap))
                 elif float(im.group(3)) <= -180 and parts and not parts[-1].endswith(" "):
@@ -1488,6 +1488,15 @@ def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict:
                 cmap = _parse_tounicode(objs[int(tm.group(1))])
             else:
                 cmap = _NO_CMAP
+        elif re.search(rb"/Encoding\s*/WinAnsiEncoding\b", fb):
+            # Word-family writers: 0x80-0x9F are smart quotes/dashes in
+            # WinAnsi (cp1252) — latin-1 turned them into control chars
+            cmap = ("simple", "cp1252")
+        elif re.search(rb"/Encoding\s*/MacRomanEncoding\b", fb):
+            cmap = ("simple", "mac_roman")
+        # /Differences arrays keep the None (≈StandardEncoding/latin-1)
+        # approximation — a glyph-name table guessed from memory would
+        # produce wrong text that LOOKS decoded
         fonts[name.decode("latin-1")] = cmap
     return fonts
 
@@ -1508,7 +1517,15 @@ def _decode_cid_hex(hexbytes: bytes, cmap) -> str:
         )
     if len(h) % 2:  # odd digit count: spec pads with trailing 0
         h += b"0"
-    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    return _decode_simple(bytes.fromhex(h.decode("ascii")), cmap)
+
+
+def _decode_simple(bts: bytes, cmap) -> str:
+    """simple-font show bytes → text: the font's declared base encoding
+    when _page_fonts resolved one, latin-1 otherwise."""
+    if isinstance(cmap, tuple) and cmap[0] == "simple":
+        return bts.decode(cmap[1], "replace")
+    return bts.decode("latin-1")
 # metadata values appear as literal strings OR hex strings (Ghostscript
 # writes '/Title <FEFF...>'); nested balanced parens are legal in titles
 _INFO_FIELD_RE = {
@@ -1528,6 +1545,50 @@ _UNESC = {
     b"\\n": b"\n", b"\\r": b"\r", b"\\t": b"\t",
     b"\\b": b"\x08", b"\\f": b"\x0c",
 }
+
+
+_XMP_META_TYPE_RE = re.compile(rb"/Type\s*/Metadata\b")
+_XMP_TITLE_RE = re.compile(
+    rb"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>", re.DOTALL
+)
+_XMP_CREATOR_RE = re.compile(
+    rb"<dc:creator>.*?<rdf:li[^>]*>(.*?)</rdf:li>", re.DOTALL
+)
+_XML_ENTS = {b"&lt;": b"<", b"&gt;": b">", b"&quot;": b'"', b"&apos;": b"'", b"&amp;": b"&"}
+
+
+def _xmp_text(raw: bytes) -> str | None:
+    t = raw.strip()
+    if not t:
+        return None
+    for ent, ch in _XML_ENTS.items():  # &amp; last so it can't double-expand
+        t = t.replace(ent, ch)
+    return t.decode("utf-8", "replace")  # XMP packets are UTF-8
+
+
+def _xmp_title_author(data: bytes, objs: dict[int, bytes]) -> tuple:
+    """(title, author) from the XMP packet's dc:title/dc:creator first
+    rdf:li (x-default/first-author convention) — the metadata home for
+    writers that leave the Info dict empty. Flate-compressed packets
+    (legal, rarer) are decoded via the stream's declared filter."""
+    for body in objs.values():
+        if not _XMP_META_TYPE_RE.search(body):
+            continue
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        blob = sm.group(1)
+        try:
+            blob = _apply_filters(body, blob)
+        except (ValueError, zlib.error):
+            pass  # undecodable: scan raw (usually uncompressed anyway)
+        tm = _XMP_TITLE_RE.search(blob)
+        am = _XMP_CREATOR_RE.search(blob)
+        return (
+            _xmp_text(tm.group(1)) if tm else None,
+            _xmp_text(am.group(1)) if am else None,
+        )
+    return (None, None)
 
 
 def _text_string(b: bytes) -> str:
@@ -1658,6 +1719,13 @@ def parse_pdf(data: bytes) -> dict:
                         raw = bytes.fromhex(h.decode("ascii"))
                     res[field] = _text_string(raw)
                     break
+        if res["title"] is None or res["author"] is None:
+            # XMP fallback: many modern writers fill only the XMP packet
+            # (/Type /Metadata stream, uncompressed by convention so
+            # XMP-aware tools can scan for it), not the Info dict
+            xt, xa = _xmp_title_author(data, objs)
+            res["title"] = res["title"] if res["title"] is not None else xt
+            res["author"] = res["author"] if res["author"] is not None else xa
         res["npages"] = len(order) if order else None
         if res["npages"] is None:
             # per-object: key order is arbitrary, so /Type /Pages and
@@ -1695,6 +1763,59 @@ def parse_pdf(data: bytes) -> dict:
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.DOTALL)
 _PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page\b")
 _IMG_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\nendstream", re.DOTALL)
+
+
+# --- inline images (§8.9.7 BI…ID…EI): poppler's pdfimages extracts
+# these, so the OCR tier must see them too --------------------------------
+_INLINE_FILTER_ABBREV = {
+    b"AHx": b"ASCIIHexDecode", b"A85": b"ASCII85Decode",
+    b"LZW": b"LZWDecode", b"Fl": b"FlateDecode", b"RL": b"RunLengthDecode",
+    b"CCF": b"CCITTFaxDecode", b"DCT": b"DCTDecode",
+}
+_INLINE_BI_RE = re.compile(rb"\bBI\b(.*?)\bID[\r\n ]", re.DOTALL)
+_INLINE_EI_RE = re.compile(rb"[\r\n ]EI(?=[\s\]>/(]|$)")
+# dict-shaped params only: '…BI… …ID…' appearing inside page TEXT must
+# not be misread as an image (binary data has no length header — the
+# EI heuristic is only safe when the BI…ID span really is a dict)
+_INLINE_PARAMS_OK_RE = re.compile(
+    rb"(?:\s*/\w+\s*(?:/\w+|[\d.]+|\[[^\]]*\]|true|false|<<[^>]*>>))*\s*"
+)
+
+
+def _inline_images(content: bytes) -> list[bytes]:
+    """payloads of every BI…ID…EI inline image in a DECODED content
+    stream, inline filters (abbreviated or full names) applied; image-
+    codec payloads (DCT/CCF) pass through raw, matching the XObject
+    policy."""
+    out: list[bytes] = []
+    pos = 0
+    while True:
+        m = _INLINE_BI_RE.search(content, pos)
+        if not m:
+            break
+        params = m.group(1)
+        if _INLINE_PARAMS_OK_RE.fullmatch(params) is None:
+            pos = m.start() + 2
+            continue
+        em = _INLINE_EI_RE.search(content, m.end())
+        if not em:
+            break
+        payload = content[m.end() : em.start()]
+        fm = re.search(rb"/(?:F|Filter)\s*(/\w+|\[(?:\s*/\w+)*\s*\])", params)
+        if fm:
+            names = re.findall(rb"/(\w+)", fm.group(1))
+            full = b" ".join(
+                b"/" + _INLINE_FILTER_ABBREV.get(n, n) for n in names
+            )
+            try:
+                payload = _apply_filters(
+                    b"<< /Filter [ " + full + b" ] >>", payload, image=True
+                )
+            except (ValueError, zlib.error):
+                pass  # undecodable envelope: keep raw payload
+        out.append(payload)
+        pos = em.end()
+    return out
 
 
 def pdf_images(data: bytes) -> list[dict]:
@@ -1761,6 +1882,31 @@ def pdf_images(data: bytes) -> list[dict]:
                 out.append({"page_i": page_i, "image": images[num]})
                 page_seen.add(num)
                 seen.add(num)
+        # inline images (BI…ID…EI) live in the page's content stream —
+        # pdfimages extracts them, so the OCR tier must too
+        cm = _CONTENTS_RE.search(page_body)
+        if cm:
+            refs = (
+                [int(cm.group(1))]
+                if cm.group(1)
+                else [int(r) for r in _REF_RE.findall(cm.group(2))]
+            )
+            for r in refs:
+                body = objs.get(r)
+                if body is None:
+                    continue
+                sm = _STREAM_RE.search(body)
+                if not sm:
+                    continue
+                blob = sm.group(1)
+                try:
+                    blob = _apply_filters(body, blob)
+                except (ValueError, zlib.error):
+                    continue  # undecodable content stream: no inline scan
+                if b"BI" not in blob:  # cheap gate before the regex walk
+                    continue
+                for payload in _inline_images(blob):
+                    out.append({"page_i": page_i, "image": payload})
     for num, blob in images.items():
         if num not in seen:
             out.append({"page_i": 0, "image": blob})

@@ -790,3 +790,85 @@ def test_pdf_utf16be_and_hex_metadata():
     )
     r3 = parse_pdf(with_paren)
     assert r3["ok"] and r3["title"] == "Report (draft (v2))", r3
+
+
+def test_pdf_winansi_font_encoding():
+    """a simple font declaring /Encoding /WinAnsiEncoding decodes show
+    bytes as cp1252: 0x93/0x94 are smart quotes there (Word-family
+    writers), not the C1 control chars latin-1 yields."""
+    data = build_pdf(["placeholder"], compress=False)
+    tagged = data.replace(
+        b"/Subtype /Type1 /BaseFont /Helvetica",
+        b"/Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding",
+    )
+    assert tagged != data
+    tagged = tagged.replace(b"(placeholder)", b"(\\223quoted\\224 \\226 dash)")
+    r = parse_pdf(tagged)
+    assert r["ok"], r["err"]
+    assert r["pages"] == ["“quoted” – dash"], r["pages"]
+    # without the declaration the bytes stay latin-1 (old behavior)
+    plain = data.replace(b"(placeholder)", b"(\\223x\\224)")
+    assert parse_pdf(plain)["pages"] == ["\x93x\x94"]
+
+
+def test_pdf_xmp_metadata_fallback():
+    """writers that fill only the XMP packet (no /Info /Title) still
+    yield title/author — dc:title/dc:creator first rdf:li, XML
+    entities unescaped, UTF-8 decoded; the Info dict wins when both
+    are present."""
+    xmp = (
+        b"<x:xmpmeta xmlns:x='adobe:ns:meta/'><rdf:RDF>"
+        b"<rdf:Description><dc:title><rdf:Alt>"
+        b"<rdf:li xml:lang='x-default'>Caf\xc3\xa9 &amp; Tea</rdf:li>"
+        b"</rdf:Alt></dc:title><dc:creator><rdf:Seq>"
+        b"<rdf:li>A. Writer</rdf:li></rdf:Seq></dc:creator>"
+        b"</rdf:Description></rdf:RDF></x:xmpmeta>"
+    )
+    meta_obj = (
+        b"98 0 obj\n<< /Type /Metadata /Subtype /XML /Length %d >>\n"
+        b"stream\n" % len(xmp) + xmp + b"\nendstream\nendobj\n"
+    )
+
+    def inject(data):
+        i = data.find(b"xref")
+        if i == -1:
+            i = len(data)
+        return data[:i] + meta_obj + data[i:]
+
+    no_info = inject(build_pdf(["body"]))  # no title/author kwargs
+    r = parse_pdf(no_info)
+    assert r["ok"], r["err"]
+    assert r["title"] == "Café & Tea" and r["author"] == "A. Writer", r
+
+    with_info = inject(build_pdf(["body"], title="InfoT", author="InfoA"))
+    r2 = parse_pdf(with_info)
+    assert r2["title"] == "InfoT" and r2["author"] == "InfoA"
+
+
+def test_pdf_inline_images():
+    """BI…ID…EI inline images (§8.9.7) are extracted page-associated —
+    poppler's pdfimages (the reference's OCR feeder) extracts them, so
+    the OCR tier must see them; dict-lookalike text must NOT be
+    misread as an image."""
+    from open_semantic_etl_spark.operators.pdfio import pdf_images
+
+    data = build_pdf(["page one", "page two"], compress=False)
+    raw = b"BI /W 2 /H 1 /BPC 8 /CS /G ID\nXY EI\n"
+    hexed = b"BI /W 1 /H 1 /F /AHx ID\n5A41> EI\n"
+    # first content stream gets the raw image, second the AHx one
+    i1 = data.find(b"ET\nendstream")
+    assert i1 != -1
+    data = data[:i1] + b"ET\n" + raw + data[i1 + 3:]
+    i2 = data.find(b"ET\nendstream", i1 + len(raw) + 6)
+    assert i2 != -1
+    data = data[:i2] + b"ET\n" + hexed + data[i2 + 3:]
+    got = [(d["page_i"], bytes(d["image"])) for d in pdf_images(data)]
+    assert got == [(1, b"XY"), (2, b"ZA")], got
+    # page text still extracts around the inline blocks
+    r = parse_pdf(data)
+    assert r["pages"] == ["page one", "page two"], r
+
+    # text that merely mentions BI/ID/EI is not an image
+    bait = build_pdf(["alpha BI beta ID gamma EI delta"], compress=False)
+    assert pdf_images(bait) == []
+    assert parse_pdf(bait)["pages"] == ["alpha BI beta ID gamma EI delta"]

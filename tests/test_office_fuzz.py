@@ -196,3 +196,49 @@ def test_cfb_total_on_random_bytes(data):
 def test_cfb_total_on_mutated_documents(data):
     _check_office_shape(extract_cfb(data))
     _check_office_shape(extract_tnef(data))
+
+
+# --- pdfio totality (round-4e additions: inline images, XMP, WinAnsi,
+# text-string metadata all ride the same never-raise contract) ------------
+
+from open_semantic_etl_spark.operators.pdfio import build_pdf, parse_pdf, pdf_images
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_parse_pdf_total_on_random_bytes(data):
+    r = parse_pdf(b"%PDF-" + data)
+    assert isinstance(r, dict) and "ok" in r and "err" in r
+    assert isinstance(pdf_images(b"%PDF-" + data), list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=6),
+    st.data(),
+)
+def test_parse_pdf_total_on_mutated_documents(variant, payload):
+    base = build_pdf(
+        ["page one ÄÖÜ", "page two"],
+        title="T (x)",
+        author="A",
+        images=[[b"img"], []],
+        modern=(variant % 3 == 0),
+        type0=(variant % 5 == 0),
+        encrypt=("rc4-128" if variant == 4 else "aes-128" if variant == 5 else None),
+    )
+    mode = payload.draw(st.sampled_from(["truncate", "flip", "splice"]))
+    if mode == "truncate":
+        cut = payload.draw(st.integers(min_value=0, max_value=len(base)))
+        data = base[:cut]
+    elif mode == "flip":
+        pos = payload.draw(st.integers(min_value=0, max_value=len(base) - 1))
+        b = payload.draw(st.integers(min_value=0, max_value=255))
+        data = base[:pos] + bytes([b]) + base[pos + 1:]
+    else:
+        ins = payload.draw(st.binary(min_size=1, max_size=32))
+        pos = payload.draw(st.integers(min_value=0, max_value=len(base)))
+        data = base[:pos] + ins + base[pos:]
+    r = parse_pdf(data)
+    assert isinstance(r, dict) and "ok" in r and "err" in r
+    assert isinstance(pdf_images(data), list)
