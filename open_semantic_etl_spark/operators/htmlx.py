@@ -134,6 +134,7 @@ _MAGIC = (
     (b"BZh", "application/x-bzip2"),
     (b"\xfd7zXZ\x00", "application/x-xz"),
     (b"WARC/", "application/warc"),
+    (b"SQLite format 3\x00", "application/x-sqlite3"),
 )
 
 #: transparently-decompressed single-member formats (Tika's
@@ -180,6 +181,8 @@ def sniff_content_type(data: bytes) -> str | None:
     for magic, ctype in _MAGIC:
         if data.startswith(magic):
             return ctype
+    if len(data) >= 263 and data[257:262] == b"ustar":
+        return "application/x-tar"  # POSIX magic sits at byte 257
     if data.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf")):
         return None  # UTF BOM — text, even though UTF-16 bytes contain NULs
     head = data[:4096]

@@ -43,7 +43,10 @@ def _binary_source(
             ids = [int(d) for d in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
-                    "url": [url_fmt.format(d=d) for d in ids],
+                    "url": [
+                        url_fmt.format(d=d) if isinstance(url_fmt, str) else url_fmt(d)
+                        for d in ids
+                    ],
                     "html": [build(d) for d in ids],
                 }
             )
@@ -58,22 +61,54 @@ def _binary_source(
 _ZIP_DT = (2024, 1, 1, 0, 0, 0)
 
 
-def _build_zip(d: int) -> bytes:
+def _inner_zip(d: int) -> bytes:
     inner = io.BytesIO()
     with zipfile.ZipFile(inner, "w", zipfile.ZIP_STORED) as zi:
         zi.writestr(zipfile.ZipInfo(f"b{d}.txt", _ZIP_DT), f"beta {d}")
+    return inner.getvalue()
+
+
+def _build_zip(d: int) -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zo:
         zo.writestr(zipfile.ZipInfo(f"notes/a{d}.txt", _ZIP_DT), f"alpha {d}")
-        zo.writestr(zipfile.ZipInfo("inner.zip", _ZIP_DT), inner.getvalue())
+        zo.writestr(zipfile.ZipInfo("inner.zip", _ZIP_DT), _inner_zip(d))
     return buf.getvalue()
+
+
+def _build_tgz(d: int) -> bytes:
+    """same member layout as _build_zip, but a gzip-compressed tar —
+    exercises the tar tier + zip-in-tar recursion under one oracle."""
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+
+        def add(name: str, data: bytes) -> None:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 1704067200
+            tf.addfile(ti, io.BytesIO(data))
+
+        add(f"notes/a{d}.txt", f"alpha {d}".encode())
+        add("inner.zip", _inner_zip(d))
+    return buf.getvalue()
+
+
+def _build_archive(d: int) -> bytes:
+    return _build_tgz(d) if d % 3 == 2 else _build_zip(d)
 
 
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from open_semantic_etl_spark.sources.explode import explode_zip
 
     src = _binary_source(
-        spark, sf_dir, 150, _build_zip, "https://archive.example.org/{d}.zip"
+        spark,
+        sf_dir,
+        150,
+        _build_archive,
+        lambda d: "https://archive.example.org/%d.%s"
+        % (d, "tgz" if d % 3 == 2 else "zip"),
     )
     out = explode_zip(src)
     return out.select(
@@ -86,7 +121,8 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ZIP_EXPLODE = """
 WITH m AS (
-  SELECT doc_id, 'https://archive.example.org/' || doc_id || '.zip' AS base
+  SELECT doc_id, 'https://archive.example.org/' || doc_id ||
+         CASE WHEN doc_id % 3 = 2 THEN '.tgz' ELSE '.zip' END AS base
   FROM documents WHERE doc_id < 150
 )
 SELECT base || '/notes/a' || doc_id || '.txt' AS url, base AS container_s,
@@ -903,29 +939,55 @@ def _build_csv(d: int) -> bytes:
     return f"name,value\r\nitem{d},{d}.5\r\nthing{d},x{d}\r\n".encode()
 
 
-def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_semantic_etl_spark.sources.explode import explode_csv
+def _build_sqlite(d: int) -> bytes:
+    """same logical rows as _build_csv, as a SQLite database — the
+    sqlite tier (Tika SQLite3Parser parity) shares the CSV oracle."""
+    import sqlite3
 
-    src = _binary_source(spark, sf_dir, 150, _build_csv, "file:///tab/{d}.csv")
-    out = explode_csv(src)
-    return out.select(
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE items (name TEXT, value)")
+    con.execute("INSERT INTO items VALUES (?, ?)", (f"item{d}", d + 0.5))
+    con.execute("INSERT INTO items VALUES (?, ?)", (f"thing{d}", f"x{d}"))
+    con.commit()
+    data = bytes(con.serialize())
+    con.close()
+    return data
+
+
+def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.explode import explode_csv, explode_sqlite
+
+    src = _binary_source(
+        spark,
+        sf_dir,
+        150,
+        lambda d: _build_sqlite(d) if d % 3 == 2 else _build_csv(d),
+        lambda d: "file:///tab/%d.%s" % (d, "sqlite" if d % 3 == 2 else "csv"),
+    )  # 150 tiny rows: recomputing per branch beats an app-lifetime cache
+    cols = [
         "url",
         "page_i",
         "container_s",
         F.col("fields")["name_t"].alias("name_t"),
         F.col("fields")["value_t"].alias("value_t"),
         F.col("numbers")["value_f"].alias("value_f"),
-    )
+    ]
+    csv_part = explode_csv(src.filter(~F.col("url").endswith(".sqlite"))).select(*cols)
+    db_part = explode_sqlite(src.filter(F.col("url").endswith(".sqlite"))).select(*cols)
+    return csv_part.unionByName(db_part)
 
 
 SQL_CSV_EXPLODE = """
-WITH m AS (SELECT doc_id, 'file:///tab/' || doc_id || '.csv' AS base
-           FROM documents WHERE doc_id < 150)
-SELECT base || '#1' AS url, 1 AS page_i, base AS container_s,
+WITH m AS (SELECT doc_id,
+  'file:///tab/' || doc_id ||
+      CASE WHEN doc_id % 3 = 2 THEN '.sqlite' ELSE '.csv' END AS base,
+  CASE WHEN doc_id % 3 = 2 THEN '#items#' ELSE '#' END AS sep
+  FROM documents WHERE doc_id < 150)
+SELECT base || sep || '1' AS url, 1 AS page_i, base AS container_s,
        'item' || doc_id AS name_t, doc_id || '.5' AS value_t,
        doc_id + 0.5 AS value_f FROM m
 UNION ALL
-SELECT base || '#2', 2, base, 'thing' || doc_id, 'x' || doc_id, NULL FROM m
+SELECT base || sep || '2', 2, base, 'thing' || doc_id, 'x' || doc_id, NULL FROM m
 """
 
 

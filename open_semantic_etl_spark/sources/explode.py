@@ -10,13 +10,18 @@ pipeline (plans/pipeline.py) as any page.
 
 Child-id schemes preserved exactly:
   zip member   → ``<id>/<member path>``, ``container_s`` = outermost zip
+  tar member   → ``<id>/<member name>`` (same scheme; plain or gz/bz2/xz)
   warc record  → ``<target_uri>/<record_id>``
   csv row      → ``<id>#<rownum>`` with ``page_i`` = rownum
+  sqlite row   → ``<id>#<table>#<rownum>`` with ``page_i`` = rownum
   pdf page     → ``<id>#page=<n>`` (1-based), parent title/author copied
   sentence     → ``<id>#sentence<n>`` (1-based)
 
-All parsers are stdlib (zipfile / csv / minimal WARC reader) running on
-binary columns inside Arrow batches — no temp files, no subprocesses.
+All parsers are stdlib (zipfile / tarfile / csv / minimal WARC reader)
+running on binary columns inside Arrow batches — no temp files, no
+subprocesses.  Tar archives (plain or gz/bz2/xz-compressed, Tika's
+TarParser tier) ride the same child-id scheme and bomb guards as zip;
+zip-in-tar and tar-in-zip recurse with the shared depth/byte budget.
 """
 
 from __future__ import annotations
@@ -82,6 +87,93 @@ def _zip_members(
                 out.extend(
                     _zip_members(payload, child_id, container, _depth + 1, _budget)
                 )
+            elif _depth < _ZIP_MAX_DEPTH and _sniff_tar(payload, info.filename):
+                out.extend(
+                    _tar_or_member(payload, child_id, container, _depth + 1, _budget)
+                )
+            else:
+                out.append(
+                    {"child_id": child_id, "container_s": container, "bytes": payload}
+                )
+            if _budget[0] <= 0:
+                break
+    return out
+
+
+# POSIX ustar magic sits at byte 257 of the first header block; a
+# compressed tar can only be recognized by (compression magic + name) —
+# decompressing every gz member just to probe would defeat the bomb caps
+_TAR_NAME_RE = re.compile(r"\.(tar(\.(gz|bz2|xz))?|tgz|tbz2?|txz)$", re.IGNORECASE)
+
+
+def _sniff_tar(payload: bytes, name: str) -> bool:
+    if len(payload) >= 263 and payload[257:262] == b"ustar":
+        return True
+    return bool(
+        _TAR_NAME_RE.search(name)
+        and (
+            payload[:2] == b"\x1f\x8b"
+            or payload[:3] == b"BZh"
+            or payload[:6] == b"\xfd7zXZ\x00"
+        )
+    )
+
+
+def _tar_or_member(
+    payload: bytes, child_id: str, container: str, depth: int, budget: list[int]
+) -> list[dict]:
+    """recurse into a sniffed nested tar; corrupt ones degrade to a
+    plain member row (the sniff is a heuristic — never lose bytes)."""
+    try:
+        return _tar_members(payload, child_id, container, depth, budget)
+    except Exception:  # noqa: BLE001
+        return [{"child_id": child_id, "container_s": container, "bytes": payload}]
+
+
+def _tar_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    """tar (plain or gz/bz2/xz — ``r:*``) → member rows; same id scheme,
+    byte budget, and nesting depth as zip (Tika's TarParser tier,
+    enhance_zip.py:31-116 child semantics).  Each header block is
+    charged 512 B against the budget so a compressed bomb of millions
+    of empty members cannot spin the worker."""
+    import tarfile
+
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
+        for info in tf:
+            _budget[0] -= 512  # header cost — empty-member bomb guard
+            if _budget[0] <= 0:
+                break
+            if not info.isfile():
+                continue
+            if info.size > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+                continue  # oversized member: skip it, keep the rest
+            fobj = tf.extractfile(info)
+            if fobj is None:
+                continue
+            payload = fobj.read(info.size)
+            _budget[0] -= len(payload)
+            child_id = f"{base_id}/{info.name}"
+            if (
+                payload[:4] == b"PK\x03\x04"
+                and info.name.lower().endswith(".zip")
+                and _depth < _ZIP_MAX_DEPTH
+            ):
+                out.extend(
+                    _zip_members(payload, child_id, container, _depth + 1, _budget)
+                )
+            elif _depth < _ZIP_MAX_DEPTH and _sniff_tar(payload, info.name):
+                out.extend(
+                    _tar_or_member(payload, child_id, container, _depth + 1, _budget)
+                )
             else:
                 out.append(
                     {"child_id": child_id, "container_s": container, "bytes": payload}
@@ -92,13 +184,22 @@ def _zip_members(
 
 
 def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
-    """zip rows → one row per (recursively reached) member file."""
+    """archive rows → one row per (recursively reached) member file.
+
+    Accepts zip AND tar (plain/gz/bz2/xz — sniffed per row: ``PK`` →
+    zipfile, anything else tried as ``tarfile r:*``, which validates
+    the header checksum); named ``explode_zip`` for the reference
+    operator it mirrors (enhance_zip.py:31-116)."""
 
     def run(series: pd.Series, ids: pd.Series) -> pd.Series:
         res = []
         for data, base in zip(series, ids):
             try:
-                res.append(_zip_members(data, base, base))
+                data = bytes(data)
+                if data[:4] == b"PK\x03\x04":
+                    res.append(_zip_members(data, base, base))
+                else:
+                    res.append(_tar_members(data, base, base))
             except Exception:  # noqa: BLE001 — bad archive → no children
                 res.append([])
         return pd.Series(res)
@@ -451,6 +552,124 @@ def explode_csv(
         F.col("c.child_id").alias("url"),
         F.col("c.page_i").alias("page_i"),
         F.col("c.container_s").alias("container_s"),
+        F.col("c.fields").alias("fields"),
+        F.col("c.numbers").alias("numbers"),
+        "parent_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQLite — Tika SQLite3Parser parity: each user table's rows become
+# child docs carrying the CSV tier's typed shadows (<col>_t / <col>_f)
+# ---------------------------------------------------------------------------
+
+SQLITE_MAGIC = b"SQLite format 3\x00"
+SQLITE_MAX_ROWS_PER_TABLE = 100_000  # per-table child cap (runaway guard)
+SQLITE_MAX_ROWS_TOTAL = 1_000_000    # per-database child cap
+
+SQLITE_CHILD_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("child_id", T.StringType(), False),
+            T.StructField("page_i", T.IntegerType(), False),
+            T.StructField("container_s", T.StringType(), False),
+            T.StructField("table_s", T.StringType(), False),
+            T.StructField("fields", T.MapType(T.StringType(), T.StringType()), False),
+            T.StructField("numbers", T.MapType(T.StringType(), T.DoubleType()), False),
+        ]
+    )
+)
+
+
+def _sqlite_rows(data: bytes, base_id: str) -> list[dict]:
+    """child rows of every user table (``sqlite_master`` order by name,
+    rows in rowid order where the table has one) — ``<id>#<table>#<n>``
+    ids, CSV-contract typed shadows.  The whole database is held as
+    bytes (``Connection.deserialize`` — no temp file, matching the
+    module's no-filesystem rule); numeric SQLite values shadow into
+    ``_f`` directly, TEXT falls back to the CSV float parse."""
+    import sqlite3
+
+    if not data.startswith(SQLITE_MAGIC):
+        return []
+    con = sqlite3.connect(":memory:")
+    try:
+        con.deserialize(data)
+        names = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type='table' "
+                "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+            )
+        ]
+        out: list[dict] = []
+        for tname in names:
+            if len(out) >= SQLITE_MAX_ROWS_TOTAL:
+                break
+            qt = '"' + tname.replace('"', '""') + '"'
+            try:  # WITHOUT ROWID / shadowed-rowid tables: arbitrary order
+                cur = con.execute(f"SELECT * FROM {qt} ORDER BY rowid")  # noqa: S608
+            except sqlite3.Error:
+                try:
+                    cur = con.execute(f"SELECT * FROM {qt}")  # noqa: S608
+                except sqlite3.Error:
+                    continue  # virtual table without its module, etc.
+            cols = [c[0] for c in cur.description]
+            for rn, row in enumerate(cur, start=1):
+                if rn > SQLITE_MAX_ROWS_PER_TABLE or len(out) >= SQLITE_MAX_ROWS_TOTAL:
+                    break
+                fields: dict[str, str] = {}
+                numbers: dict[str, float] = {}
+                for cname, val in zip(cols, row):
+                    if val is None:
+                        continue
+                    if isinstance(val, bytes):
+                        fields[f"{cname}_t"] = val.hex()
+                        continue
+                    fields[f"{cname}_t"] = str(val)
+                    if isinstance(val, (int, float)):
+                        numbers[f"{cname}_f"] = float(val)
+                    else:
+                        try:  # TEXT that reads as a number — CSV parity
+                            numbers[f"{cname}_f"] = float(val.replace(",", "."))
+                        except ValueError:
+                            pass
+                out.append(
+                    {
+                        "child_id": f"{base_id}#{tname}#{rn}",
+                        "page_i": rn,
+                        "container_s": base_id,
+                        "table_s": tname,
+                        "fields": fields,
+                        "numbers": numbers,
+                    }
+                )
+        return out
+    finally:
+        con.close()
+
+
+def explode_sqlite(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """sqlite rows → one row per user-table row (Tika SQLite3Parser
+    tier); corrupt / non-sqlite payloads yield zero children."""
+
+    def run(series: pd.Series, ids: pd.Series) -> pd.Series:
+        res = []
+        for data, base in zip(series, ids):
+            try:
+                res.append(_sqlite_rows(bytes(data), base))
+            except Exception:  # noqa: BLE001 — bad database → no children
+                res.append([])
+        return pd.Series(res)
+
+    udf = F.pandas_udf(run, SQLITE_CHILD_TYPE)
+    ex = df.withColumn("_children", udf(F.col(bytes_col), F.col(id_col)))
+    ex = ex.select(F.col(id_col).alias("parent_id"), F.explode("_children").alias("c"))
+    return ex.select(
+        F.col("c.child_id").alias("url"),
+        F.col("c.page_i").alias("page_i"),
+        F.col("c.container_s").alias("container_s"),
+        F.col("c.table_s").alias("table_s"),
         F.col("c.fields").alias("fields"),
         F.col("c.numbers").alias("numbers"),
         "parent_id",

@@ -291,3 +291,181 @@ def test_zip_nesting_depth_capped():
     # surfaces as a raw .zip member rather than recursing forever
     assert got[0]["child_id"].endswith(".zip")
     assert got[0]["bytes"][:4] == b"PK\x03\x04"
+
+
+# --- tar tier (round-4e: Tika TarParser parity over the zip machinery) ----
+
+
+def _tar_bytes(members: dict[str, bytes], mode: str = "w") -> bytes:
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, data in members.items():
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 1704067200
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_explode_tar_plain_and_compressed(spark):
+    """plain tar and .tar.gz both explode to member rows through
+    explode_zip's per-row sniff; child-id scheme matches zip."""
+    plain = _tar_bytes({"docs/one.txt": b"uno", "two.txt": b"dos"})
+    gz = _tar_bytes({"three.txt": b"tres"}, mode="w:gz")
+    df = spark.createDataFrame(
+        [("http://x/a.tar", plain), ("http://x/b.tar.gz", gz)],
+        "url string, html binary",
+    )
+    rows = {r["url"]: bytes(r["html"]) for r in E.explode_zip(df).collect()}
+    assert rows == {
+        "http://x/a.tar/docs/one.txt": b"uno",
+        "http://x/a.tar/two.txt": b"dos",
+        "http://x/b.tar.gz/three.txt": b"tres",
+    }
+
+
+def test_tar_zip_cross_nesting():
+    """zip-in-tar and tar-in-zip both recurse with the OUTERMOST
+    container id, like zip-in-zip (enhance_zip.py:26-28 rule)."""
+    inner_zip = _zip_bytes({"z.txt": b"from zip"})
+    tar_with_zip = _tar_bytes({"inner.zip": inner_zip, "t.txt": b"from tar"})
+    got = E._tar_members(tar_with_zip, "file:///a.tar", "file:///a.tar")
+    assert {(m["child_id"], bytes(m["bytes"])) for m in got} == {
+        ("file:///a.tar/inner.zip/z.txt", b"from zip"),
+        ("file:///a.tar/t.txt", b"from tar"),
+    }
+    assert all(m["container_s"] == "file:///a.tar" for m in got)
+
+    inner_tar = _tar_bytes({"deep.txt": b"from nested tar"})
+    zip_with_tar = _zip_bytes({"inner.tar": inner_tar, "z2.txt": b"plain"})
+    got2 = E._zip_members(zip_with_tar, "file:///b.zip", "file:///b.zip")
+    assert {(m["child_id"], bytes(m["bytes"])) for m in got2} == {
+        ("file:///b.zip/inner.tar/deep.txt", b"from nested tar"),
+        ("file:///b.zip/z2.txt", b"plain"),
+    }
+
+
+def test_tar_corrupt_nested_degrades_to_member():
+    """a member that SNIFFS as tar but fails to parse is kept as an
+    opaque member row — the heuristic never loses bytes."""
+    fake = b"\x00" * 257 + b"ustar" + b"\x00" * 100  # magic, bad checksum
+    container = _zip_bytes({"broken.tar": fake})
+    got = E._zip_members(container, "file:///c.zip", "file:///c.zip")
+    assert [(m["child_id"], bytes(m["bytes"])) for m in got] == [
+        ("file:///c.zip/broken.tar", fake)
+    ]
+
+
+def test_tar_member_and_budget_guards(monkeypatch):
+    """oversized members are skipped pre-read; the shared byte budget
+    (with the 512 B/header charge) stops empty-member bombs."""
+    monkeypatch.setattr(E, "ZIP_MAX_MEMBER_BYTES", 64)
+    data = _tar_bytes({"big.bin": b"\x01" * 1000, "ok.txt": b"fine"})
+    got = E._tar_members(data, "t", "t")
+    assert [m["child_id"] for m in got] == ["t/ok.txt"]
+
+    monkeypatch.undo()
+    # 40 empty members × 512 B header charge > 1 KB budget → truncation
+    bomb = _tar_bytes({f"e{i}": b"" for i in range(40)}, mode="w:gz")
+    got2 = E._tar_members(bomb, "t", "t", _budget=[1024])
+    assert len(got2) < 40
+
+
+def test_explode_zip_rejects_garbage(spark):
+    """non-archive bytes (and empty) yield zero children, no error."""
+    df = spark.createDataFrame(
+        [("http://x/g.bin", b"\x00\x01garbage" * 50), ("http://x/e", b"")],
+        "url string, html binary",
+    )
+    assert E.explode_zip(df).count() == 0
+
+
+def test_tar_mimetype_sniff():
+    from open_semantic_etl_spark.operators.htmlx import sniff_content_type
+
+    plain = _tar_bytes({"a.txt": b"x"})
+    assert sniff_content_type(plain) == "application/x-tar"
+    assert sniff_content_type(_tar_bytes({"a": b""}, "w:gz")) == "application/gzip"
+    assert sniff_content_type(b"\x00" * 300) == "application/octet-stream"
+
+
+# --- sqlite tier (Tika SQLite3Parser parity: rows → typed-shadow docs) ----
+
+
+def _sqlite_bytes(ddl_and_rows) -> bytes:
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    for stmt, params in ddl_and_rows:
+        con.execute(stmt, params or ())
+    con.commit()
+    data = bytes(con.serialize())
+    con.close()
+    return data
+
+
+def test_explode_sqlite(spark):
+    """user tables walk in name order, rows in rowid order; typed
+    shadows follow the CSV contract (REAL/INTEGER → _f, parseable TEXT
+    → _f too, BLOB → hex _t, NULL skipped); sqlite_ internals hidden."""
+    db = _sqlite_bytes(
+        [
+            ("CREATE TABLE zeta (k TEXT, v REAL)", None),
+            ("CREATE TABLE alpha (name TEXT, n INTEGER, b BLOB, misc)", None),
+            ("INSERT INTO alpha VALUES ('first', 7, X'C0FFEE', '12,5')", None),
+            ("INSERT INTO alpha VALUES ('second', NULL, NULL, 'words')", None),
+            ("INSERT INTO zeta VALUES ('z', 1.5)", None),
+        ]
+    )
+    df = spark.createDataFrame([("file:///d.sqlite", db)], "url string, html binary")
+    rows = {r["url"]: r for r in E.explode_sqlite(df).collect()}
+    assert set(rows) == {
+        "file:///d.sqlite#alpha#1",
+        "file:///d.sqlite#alpha#2",
+        "file:///d.sqlite#zeta#1",
+    }
+    r1 = rows["file:///d.sqlite#alpha#1"]
+    assert r1["table_s"] == "alpha" and r1["page_i"] == 1
+    assert r1["fields"] == {
+        "name_t": "first", "n_t": "7", "b_t": "c0ffee", "misc_t": "12,5",
+    }
+    assert r1["numbers"] == {"n_f": 7.0, "misc_f": 12.5}
+    r2 = rows["file:///d.sqlite#alpha#2"]
+    assert r2["fields"] == {"name_t": "second", "misc_t": "words"}
+    assert r2["numbers"] == {}
+    assert rows["file:///d.sqlite#zeta#1"]["numbers"] == {"v_f": 1.5}
+
+
+def test_explode_sqlite_rejects_non_database(spark):
+    df = spark.createDataFrame(
+        [("file:///x.bin", b"SQLite format 3\x00" + b"\x00" * 50),
+         ("file:///y.txt", b"not a database at all")],
+        "url string, html binary",
+    )
+    assert E.explode_sqlite(df).count() == 0
+
+
+def test_sqlite_row_caps(monkeypatch):
+    monkeypatch.setattr(E, "SQLITE_MAX_ROWS_PER_TABLE", 3)
+    stmts = [("CREATE TABLE t (i INTEGER)", None)]
+    stmts += [("INSERT INTO t VALUES (?)", (i,)) for i in range(10)]
+    got = E._sqlite_rows(_sqlite_bytes(stmts), "d")
+    assert [m["child_id"] for m in got] == ["d#t#1", "d#t#2", "d#t#3"]
+
+    monkeypatch.undo()
+    monkeypatch.setattr(E, "SQLITE_MAX_ROWS_TOTAL", 4)
+    stmts2 = [("CREATE TABLE a (i)", None), ("CREATE TABLE b (i)", None)]
+    stmts2 += [("INSERT INTO a VALUES (?)", (i,)) for i in range(3)]
+    stmts2 += [("INSERT INTO b VALUES (?)", (i,)) for i in range(3)]
+    got2 = E._sqlite_rows(_sqlite_bytes(stmts2), "d")
+    assert len(got2) == 4
+
+
+def test_sqlite_mimetype_sniff():
+    from open_semantic_etl_spark.operators.htmlx import sniff_content_type
+
+    db = _sqlite_bytes([("CREATE TABLE t (i)", None)])
+    assert sniff_content_type(db) == "application/x-sqlite3"
