@@ -137,6 +137,11 @@ _MAGIC = (
     (b"SQLite format 3\x00", "application/x-sqlite3"),
 )
 
+#: a From_ envelope line (``From <sender> <asctime>``) — the asctime's
+#: 4-digit year keeps prose starting with "From " out of the mbox
+#: label; sources/explode.py splits on the same shape
+_MBOX_FROM_RE = re.compile(rb"\AFrom \S+ .*\d{4}\r?\n")
+
 #: transparently-decompressed single-member formats (Tika's
 #: CompressorParser behavior: a .html.gz indexes as its inner html)
 _COMPRESSED_TYPES = frozenset(
@@ -183,6 +188,8 @@ def sniff_content_type(data: bytes) -> str | None:
             return ctype
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"  # POSIX magic sits at byte 257
+    if data.startswith(b"From ") and _MBOX_FROM_RE.match(data):
+        return "application/mbox"  # From_ envelope line w/ asctime year
     if data.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf")):
         return None  # UTF BOM — text, even though UTF-16 bytes contain NULs
     head = data[:4096]

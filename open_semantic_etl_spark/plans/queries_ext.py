@@ -178,12 +178,29 @@ def _eml_sent(d: int) -> bytes:
     ).encode()
 
 
+def _build_mbox(d: int) -> bytes:
+    """the same two mails as the PST containers, as a Unix mbox —
+    exercises the From_-line split + mboxrd unstuffing under the
+    pst_explode oracle (one mail tier, three container kinds)."""
+    env = "From %s Fri Mar  1 08:30:%02d 2024\r\n"
+    return (
+        (env % (f"user{d}@example.org", d % 60)).encode()
+        + _eml_inbox(d)
+        + (env % (f"sender{d}@example.org", d % 60)).encode()
+        + _eml_sent(d)
+    )
+
+
 def _build_pst(d: int) -> bytes:
-    """every third doc is a REAL Unicode PST ([MS-PST] NDB/LTP file,
-    operators/pst.py) carrying the same two mails + attachment; the
-    rest use the extracted-tree fixture (a pre-run readpst dump). Both
-    decode to identical rows, so one oracle pins the real parser and
-    the member-tree plumbing side by side."""
+    """every fifth doc is an mbox (same mails, Tika MBoxParser tier);
+    of the rest, every third is a REAL Unicode PST ([MS-PST] NDB/LTP
+    file, operators/pst.py) carrying the same two mails + attachment,
+    and the remainder use the extracted-tree fixture (a pre-run
+    readpst dump). All decode to the same logical rows, so one oracle
+    pins the real PST parser, the member-tree plumbing, and the mbox
+    split side by side."""
+    if d % 5 == 4:
+        return _build_mbox(d)
     if d % 3 == 0:
         from datetime import datetime, timezone
 
@@ -246,13 +263,20 @@ def q_pst_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     transfer-decoded text/plain part. Attachments keep their raw text;
     mails expose parsed fields only."""
     from open_semantic_etl_spark.operators.eml import with_eml
-    from open_semantic_etl_spark.sources.explode import explode_pst
+    from open_semantic_etl_spark.sources.explode import explode_mbox, explode_pst
 
     src = _binary_source(
-        spark, sf_dir, 150, _build_pst, "file:///mail/{d}.pst"
+        spark,
+        sf_dir,
+        150,
+        _build_pst,
+        lambda d: "file:///mail/%d.%s" % (d, "mbox" if d % 5 == 4 else "pst"),
     )
-    out = with_eml(explode_pst(src), gate=F.col("url").endswith(".eml"))
-    is_eml = F.col("url").endswith(".eml")
+    kids = explode_pst(src.filter(~F.col("url").endswith(".mbox"))).unionByName(
+        explode_mbox(src.filter(F.col("url").endswith(".mbox")))
+    )
+    is_eml = F.col("url").endswith(".eml") | F.col("url").contains("#msg=")
+    out = with_eml(kids, gate=is_eml)
     return out.select(
         "url",
         "container_s",
@@ -267,9 +291,13 @@ def q_pst_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PST_EXPLODE = """
-WITH m AS (SELECT doc_id, 'file:///mail/' || doc_id || '.pst' AS base
+WITH m AS (SELECT doc_id, doc_id % 5 = 4 AS is_mbox,
+  'file:///mail/' || doc_id ||
+      CASE WHEN doc_id % 5 = 4 THEN '.mbox' ELSE '.pst' END AS base
            FROM documents WHERE doc_id < 150)
-SELECT base || '/Inbox/' || (1000 + doc_id) || '.eml' AS url, base AS container_s,
+SELECT CASE WHEN is_mbox THEN base || '#msg=1'
+            ELSE base || '/Inbox/' || (1000 + doc_id) || '.eml' END AS url,
+       base AS container_s,
        NULL::varchar AS member_text, base AS parent_id,
        'user' || doc_id || '@example.org' AS message_from_s,
        'team' || doc_id || '@example.org,rcpt' || doc_id || '@example.net,cc' || doc_id || '@example.org' AS message_to_s,
@@ -279,9 +307,11 @@ SELECT base || '/Inbox/' || (1000 + doc_id) || '.eml' AS url, base AS container_
 FROM m
 UNION ALL
 SELECT base || '/Inbox/' || (1000 + doc_id) || '-report.txt', base,
-       'attachment ' || doc_id, base, NULL, NULL, NULL, NULL, NULL FROM m
+       'attachment ' || doc_id, base, NULL, NULL, NULL, NULL, NULL
+FROM m WHERE NOT is_mbox
 UNION ALL
-SELECT base || '/Sent/' || (2000 + doc_id) || '.eml', base, NULL, base,
+SELECT CASE WHEN is_mbox THEN base || '#msg=2'
+            ELSE base || '/Sent/' || (2000 + doc_id) || '.eml' END, base, NULL, base,
        'sender' || doc_id || '@example.org', 'dest' || doc_id || '@example.org',
        'Sent ' || doc_id,
        '2024-03-01T10:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z',

@@ -15,6 +15,7 @@ Child-id schemes preserved exactly:
   csv row      → ``<id>#<rownum>`` with ``page_i`` = rownum
   sqlite row   → ``<id>#<table>#<rownum>`` with ``page_i`` = rownum
   pdf page     → ``<id>#page=<n>`` (1-based), parent title/author copied
+  mbox message → ``<id>#msg=<n>`` (1-based), raw RFC-822 bytes
   sentence     → ``<id>#sentence<n>`` (1-based)
 
 All parsers are stdlib (zipfile / tarfile / csv / minimal WARC reader)
@@ -462,6 +463,78 @@ def explode_pst(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
         return pd.Series(res)
 
     udf = F.pandas_udf(run, PST_CHILD_TYPE)
+    ex = df.withColumn("_children", udf(F.col(bytes_col), F.col(id_col)))
+    ex = ex.select(F.col(id_col).alias("parent_id"), F.explode("_children").alias("c"))
+    return ex.select(
+        F.col("c.child_id").alias("url"),
+        F.col("c.container_s").alias("container_s"),
+        F.col("c.bytes").alias("html"),
+        "parent_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mbox — Tika MBoxParser parity: the Unix mail-spool container splits
+# into one RFC-822 child per message, each riding the same eml parse
+# as PST children (the reference reaches mbox through Tika the same
+# way it reaches PST through readpst)
+# ---------------------------------------------------------------------------
+
+#: a From_ envelope line: ``From <sender> <asctime>`` — the asctime
+#: ends in a 4-digit year, which keeps plain prose starting with
+#: "From " from sniffing as a mailbox (file(1)'s heuristic shape)
+MBOX_FROM_RE = re.compile(rb"\AFrom \S+ .*\d{4}\r?\n")
+_MBOX_SEP_RE = re.compile(rb"(?:\A|\r?\n)From [^\r\n]*\r?\n")
+_MBOX_STUFF_RE = re.compile(rb"^>(>*From )", re.MULTILINE)
+MBOX_MAX_MESSAGES = 100_000  # runaway guard (malformed separator spam)
+
+MBOX_CHILD_TYPE = ZIP_CHILD_TYPE  # same (child_id, container_s, bytes) shape
+
+
+def _mbox_messages(data: bytes) -> list[bytes]:
+    """raw RFC-822 payloads of one mbox.  Messages start after each
+    ``From `` separator line (the envelope line is NOT part of the
+    message — python stdlib ``mailbox.mbox`` draws the same boundary
+    at every line starting with ``From ``); body lines stuffed as
+    ``>From `` / ``>>From `` lose exactly one ``>`` (mboxrd unstuffing,
+    which also restores mboxo writers' quoting).  Trailing blank
+    separator lines are stripped; CRLF mailboxes keep their CRLFs
+    inside messages."""
+    if not MBOX_FROM_RE.match(data):
+        return []
+    seps = list(_MBOX_SEP_RE.finditer(data))
+    out: list[bytes] = []
+    for i, m in enumerate(seps[:MBOX_MAX_MESSAGES]):
+        start = m.end()
+        end = seps[i + 1].start() if i + 1 < len(seps) else len(data)
+        msg = _MBOX_STUFF_RE.sub(rb"\1", data[start:end])
+        out.append(msg.rstrip(b"\r\n") + b"\r\n" if msg.strip() else msg)
+    return out
+
+
+def explode_mbox(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """mbox rows → one row per contained message (``<id>#msg=<n>``,
+    1-based); non-mbox / corrupt payloads yield zero children."""
+
+    def run(series: pd.Series, ids: pd.Series) -> pd.Series:
+        res = []
+        for data, base in zip(series, ids):
+            try:
+                res.append(
+                    [
+                        {
+                            "child_id": f"{base}#msg={n}",
+                            "container_s": base,
+                            "bytes": msg,
+                        }
+                        for n, msg in enumerate(_mbox_messages(bytes(data)), start=1)
+                    ]
+                )
+            except Exception:  # noqa: BLE001 — bad mailbox → no children
+                res.append([])
+        return pd.Series(res)
+
+    udf = F.pandas_udf(run, MBOX_CHILD_TYPE)
     ex = df.withColumn("_children", udf(F.col(bytes_col), F.col(id_col)))
     ex = ex.select(F.col(id_col).alias("parent_id"), F.explode("_children").alias("c"))
     return ex.select(

@@ -469,3 +469,67 @@ def test_sqlite_mimetype_sniff():
 
     db = _sqlite_bytes([("CREATE TABLE t (i)", None)])
     assert sniff_content_type(db) == "application/x-sqlite3"
+
+
+# ---------------------------------------------------------------------------
+# mbox (Tika MBoxParser tier: From_-line split, mboxrd unstuffing)
+# ---------------------------------------------------------------------------
+
+_MBOX = (
+    b"From alice@example.org Fri Mar  1 08:30:00 2024\r\n"
+    b"From: alice@example.org\r\n"
+    b"Subject: first\r\n"
+    b"\r\n"
+    b"line one\r\n"
+    b">From quoted line stays (one > stripped)\r\n"
+    b">>From doubly stuffed\r\n"
+    b"\r\n"
+    b"From bob@example.org Sat Mar  2 09:00:00 2024\r\n"
+    b"From: bob@example.org\r\n"
+    b"Subject: second\r\n"
+    b"\r\n"
+    b"body two\r\n"
+)
+
+
+def test_mbox_messages_split_and_unstuff():
+    msgs = E._mbox_messages(_MBOX)
+    assert len(msgs) == 2
+    # envelope From_ lines are NOT part of the messages
+    assert msgs[0].startswith(b"From: alice@example.org\r\n")
+    assert msgs[1].startswith(b"From: bob@example.org\r\n")
+    # mboxrd unstuffing strips exactly one '>' per stuffed line
+    assert b"\r\nFrom quoted line stays (one > stripped)\r\n" in msgs[0]
+    assert b"\r\n>From doubly stuffed\r\n" in msgs[0]
+    # the blank separator line before the next From_ does not leak in
+    assert msgs[0].endswith(b"doubly stuffed\r\n")
+    # prose starting with 'From ' but no asctime year is not a mailbox
+    assert E._mbox_messages(b"From here on, things improved.\nYes.\n") == []
+
+
+def test_explode_mbox(spark):
+    df = spark.createDataFrame(
+        [("file:///m/in.mbox", _MBOX), ("file:///m/not.txt", b"hello world")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in E.explode_mbox(df).collect()}
+    assert set(rows) == {"file:///m/in.mbox#msg=1", "file:///m/in.mbox#msg=2"}
+    assert all(r["container_s"] == "file:///m/in.mbox" for r in rows.values())
+    assert bytes(rows["file:///m/in.mbox#msg=2"]["html"]).endswith(b"body two\r\n")
+
+
+def test_mbox_children_parse_as_mail(spark):
+    from open_semantic_etl_spark.operators.eml import with_eml
+
+    df = spark.createDataFrame([("file:///m/in.mbox", _MBOX)], "url string, html binary")
+    out = with_eml(E.explode_mbox(df)).orderBy("url").collect()
+    assert [r["subject_txt"] for r in out] == ["first", "second"]
+    assert out[1]["message_from_ss"] == ["bob@example.org"]
+
+
+def test_mbox_mimetype_sniff():
+    from open_semantic_etl_spark.operators.htmlx import sniff_content_type
+
+    assert sniff_content_type(_MBOX) == "application/mbox"
+    # the year requirement keeps ordinary prose out of the label
+    assert sniff_content_type(b"From here on, things improved.\n") is None
