@@ -137,10 +137,17 @@ _MAGIC = (
     (b"SQLite format 3\x00", "application/x-sqlite3"),
 )
 
-#: a From_ envelope line (``From <sender> <asctime>``) — the asctime's
-#: 4-digit year keeps prose starting with "From " out of the mbox
-#: label; sources/explode.py splits on the same shape
-_MBOX_FROM_RE = re.compile(rb"\AFrom \S+ .*\d{4}\r?\n")
+#: a From_ envelope line: ``From <sender> <asctime>`` — requiring the
+#: asctime's weekday + month + HH:MM + 4-digit year keeps prose like
+#: "From 2019 to 2024\n..." out of the mbox label (a bare year test
+#: was not enough).  Single-sourced: sources/explode.py builds its
+#: message-separator regex from the same core.
+MBOX_FROM_CORE = (
+    rb"From \S+ [^\r\n]*(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)"
+    rb" (?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+    rb" [^\r\n]*\d{1,2}:\d{2}[^\r\n]*\d{4}[^\r\n]*\r?\n"
+)
+_MBOX_FROM_RE = re.compile(rb"\A" + MBOX_FROM_CORE)
 
 #: transparently-decompressed single-member formats (Tika's
 #: CompressorParser behavior: a .html.gz indexes as its inner html)

@@ -34,9 +34,16 @@ def _doc_ids(spark: SparkSession, sf_dir: str, cap: int) -> DataFrame:
 
 
 def _binary_source(
-    spark: SparkSession, sf_dir: str, cap: int, build, url_fmt: str
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int,
+    build,
+    url_fmt: "str | Callable[[int], str]",
 ) -> DataFrame:
-    """(doc_id) → (url, html:binary) rows with payload = build(doc_id)."""
+    """(doc_id) → (url, html:binary) rows with payload = build(doc_id);
+    ``url_fmt`` is a ``{d}`` format string or a doc_id → url callable
+    (mixed-extension sources)."""
+    fmt = url_fmt.format_map if isinstance(url_fmt, str) else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -44,8 +51,7 @@ def _binary_source(
             yield pd.DataFrame(
                 {
                     "url": [
-                        url_fmt.format(d=d) if isinstance(url_fmt, str) else url_fmt(d)
-                        for d in ids
+                        fmt({"d": d}) if fmt is not None else url_fmt(d) for d in ids
                     ],
                     "html": [build(d) for d in ids],
                 }

@@ -142,14 +142,29 @@ def _tar_members(
     byte budget, and nesting depth as zip (Tika's TarParser tier,
     enhance_zip.py:31-116 child semantics).  Each header block is
     charged 512 B against the budget so a compressed bomb of millions
-    of empty members cannot spin the worker."""
+    of empty members cannot spin the worker.
+
+    A tar truncated mid-archive (cut-off download) keeps its complete
+    leading members — the WARC tier's partial-record rule — but a
+    payload that yields NO member before breaking still raises, so
+    non-tar garbage keeps flowing to the caller's degrade paths
+    (opaque member row when nested, zero children at top level)."""
     import tarfile
 
     if _budget is None:
         _budget = [ZIP_MAX_ARCHIVE_BYTES]
     out: list[dict] = []
     with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
-        for info in tf:
+        it = iter(tf)
+        while True:
+            try:
+                info = next(it)
+            except StopIteration:
+                break
+            except Exception:  # noqa: BLE001 — truncation mid-archive
+                if out:
+                    return out  # keep the complete leading members
+                raise
             _budget[0] -= 512  # header cost — empty-member bomb guard
             if _budget[0] <= 0:
                 break
@@ -160,7 +175,14 @@ def _tar_members(
             fobj = tf.extractfile(info)
             if fobj is None:
                 continue
-            payload = fobj.read(info.size)
+            try:
+                payload = fobj.read(info.size)
+                if len(payload) != info.size:
+                    raise EOFError("short read")  # half a document must not index
+            except Exception:  # noqa: BLE001 — truncated final member
+                if out:
+                    return out  # keep the complete leading members
+                raise
             _budget[0] -= len(payload)
             child_id = f"{base_id}/{info.name}"
             if (
@@ -188,9 +210,13 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
     """archive rows → one row per (recursively reached) member file.
 
     Accepts zip AND tar (plain/gz/bz2/xz — sniffed per row: ``PK`` →
-    zipfile, anything else tried as ``tarfile r:*``, which validates
-    the header checksum); named ``explode_zip`` for the reference
-    operator it mirrors (enhance_zip.py:31-116)."""
+    zipfile; anything else tried as ``tarfile r:*``, which validates
+    the header checksum, then as a zip with leading junk — zipfile
+    finds the end-of-central-directory from the TAIL, so
+    self-extracting archives and prefix-padded zips must keep
+    exploding even though they don't start with ``PK``); named
+    ``explode_zip`` for the reference operator it mirrors
+    (enhance_zip.py:31-116)."""
 
     def run(series: pd.Series, ids: pd.Series) -> pd.Series:
         res = []
@@ -200,7 +226,10 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
                 if data[:4] == b"PK\x03\x04":
                     res.append(_zip_members(data, base, base))
                 else:
-                    res.append(_tar_members(data, base, base))
+                    try:
+                        res.append(_tar_members(data, base, base))
+                    except Exception:  # noqa: BLE001 — not a tar: SFX zip?
+                        res.append(_zip_members(data, base, base))
             except Exception:  # noqa: BLE001 — bad archive → no children
                 res.append([])
         return pd.Series(res)
@@ -481,10 +510,16 @@ def explode_pst(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
 # ---------------------------------------------------------------------------
 
 #: a From_ envelope line: ``From <sender> <asctime>`` — the asctime
-#: ends in a 4-digit year, which keeps plain prose starting with
-#: "From " from sniffing as a mailbox (file(1)'s heuristic shape)
-MBOX_FROM_RE = re.compile(rb"\AFrom \S+ .*\d{4}\r?\n")
-_MBOX_SEP_RE = re.compile(rb"(?:\A|\r?\n)From [^\r\n]*\r?\n")
+#: shape (weekday + month + HH:MM + year) is single-sourced with the
+#: mimetype sniff so a payload that sniffs as mbox always splits, and
+#: prose starting with "From " never does.  The SAME gate applies to
+#: every separator, not just the first line: an unstuffed mid-body
+#: "From my perspective, ..." (non-stuffing mailer) must not split a
+#: message in two and shift the ``#msg=<n>`` ids after it.
+from open_semantic_etl_spark.operators.htmlx import MBOX_FROM_CORE
+
+MBOX_FROM_RE = re.compile(rb"\A" + MBOX_FROM_CORE)
+_MBOX_SEP_RE = re.compile(rb"(?:\A|\r?\n)" + MBOX_FROM_CORE)
 _MBOX_STUFF_RE = re.compile(rb"^>(>*From )", re.MULTILINE)
 MBOX_MAX_MESSAGES = 100_000  # runaway guard (malformed separator spam)
 
@@ -671,9 +706,12 @@ def _sqlite_rows(data: bytes, base_id: str) -> list[dict]:
         names = [
             r[0]
             for r in con.execute(
-                "SELECT name FROM sqlite_master WHERE type='table' "
-                "AND name NOT LIKE 'sqlite_%' ORDER BY name"
+                "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name"
             )
+            # only the literal 'sqlite_' prefix is reserved — a LIKE
+            # filter would also hide legal names like 'sqlitemeta'
+            # (LIKE's '_' matches any character)
+            if not r[0].startswith("sqlite_")
         ]
         out: list[dict] = []
         for tname in names:

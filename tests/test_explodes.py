@@ -533,3 +533,53 @@ def test_mbox_mimetype_sniff():
     assert sniff_content_type(_MBOX) == "application/mbox"
     # the year requirement keeps ordinary prose out of the label
     assert sniff_content_type(b"From here on, things improved.\n") is None
+
+
+def test_mbox_midbody_from_line_does_not_split():
+    # an unstuffed body line starting 'From ' (non-stuffing mailer)
+    # is NOT an envelope: no split, no #msg id shift
+    mb = (
+        b"From a@x.org Fri Mar  1 08:30:00 2024\r\n"
+        b"Subject: one\r\n\r\n"
+        b"From my perspective, this stays.\r\n"
+        b"From 2019 to 2024 likewise.\r\n"
+    )
+    msgs = E._mbox_messages(mb)
+    assert len(msgs) == 1
+    assert b"From my perspective, this stays.\r\n" in msgs[0]
+    assert b"From 2019 to 2024 likewise.\r\n" in msgs[0]
+
+
+def test_mbox_sniff_rejects_yearlike_prose():
+    from open_semantic_etl_spark.operators.htmlx import sniff_content_type
+
+    assert sniff_content_type(b"From 2019 to 2024\nrevenue grew fast.\n") is None
+
+
+def test_explode_zip_with_prepended_junk(spark):
+    # self-extracting / prefix-padded zips: zipfile finds the central
+    # directory from the tail, so leading junk must not lose members
+    sfx = b"#!/bin/sh\necho stub\n" + _zip_bytes({"doc.txt": b"payload"})
+    df = spark.createDataFrame([("http://x/a.zip", sfx)], "url string, html binary")
+    rows = E.explode_zip(df).collect()
+    assert [r["url"] for r in rows] == ["http://x/a.zip/doc.txt"]
+    assert bytes(rows[0]["html"]) == b"payload"
+
+
+def test_truncated_tar_keeps_leading_members():
+    full = _tar_bytes({"a.txt": b"alpha", "b.txt": b"beta" * 200}, "w")
+    cut = full[: 512 + 512 + 100]  # a.txt complete, b.txt torn mid-payload
+    got = E._tar_members(cut, "d", "d")
+    assert [m["child_id"] for m in got] == ["d/a.txt"]
+    assert bytes(got[0]["bytes"]) == b"alpha"
+
+
+def test_sqlite_reserved_prefix_filter_is_literal():
+    # 'sqlitemeta' is a legal user table (only literal 'sqlite_' is
+    # reserved) — a LIKE 'sqlite_%' filter would wrongly hide it
+    db = _sqlite_bytes(
+        [("CREATE TABLE sqlitemeta (i INTEGER)", None),
+         ("INSERT INTO sqlitemeta VALUES (7)", None)]
+    )
+    got = E._sqlite_rows(db, "d")
+    assert [m["child_id"] for m in got] == ["d#sqlitemeta#1"]
