@@ -101,8 +101,28 @@ def _build_tgz(d: int) -> bytes:
     return buf.getvalue()
 
 
+def _build_7z(d: int) -> bytes:
+    """same member layout as _build_zip, but a solid LZMA1 7z with an
+    encoded header (the real-writer default shape) — exercises the
+    native 7z tier + zip-in-7z recursion under the same oracle."""
+    from open_semantic_etl_spark.operators.sevenzip import build_7z
+
+    return build_7z(
+        [(f"notes/a{d}.txt", f"alpha {d}".encode()), ("inner.zip", _inner_zip(d))],
+        solid=True,
+        encoded_header=True,
+    )
+
+
+_ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz"}
+
+
 def _build_archive(d: int) -> bytes:
-    return _build_tgz(d) if d % 3 == 2 else _build_zip(d)
+    if d % 3 == 2:
+        return _build_tgz(d)
+    if d % 3 == 1:
+        return _build_7z(d)
+    return _build_zip(d)
 
 
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,8 +133,7 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         150,
         _build_archive,
-        lambda d: "https://archive.example.org/%d.%s"
-        % (d, "tgz" if d % 3 == 2 else "zip"),
+        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 3]),
     )
     out = explode_zip(src)
     return out.select(
@@ -128,7 +147,8 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZIP_EXPLODE = """
 WITH m AS (
   SELECT doc_id, 'https://archive.example.org/' || doc_id ||
-         CASE WHEN doc_id % 3 = 2 THEN '.tgz' ELSE '.zip' END AS base
+         CASE doc_id % 3 WHEN 2 THEN '.tgz' WHEN 1 THEN '.7z'
+                         ELSE '.zip' END AS base
   FROM documents WHERE doc_id < 150
 )
 SELECT base || '/notes/a' || doc_id || '.txt' AS url, base AS container_s,

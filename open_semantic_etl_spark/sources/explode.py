@@ -33,6 +33,8 @@ import re
 import zipfile
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from open_semantic_etl_spark.operators.sevenzip import SEVENZIP_MAGIC
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -92,6 +94,10 @@ def _zip_members(
                 out.extend(
                     _tar_or_member(payload, child_id, container, _depth + 1, _budget)
                 )
+            elif _depth < _ZIP_MAX_DEPTH and payload[:6] == SEVENZIP_MAGIC:
+                out.extend(
+                    _7z_or_member(payload, child_id, container, _depth + 1, _budget)
+                )
             else:
                 out.append(
                     {"child_id": child_id, "container_s": container, "bytes": payload}
@@ -129,6 +135,70 @@ def _tar_or_member(
         return _tar_members(payload, child_id, container, depth, budget)
     except Exception:  # noqa: BLE001
         return [{"child_id": child_id, "container_s": container, "bytes": payload}]
+
+
+def _7z_or_member(
+    payload: bytes, child_id: str, container: str, depth: int, budget: list[int]
+) -> list[dict]:
+    """nested .7z: recurse, corrupt/unsupported-coder ones keep their
+    bytes as an opaque member row (same degrade rule as nested tar)."""
+    try:
+        return _7z_members(payload, child_id, container, depth, budget)
+    except Exception:  # noqa: BLE001
+        return [{"child_id": child_id, "container_s": container, "bytes": payload}]
+
+
+def _7z_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    """7z archive → member rows with the zip tier's id scheme, byte
+    budget, and nesting dispatch (Tika's SevenZParser tier; child
+    semantics enhance_zip.py:31-116).  The parser enforces the member/
+    total caps from the DECLARED unpack sizes before decompressing, so
+    a 7z bomb dies before it allocates — on any parse failure the
+    caller's degrade policy applies (operators/sevenzip.py contract).
+    Each member is charged at least 64 B so an archive of millions of
+    empty files cannot spin the worker."""
+    from open_semantic_etl_spark.operators.sevenzip import sevenzip_members
+
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    members = sevenzip_members(
+        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    )
+    for name, payload in members:
+        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+            continue  # oversized member: skip it, keep the rest
+        _budget[0] -= max(len(payload), 64)
+        child_id = f"{base_id}/{name}"
+        if (
+            payload[:4] == b"PK\x03\x04"
+            and name.lower().endswith(".zip")
+            and _depth < _ZIP_MAX_DEPTH
+        ):
+            out.extend(
+                _zip_members(payload, child_id, container, _depth + 1, _budget)
+            )
+        elif _depth < _ZIP_MAX_DEPTH and _sniff_tar(payload, name):
+            out.extend(
+                _tar_or_member(payload, child_id, container, _depth + 1, _budget)
+            )
+        elif _depth < _ZIP_MAX_DEPTH and payload[:6] == SEVENZIP_MAGIC:
+            out.extend(
+                _7z_or_member(payload, child_id, container, _depth + 1, _budget)
+            )
+        else:
+            out.append(
+                {"child_id": child_id, "container_s": container, "bytes": payload}
+            )
+        if _budget[0] <= 0:
+            break
+    return out
 
 
 def _tar_members(
@@ -197,6 +267,10 @@ def _tar_members(
                 out.extend(
                     _tar_or_member(payload, child_id, container, _depth + 1, _budget)
                 )
+            elif _depth < _ZIP_MAX_DEPTH and payload[:6] == SEVENZIP_MAGIC:
+                out.extend(
+                    _7z_or_member(payload, child_id, container, _depth + 1, _budget)
+                )
             else:
                 out.append(
                     {"child_id": child_id, "container_s": container, "bytes": payload}
@@ -209,7 +283,8 @@ def _tar_members(
 def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
     """archive rows → one row per (recursively reached) member file.
 
-    Accepts zip AND tar (plain/gz/bz2/xz — sniffed per row: ``PK`` →
+    Accepts zip, 7z (native reader, operators/sevenzip.py), AND tar
+    (plain/gz/bz2/xz — sniffed per row: ``PK`` →
     zipfile; anything else tried as ``tarfile r:*``, which validates
     the header checksum, then as a zip with leading junk — zipfile
     finds the end-of-central-directory from the TAIL, so
@@ -225,6 +300,8 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
                 data = bytes(data)
                 if data[:4] == b"PK\x03\x04":
                     res.append(_zip_members(data, base, base))
+                elif data[:6] == SEVENZIP_MAGIC:
+                    res.append(_7z_members(data, base, base))
                 else:
                     try:
                         res.append(_tar_members(data, base, base))
