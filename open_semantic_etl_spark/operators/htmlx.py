@@ -129,8 +129,10 @@ _MAGIC = (
     (b"GIF89a", "image/gif"),
     (b"PK\x03\x04", "application/zip"),
     (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (b"!<arch>\n", "application/x-archive"),
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
+    (b"\x1f\x9d", "application/x-compress"),
     (b"\x1f\x8b", "application/gzip"),
     (b"BZh", "application/x-bzip2"),
     (b"\xfd7zXZ\x00", "application/x-xz"),
@@ -150,23 +152,49 @@ MBOX_FROM_CORE = (
 )
 _MBOX_FROM_RE = re.compile(rb"\A" + MBOX_FROM_CORE)
 
+#: cpio headers after the magic are pure ASCII hex (newc/crc) or octal
+#: (odc) — 70 bytes covers the shorter odc form's whole header
+_CPIO_HEX_RE = re.compile(rb"\A[0-9a-fA-F]{70}")
+
 #: transparently-decompressed single-member formats (Tika's
 #: CompressorParser behavior: a .html.gz indexes as its inner html)
 _COMPRESSED_TYPES = frozenset(
-    ("application/gzip", "application/x-bzip2", "application/x-xz")
+    (
+        "application/gzip",
+        "application/x-bzip2",
+        "application/x-xz",
+        "application/x-compress",
+    )
 )
 _DECOMPRESS_CAP = 1 << 26  # 64 MB inner bytes — zip-bomb guard
 
 
 def _decompress_member(data: bytes, ctype: str) -> bytes | None:
     """single compressed member → inner bytes, or None when corrupt /
-    over the expansion cap (caller keeps the container label then)."""
+    over the expansion cap (caller keeps the container label then).
+    gzip allows CONCATENATED members (gzip(1) and bgzip emit them;
+    gunzip yields the joined output) — decoded in a loop over
+    ``unused_data``; bzip2/xz multi-stream files exist too but are
+    rare enough that the single-member .eof rule stays."""
     try:
+        if ctype == "application/x-compress":
+            from open_semantic_etl_spark.operators.compressz import unlzw
+
+            return unlzw(data, cap=_DECOMPRESS_CAP)
         if ctype == "application/gzip":
             import zlib
 
-            obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        elif ctype == "application/x-bzip2":
+            out = bytearray()
+            while data:
+                obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                out += obj.decompress(data, _DECOMPRESS_CAP + 1 - len(out))
+                if len(out) > _DECOMPRESS_CAP or not obj.eof:
+                    # bomb / truncated member: indexing half a document
+                    # as if complete is worse than the container label
+                    return None
+                data = obj.unused_data
+            return bytes(out)
+        if ctype == "application/x-bzip2":
             import bz2
 
             obj = bz2.BZ2Decompressor()
@@ -178,11 +206,7 @@ def _decompress_member(data: bytes, ctype: str) -> bytes | None:
         if len(out) > _DECOMPRESS_CAP:
             return None
         if not obj.eof:
-            # truncated stream: the decoder returned the bytes it had
-            # without error, but the member never ended — indexing half
-            # a document as if complete is worse than keeping the
-            # container label (all three stdlib decompressors expose
-            # .eof for exactly this check)
+            # truncated stream (see gzip note — .eof is the tell)
             return None
         return out
     except Exception:  # noqa: BLE001 — corrupt stream: not transparent
@@ -196,6 +220,15 @@ def sniff_content_type(data: bytes) -> str | None:
             return ctype
     if len(data) >= 263 and data[257:262] == b"ustar":
         return "application/x-tar"  # POSIX magic sits at byte 257
+    if (
+        data[:6] in (b"070701", b"070702", b"070707")
+        and len(data) >= 76
+        and _CPIO_HEX_RE.match(data[6:76])
+    ):
+        # the cpio magics are plain ASCII digits, so prose CAN start
+        # with them — require the whole following header to be ASCII
+        # hex (newc) / octal (odc) before claiming the label
+        return "application/x-cpio"
     if data.startswith(b"From ") and _MBOX_FROM_RE.match(data):
         return "application/mbox"  # From_ envelope line w/ asctime year
     if data.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf")):

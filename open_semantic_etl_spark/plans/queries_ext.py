@@ -82,13 +82,11 @@ def _build_zip(d: int) -> bytes:
     return buf.getvalue()
 
 
-def _build_tgz(d: int) -> bytes:
-    """same member layout as _build_zip, but a gzip-compressed tar —
-    exercises the tar tier + zip-in-tar recursion under one oracle."""
+def _build_tar(d: int, mode: str) -> bytes:
     import tarfile
 
     buf = io.BytesIO()
-    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
 
         def add(name: str, data: bytes) -> None:
             ti = tarfile.TarInfo(name)
@@ -99,6 +97,20 @@ def _build_tgz(d: int) -> bytes:
         add(f"notes/a{d}.txt", f"alpha {d}".encode())
         add("inner.zip", _inner_zip(d))
     return buf.getvalue()
+
+
+def _build_tgz(d: int) -> bytes:
+    """same member layout as _build_zip, but a gzip-compressed tar —
+    exercises the tar tier + zip-in-tar recursion under one oracle."""
+    return _build_tar(d, "w:gz")
+
+
+def _build_tar_z(d: int) -> bytes:
+    """same member layout, LZW-compressed tar (.tar.Z) — exercises the
+    compress(1) tier feeding the tar walk under the same oracle."""
+    from open_semantic_etl_spark.operators.compressz import lzw_z_compress
+
+    return lzw_z_compress(_build_tar(d, "w"))
 
 
 def _build_7z(d: int) -> bytes:
@@ -114,15 +126,83 @@ def _build_7z(d: int) -> bytes:
     )
 
 
-_ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz"}
+def _build_ar(d: int) -> bytes:
+    """same member layout as _build_zip, but a GNU ``ar`` archive (the
+    .deb/.a container) — ``notes/a{d}.txt`` holds a slash so it rides
+    the GNU ``//`` long-name table; exercises the ar tier + zip-in-ar
+    recursion under the same oracle."""
+    long_name = f"notes/a{d}.txt"
+    longtab = long_name.encode() + b"/\n"
+
+    def hdr(name_field: bytes, size: int) -> bytes:
+        return (
+            name_field.ljust(16)
+            + b"0".ljust(12)  # mtime
+            + b"0".ljust(6)  # uid
+            + b"0".ljust(6)  # gid
+            + b"100644".ljust(8)  # mode
+            + str(size).encode().ljust(10)
+            + b"`\n"
+        )
+
+    inner = _inner_zip(d)
+    out = io.BytesIO()
+    out.write(b"!<arch>\n")
+    out.write(hdr(b"//", len(longtab)) + longtab)
+    if len(longtab) & 1:
+        out.write(b"\n")
+    alpha = f"alpha {d}".encode()
+    out.write(hdr(b"/0", len(alpha)) + alpha)
+    if len(alpha) & 1:
+        out.write(b"\n")
+    out.write(hdr(b"inner.zip/", len(inner)) + inner)
+    if len(inner) & 1:
+        out.write(b"\n")
+    return out.getvalue()
+
+
+def _build_cpio(d: int) -> bytes:
+    """same member layout as _build_zip, but a newc cpio (the RPM
+    payload / initramfs container) — exercises the cpio tier +
+    zip-in-cpio recursion under the same oracle."""
+    out = io.BytesIO()
+
+    def entry(name: str, data: bytes, mode: int) -> None:
+        nb = name.encode() + b"\x00"
+        out.write(
+            b"070701"
+            + b"0" * 8  # ino
+            + f"{mode:08X}".encode()
+            + b"0" * 8 * 4  # uid gid nlink mtime
+            + f"{len(data):08X}".encode()
+            + b"0" * 8 * 4  # devmajor devminor rdevmajor rdevminor
+            + f"{len(nb):08X}".encode()
+            + b"0" * 8  # check
+            + nb
+            + b"\x00" * (-(110 + len(nb)) % 4)
+            + data
+            + b"\x00" * (-len(data) % 4)
+        )
+
+    entry(f"notes/a{d}.txt", f"alpha {d}".encode(), 0o100644)
+    entry("inner.zip", _inner_zip(d), 0o100644)
+    entry("TRAILER!!!", b"", 0)
+    return out.getvalue()
+
+
+_ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz", 3: "deb", 4: "cpio", 5: "tar.Z"}
+_ARCHIVE_BUILD = {
+    0: _build_zip,
+    1: _build_7z,
+    2: _build_tgz,
+    3: _build_ar,
+    4: _build_cpio,
+    5: _build_tar_z,
+}
 
 
 def _build_archive(d: int) -> bytes:
-    if d % 3 == 2:
-        return _build_tgz(d)
-    if d % 3 == 1:
-        return _build_7z(d)
-    return _build_zip(d)
+    return _ARCHIVE_BUILD[d % 6](d)
 
 
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +213,7 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         150,
         _build_archive,
-        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 3]),
+        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 6]),
     )
     out = explode_zip(src)
     return out.select(
@@ -147,7 +227,9 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZIP_EXPLODE = """
 WITH m AS (
   SELECT doc_id, 'https://archive.example.org/' || doc_id ||
-         CASE doc_id % 3 WHEN 2 THEN '.tgz' WHEN 1 THEN '.7z'
+         CASE doc_id % 6 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
+                         WHEN 3 THEN '.deb' WHEN 4 THEN '.cpio'
+                         WHEN 5 THEN '.tar.Z'
                          ELSE '.zip' END AS base
   FROM documents WHERE doc_id < 150
 )

@@ -81,27 +81,12 @@ def _zip_members(
             payload = zf.read(info)
             _budget[0] -= len(payload)
             child_id = f"{base_id}/{info.filename}"
-            if (
-                payload[:4] == b"PK\x03\x04"
-                and info.filename.lower().endswith(".zip")
-                and _depth < _ZIP_MAX_DEPTH
-            ):
-                # zip-in-zip: recurse, keep the OUTERMOST container id
-                out.extend(
-                    _zip_members(payload, child_id, container, _depth + 1, _budget)
+            # nested containers recurse, keeping the OUTERMOST container id
+            out.extend(
+                _dispatch_member(
+                    payload, child_id, info.filename, container, _depth, _budget
                 )
-            elif _depth < _ZIP_MAX_DEPTH and _sniff_tar(payload, info.filename):
-                out.extend(
-                    _tar_or_member(payload, child_id, container, _depth + 1, _budget)
-                )
-            elif _depth < _ZIP_MAX_DEPTH and payload[:6] == SEVENZIP_MAGIC:
-                out.extend(
-                    _7z_or_member(payload, child_id, container, _depth + 1, _budget)
-                )
-            else:
-                out.append(
-                    {"child_id": child_id, "container_s": container, "bytes": payload}
-                )
+            )
             if _budget[0] <= 0:
                 break
     return out
@@ -110,7 +95,9 @@ def _zip_members(
 # POSIX ustar magic sits at byte 257 of the first header block; a
 # compressed tar can only be recognized by (compression magic + name) —
 # decompressing every gz member just to probe would defeat the bomb caps
-_TAR_NAME_RE = re.compile(r"\.(tar(\.(gz|bz2|xz))?|tgz|tbz2?|txz)$", re.IGNORECASE)
+_TAR_NAME_RE = re.compile(
+    r"\.(tar(\.(gz|bz2|xz|z))?|tgz|tbz2?|txz|taz|tz)$", re.IGNORECASE
+)
 
 
 def _sniff_tar(payload: bytes, name: str) -> bool:
@@ -122,6 +109,7 @@ def _sniff_tar(payload: bytes, name: str) -> bool:
             payload[:2] == b"\x1f\x8b"
             or payload[:3] == b"BZh"
             or payload[:6] == b"\xfd7zXZ\x00"
+            or payload[:2] == b"\x1f\x9d"
         )
     )
 
@@ -175,27 +163,11 @@ def _7z_members(
         if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
             continue  # oversized member: skip it, keep the rest
         _budget[0] -= max(len(payload), 64)
-        child_id = f"{base_id}/{name}"
-        if (
-            payload[:4] == b"PK\x03\x04"
-            and name.lower().endswith(".zip")
-            and _depth < _ZIP_MAX_DEPTH
-        ):
-            out.extend(
-                _zip_members(payload, child_id, container, _depth + 1, _budget)
+        out.extend(
+            _dispatch_member(
+                payload, f"{base_id}/{name}", name, container, _depth, _budget
             )
-        elif _depth < _ZIP_MAX_DEPTH and _sniff_tar(payload, name):
-            out.extend(
-                _tar_or_member(payload, child_id, container, _depth + 1, _budget)
-            )
-        elif _depth < _ZIP_MAX_DEPTH and payload[:6] == SEVENZIP_MAGIC:
-            out.extend(
-                _7z_or_member(payload, child_id, container, _depth + 1, _budget)
-            )
-        else:
-            out.append(
-                {"child_id": child_id, "container_s": container, "bytes": payload}
-            )
+        )
         if _budget[0] <= 0:
             break
     return out
@@ -223,6 +195,12 @@ def _tar_members(
 
     if _budget is None:
         _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    if data[:2] == b"\x1f\x9d":
+        # .tar.Z: tarfile's r:* has no LZW tier — unwrap it first
+        # (Tika: ZCompressorInputStream feeds TarParser the same way)
+        from open_semantic_etl_spark.operators.compressz import unlzw
+
+        data = unlzw(data, cap=min(ZIP_MAX_ARCHIVE_BYTES, _budget[0]))
     out: list[dict] = []
     with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
         it = iter(tf)
@@ -255,29 +233,193 @@ def _tar_members(
                 raise
             _budget[0] -= len(payload)
             child_id = f"{base_id}/{info.name}"
-            if (
-                payload[:4] == b"PK\x03\x04"
-                and info.name.lower().endswith(".zip")
-                and _depth < _ZIP_MAX_DEPTH
-            ):
-                out.extend(
-                    _zip_members(payload, child_id, container, _depth + 1, _budget)
+            out.extend(
+                _dispatch_member(
+                    payload, child_id, info.name, container, _depth, _budget
                 )
-            elif _depth < _ZIP_MAX_DEPTH and _sniff_tar(payload, info.name):
-                out.extend(
-                    _tar_or_member(payload, child_id, container, _depth + 1, _budget)
-                )
-            elif _depth < _ZIP_MAX_DEPTH and payload[:6] == SEVENZIP_MAGIC:
-                out.extend(
-                    _7z_or_member(payload, child_id, container, _depth + 1, _budget)
-                )
-            else:
-                out.append(
-                    {"child_id": child_id, "container_s": container, "bytes": payload}
-                )
+            )
             if _budget[0] <= 0:
                 break
     return out
+
+
+AR_MAGIC = b"!<arch>\n"
+_CPIO_MAGICS = (b"070701", b"070702", b"070707")  # newc / crc / odc
+
+
+def _ar_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    """Unix ``ar`` archive (Debian ``.deb``, static ``.a``) → member
+    rows; GNU ``//`` long-name table and BSD ``#1/N`` inline names both
+    handled (Commons Compress ArArchiveInputStream tier — Tika explodes
+    these through the same AutoDetectParser path as zip,
+    enhance_zip.py:31-116 child semantics).  A ``.deb``'s
+    ``data.tar.xz`` member recurses through the tar tier, so dpkg
+    payload files index individually."""
+    if data[:8] != AR_MAGIC:
+        raise ValueError("not an ar archive")
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    longnames = b""
+    pos = 8
+    while pos + 60 <= len(data):
+        hdr = data[pos : pos + 60]
+        if hdr[58:60] != b"`\n":
+            break  # corrupt header: keep the complete leading members
+        rawname = hdr[0:16].rstrip()
+        try:
+            size = int(hdr[48:58].split()[0])
+        except (ValueError, IndexError):
+            break
+        body_at = pos + 60
+        if body_at + size > len(data):
+            break  # truncated final member: never index half a file
+        payload = data[body_at : body_at + size]
+        pos = body_at + size + (size & 1)  # members pad to even offsets
+        _budget[0] -= 60
+        name = rawname.decode("latin-1")
+        if name == "//":  # GNU long-name table
+            longnames = payload
+            continue
+        if name in ("/", "/SYM64/"):  # GNU symbol index
+            continue
+        if name.startswith("#1/"):  # BSD: name length prepends the data
+            try:
+                nlen = int(name[3:])
+            except ValueError:
+                break
+            if nlen > len(payload):
+                break
+            name = payload[:nlen].split(b"\x00", 1)[0].decode("latin-1")
+            payload = payload[nlen:]
+        elif name.startswith("/") and name[1:].isdigit():  # GNU: table offset
+            off = int(name[1:])
+            end = longnames.find(b"\n", off)
+            name = (
+                longnames[off : end if end != -1 else len(longnames)]
+                .rstrip(b"/")
+                .decode("latin-1")
+            )
+        elif name.endswith("/"):  # GNU terminator slash
+            name = name[:-1]
+        if not name:
+            continue
+        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+            continue  # oversized member: skip it, keep the rest
+        _budget[0] -= len(payload)
+        out.extend(
+            _dispatch_member(payload, f"{base_id}/{name}", name, container, _depth, _budget)
+        )
+        if _budget[0] <= 0:
+            break
+    if not out and pos == 8:
+        raise ValueError("ar archive with no readable member")
+    return out
+
+
+def _cpio_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    """cpio archive (newc ``070701``/``070702`` and odc ``070707``
+    ASCII forms — the RPM payload / initramfs container; Commons
+    Compress CpioArchiveInputStream tier) → member rows with the zip
+    tier's id scheme, budget, and nested dispatch."""
+    if data[:6] not in _CPIO_MAGICS:
+        raise ValueError("not a cpio archive")
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    pos = 0
+    saw_trailer = False
+    while True:
+        magic = data[pos : pos + 6]
+        if magic not in _CPIO_MAGICS:
+            break  # corrupt/trailing garbage: keep leading members
+        try:
+            if magic == b"070707":  # odc: octal fields, no padding
+                hdr = data[pos : pos + 76]
+                if len(hdr) < 76:
+                    break
+                mode = int(hdr[18:24], 8)
+                namesize = int(hdr[59:65], 8)
+                filesize = int(hdr[65:76], 8)
+                name_at = pos + 76
+                body_at = name_at + namesize
+                nxt = body_at + filesize
+            else:  # newc/crc: hex fields, 4-byte alignment
+                hdr = data[pos : pos + 110]
+                if len(hdr) < 110:
+                    break
+                mode = int(hdr[14:22], 16)
+                filesize = int(hdr[54:62], 16)
+                namesize = int(hdr[94:102], 16)
+                name_at = pos + 110
+                body_at = name_at + namesize + (-(110 + namesize) % 4)
+                nxt = body_at + filesize + (-filesize % 4)
+        except ValueError:
+            break
+        name_raw = data[name_at : name_at + namesize].split(b"\x00", 1)[0]
+        name = name_raw.decode("latin-1")
+        if name == "TRAILER!!!":
+            saw_trailer = True
+            break
+        if body_at + filesize > len(data):
+            break  # truncated final member
+        _budget[0] -= 128  # header charge — empty-member bomb guard
+        payload = data[body_at : body_at + filesize]
+        pos = nxt
+        if (mode & 0o170000) != 0o100000:
+            continue  # directories / symlinks / devices: no document
+        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+            continue
+        _budget[0] -= len(payload)
+        clean = name.lstrip("./") or name
+        out.extend(
+            _dispatch_member(
+                payload, f"{base_id}/{clean}", clean, container, _depth, _budget
+            )
+        )
+        if _budget[0] <= 0:
+            break
+    if not out and pos == 0 and not saw_trailer:
+        raise ValueError("cpio archive with no readable member")
+    return out
+
+
+def _dispatch_member(
+    payload: bytes,
+    child_id: str,
+    name: str,
+    container: str,
+    _depth: int,
+    _budget: list[int],
+) -> list[dict]:
+    """shared nested-container dispatch: recurse into zip/tar/7z/ar/
+    cpio members (outermost container id kept), else one member row."""
+    if _depth < _ZIP_MAX_DEPTH:
+        if payload[:4] == b"PK\x03\x04" and name.lower().endswith(".zip"):
+            return _zip_members(payload, child_id, container, _depth + 1, _budget)
+        if _sniff_tar(payload, name):
+            return _tar_or_member(payload, child_id, container, _depth + 1, _budget)
+        if payload[:6] == SEVENZIP_MAGIC:
+            return _7z_or_member(payload, child_id, container, _depth + 1, _budget)
+        if payload[:8] == AR_MAGIC or payload[:6] in _CPIO_MAGICS:
+            walker = _ar_members if payload[:8] == AR_MAGIC else _cpio_members
+            try:
+                return walker(payload, child_id, container, _depth + 1, _budget)
+            except Exception:  # noqa: BLE001 — corrupt: never lose bytes
+                pass
+    return [{"child_id": child_id, "container_s": container, "bytes": payload}]
 
 
 def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
@@ -302,6 +444,10 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
                     res.append(_zip_members(data, base, base))
                 elif data[:6] == SEVENZIP_MAGIC:
                     res.append(_7z_members(data, base, base))
+                elif data[:8] == AR_MAGIC:
+                    res.append(_ar_members(data, base, base))
+                elif data[:6] in _CPIO_MAGICS:
+                    res.append(_cpio_members(data, base, base))
                 else:
                     try:
                         res.append(_tar_members(data, base, base))
