@@ -132,6 +132,7 @@ _MAGIC = (
     (b"!<arch>\n", "application/x-archive"),
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),
+    (b"bplist00", "application/x-plist"),
     (b"\x1f\x9d", "application/x-compress"),
     (b"\x1f\x8b", "application/gzip"),
     (b"BZh", "application/x-bzip2"),
@@ -616,6 +617,19 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
             res["ok"] = rt["ok"]
             res["err"] = rt["err"]
             return res
+        if sniffed == "application/x-plist":
+            from open_semantic_etl_spark.operators.office import extract_plist
+
+            pl = extract_plist(data)
+            if pl is not None:
+                res["content_type"] = pl["content_type"]
+                res["content"] = pl["content"]
+                res["title"] = pl["title"]
+                res["n_blocks"] = pl["n_blocks"]
+                res["n_kept_blocks"] = pl["n_blocks"]
+                res["ok"] = pl["ok"]
+                res["err"] = pl["err"]
+                return res
         if sniffed and sniffed != "application/pdf":
             res["content_type"] = sniffed
             return res
@@ -639,6 +653,19 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
         if head.startswith("<?xml") and "xhtml" in text[:2048].lower():
             res["content_type"] = "application/xhtml+xml"
         elif head.startswith("<?xml") and "<html" not in text[:2048].lower():
+            if "<plist" in text[:1024] or head.startswith("<!doctype plist"):
+                # XML property list: same structured render as the
+                # bplist00 route (Tika PListParser covers both forms)
+                from open_semantic_etl_spark.operators.office import extract_plist
+
+                pl = extract_plist(data)
+                if pl is not None:
+                    res["content_type"] = pl["content_type"]
+                    res["content"] = pl["content"]
+                    res["title"] = pl["title"]
+                    res["n_blocks"] = pl["n_blocks"]
+                    res["n_kept_blocks"] = pl["n_blocks"]
+                    return res
             # generic XML document (feed bytes, sitemaps, arbitrary
             # exports): honest Tika-style label; the text pull itself
             # is unchanged (structured handling lives in the rdf/feeds

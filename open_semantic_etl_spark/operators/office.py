@@ -43,10 +43,12 @@ import xml.etree.ElementTree as ET
 __all__ = [
     "sniff_office",
     "extract_office",
+    "extract_plist",
     "build_docx",
     "build_xlsx",
     "build_odt",
     "build_epub",
+    "build_xps",
     "OFFICE_MIMES",
 ]
 
@@ -71,8 +73,14 @@ _ODF_MIMES = frozenset(
 )
 
 _EPUB_MIME = "application/epub+zip"
+_XPS_MIME = "application/vnd.ms-xpsdocument"
+_OXPS_MIME = "application/oxps"
 
-OFFICE_MIMES = frozenset(m for _, m in _OOXML_MARKERS) | _ODF_MIMES | {_EPUB_MIME}
+OFFICE_MIMES = (
+    frozenset(m for _, m in _OOXML_MARKERS)
+    | _ODF_MIMES
+    | {_EPUB_MIME, _XPS_MIME, _OXPS_MIME}
+)
 
 
 #: zip-bomb guard: zipfile never yields more than a member's declared
@@ -124,6 +132,10 @@ def sniff_office(data: bytes) -> str | None:
                 n.endswith(".opf") for n in names
             ):
                 return _EPUB_MIME
+            # XPS/OXPS: OPC package whose start part is a
+            # FixedDocumentSequence (.fdseq) — ECMA-388 §9/§10
+            if any(n.endswith(".fdseq") for n in names):
+                return _XPS_MIME
     except Exception:  # noqa: BLE001 — damaged zip: not an office doc
         return None
     return None
@@ -368,6 +380,124 @@ def _odf_meta(blob: bytes) -> tuple[str | None, str | None]:
 # --------------------------------------------------------------------------
 # entry point
 # --------------------------------------------------------------------------
+# XPS / OpenXPS (ECMA-388): OPC zip whose pages are FixedPage XAML;
+# text lives in <Glyphs UnicodeString="..."> runs.  Reference covers
+# these via Tika's XPS parser on the same AutoDetectParser path
+# (enhance_extract_text_tika_server.py:33-262).
+# --------------------------------------------------------------------------
+
+_XPS_FIXEDREP = "fixedrepresentation"  # rel Type suffix, both ns families
+_XPS_COREPROPS = "core-properties"
+
+
+def _opc_resolve(base_part: str, src: str) -> str:
+    """resolve a Source/Target URI against the referencing part."""
+    src = src.split("#", 1)[0]
+    if src.startswith("/"):
+        return src.lstrip("/")
+    base_dir = base_part.rpartition("/")[0]
+    parts = (base_dir.split("/") if base_dir else []) + src.split("/")
+    out: list[str] = []
+    for p in parts:
+        if p in ("", "."):
+            continue
+        if p == "..":
+            if out:
+                out.pop()
+        else:
+            out.append(p)
+    return "/".join(out)
+
+
+def _xps_rels(zf: zipfile.ZipFile, names: set[str]) -> list[tuple[str, str]]:
+    if "_rels/.rels" not in names:
+        return []
+    root = _parse_xml(_zread(zf, "_rels/.rels"))
+    if root is None:
+        return []
+    out = []
+    for el in root.iter():
+        if _local(el.tag) == "Relationship":
+            t = _attr(el, "Type") or ""
+            tgt = _attr(el, "Target") or ""
+            if t and tgt:
+                out.append((t, tgt))
+    return out
+
+
+def _xps_page_lines(root: ET.Element) -> list[str]:
+    """Glyphs runs → text lines: a new OriginY starts a new line (in
+    encounter order); runs sharing a line join directly — real writers
+    carry inter-word spaces inside UnicodeString.  A UnicodeString
+    beginning ``{}`` is the spec's literal-escape for strings starting
+    with ``{`` (ECMA-388 §12.1.2)."""
+    lines: list[str] = []
+    line_of: dict[str, int] = {}
+    for el in root.iter():
+        if _local(el.tag) != "Glyphs":
+            continue
+        s = _attr(el, "UnicodeString") or ""
+        if s.startswith("{}"):
+            s = s[2:]
+        if not s:
+            continue
+        y = _attr(el, "OriginY") or ""
+        if y in line_of:
+            lines[line_of[y]] += s
+        else:
+            line_of[y] = len(lines)
+            lines.append(s)
+    return lines
+
+
+def _xps_extract(
+    zf: zipfile.ZipFile, names: set[str]
+) -> tuple[list[str], str | None, str | None, str]:
+    """(lines, title, author, mime) — pages walked in
+    fdseq → fdoc → PageContent order, never directory order."""
+    mime = _XPS_MIME
+    fdseq = None
+    title = author = None
+    for rtype, target in _xps_rels(zf, names):
+        low = rtype.lower()
+        if low.endswith(_XPS_FIXEDREP):
+            fdseq = _opc_resolve("", target)
+            if "openxps.org" in low:
+                mime = _OXPS_MIME
+        elif low.endswith(_XPS_COREPROPS):
+            part = _opc_resolve("", target)
+            if part in names:
+                title, author = _core_props(_zread(zf, part))
+    if fdseq is None:  # damaged rels: structural fallback
+        fdseq = next((n for n in sorted(names) if n.endswith(".fdseq")), None)
+    lines: list[str] = []
+    if fdseq is None or fdseq not in names:
+        return lines, title, author, mime
+    seq_root = _parse_xml(_zread(zf, fdseq))
+    if seq_root is None:
+        return lines, title, author, mime
+    for docref in seq_root.iter():
+        if _local(docref.tag) != "DocumentReference":
+            continue
+        fdoc = _opc_resolve(fdseq, _attr(docref, "Source") or "")
+        if fdoc not in names:
+            continue
+        doc_root = _parse_xml(_zread(zf, fdoc))
+        if doc_root is None:
+            continue
+        for pc in doc_root.iter():
+            if _local(pc.tag) != "PageContent":
+                continue
+            fpage = _opc_resolve(fdoc, _attr(pc, "Source") or "")
+            if fpage not in names:
+                continue
+            page_root = _parse_xml(_zread(zf, fpage))
+            if page_root is not None:
+                lines.extend(_xps_page_lines(page_root))
+    return lines, title, author, mime
+
+
+# --------------------------------------------------------------------------
 
 
 def extract_vobject(data: bytes) -> dict | None:
@@ -532,6 +662,13 @@ def extract_office(data: bytes) -> dict | None:
             elif mime == _EPUB_MIME:
                 lines, nb, res["title"], res["author"] = _epub_extract(zf, names)
                 res["n_blocks"] = nb
+                res["content"] = "\n".join(ln for ln in lines if ln.strip())
+                return res
+            elif mime == _XPS_MIME:
+                lines, res["title"], res["author"], res["content_type"] = (
+                    _xps_extract(zf, names)
+                )
+                res["n_blocks"] = len(lines)
                 res["content"] = "\n".join(ln for ln in lines if ln.strip())
                 return res
             else:  # ODF family
@@ -794,6 +931,7 @@ def office_expr(bytes_col):
                 or extract_rtf(b)
                 or extract_cfb(b)
                 or extract_tnef(b)
+                or extract_plist(b)
                 or extract_vobject(b)
                 or empty
             )
@@ -967,3 +1105,144 @@ def build_odt(paragraphs: list[str], title: str = "", author: str = "") -> bytes
         )
         zf.writestr(zipfile.ZipInfo("meta.xml", _ZIP_DT), meta, zipfile.ZIP_DEFLATED)
     return buf.getvalue()
+
+
+def build_xps(
+    pages: list[list[tuple[str, str]]],
+    title: str = "",
+    author: str = "",
+    oxps: bool = False,
+) -> bytes:
+    """deterministic XPS fixture: one FixedDocument, ``pages`` is a
+    list of pages, each a list of (OriginY, UnicodeString) Glyphs
+    runs.  ``oxps=True`` uses the OpenXPS relationship namespace."""
+    ns = (
+        "http://schemas.openxps.org/oxps/v1.0"
+        if oxps
+        else "http://schemas.microsoft.com/xps/2005/06"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        rels = (
+            '<?xml version="1.0"?>'
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f'<Relationship Id="r1" Type="{ns}/fixedrepresentation"'
+            ' Target="/FixedDocSeq.fdseq"/>'
+            '<Relationship Id="r2" Type="http://schemas.openxmlformats.org/'
+            'package/2006/relationships/metadata/core-properties"'
+            ' Target="/docProps/core.xml"/>'
+            "</Relationships>"
+        )
+        zf.writestr(zipfile.ZipInfo("_rels/.rels", _ZIP_DT), rels)
+        zf.writestr(
+            zipfile.ZipInfo("FixedDocSeq.fdseq", _ZIP_DT),
+            f'<FixedDocumentSequence xmlns="{ns}">'
+            '<DocumentReference Source="/Documents/1/FixedDocument.fdoc"/>'
+            "</FixedDocumentSequence>",
+        )
+        pc = "".join(
+            f'<PageContent Source="Pages/{i + 1}.fpage"/>'
+            for i in range(len(pages))
+        )
+        zf.writestr(
+            zipfile.ZipInfo("Documents/1/FixedDocument.fdoc", _ZIP_DT),
+            f'<FixedDocument xmlns="{ns}">{pc}</FixedDocument>',
+        )
+        for i, runs in enumerate(pages):
+            glyphs = "".join(
+                f'<Glyphs OriginX="10" OriginY="{y}" FontRenderingEmSize="12"'
+                f' FontUri="/Resources/f.odttf" UnicodeString="{_xesc(s)}"/>'
+                for y, s in runs
+            )
+            zf.writestr(
+                zipfile.ZipInfo(f"Documents/1/Pages/{i + 1}.fpage", _ZIP_DT),
+                f'<FixedPage xmlns="{ns}" Width="816" Height="1056">'
+                f"{glyphs}</FixedPage>",
+            )
+        core = (
+            '<?xml version="1.0"?>'
+            '<coreProperties xmlns="http://schemas.openxmlformats.org/'
+            'package/2006/metadata/core-properties"'
+            ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            f"<dc:title>{_xesc(title)}</dc:title>"
+            f"<dc:creator>{_xesc(author)}</dc:creator></coreProperties>"
+        )
+        zf.writestr(zipfile.ZipInfo("docProps/core.xml", _ZIP_DT), core)
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# Apple property lists (binary bplist00 + XML <plist>) — Tika parity:
+# PListParser renders keys/values as text on the AutoDetectParser path
+# (enhance_extract_text_tika_server.py:33-262).  stdlib plistlib
+# handles both wire forms; this renders the object tree as stable
+# "dotted.path: value" lines.
+# --------------------------------------------------------------------------
+
+_PLIST_MIME = "application/x-plist"
+
+
+def _plist_lines(obj, path: str, out: list[str], depth: int = 0) -> None:
+    if depth > 32:  # cyclic UIDs can't occur post-plistlib, but cap anyway
+        return
+    if isinstance(obj, dict):
+        for k in obj:  # plistlib preserves document order
+            _plist_lines(obj[k], f"{path}.{k}" if path else str(k), out, depth + 1)
+    elif isinstance(obj, (list, tuple)):
+        for i, v in enumerate(obj):
+            _plist_lines(v, f"{path}[{i}]", out, depth + 1)
+    elif isinstance(obj, bytes):
+        out.append(f"{path}: <{len(obj)} bytes>")
+    elif isinstance(obj, bool):
+        out.append(f"{path}: {'true' if obj else 'false'}")
+    elif obj is None:
+        out.append(f"{path}:")
+    else:
+        try:  # datetime → ISO; int/float/str → str
+            s = obj.isoformat()
+        except AttributeError:
+            s = str(obj)
+        out.append(f"{path}: {s}")
+
+
+def extract_plist(data: bytes) -> dict | None:
+    """plist payload → office-result shape; None when the bytes are
+    neither a binary plist nor an XML plist document."""
+    import plistlib
+
+    head = data[:512].lstrip()
+    if not (
+        data[:8] == b"bplist00"
+        or head.startswith(b"<plist")
+        or (head.startswith(b"<?xml") and b"<plist" in data[:1024])
+        or (head.startswith(b"<!DOCTYPE plist"))
+    ):
+        return None
+    res = {
+        "content": "",
+        "title": None,
+        "author": None,
+        "content_type": _PLIST_MIME,
+        "n_blocks": 0,
+        "ok": True,
+        "err": None,
+    }
+    try:
+        obj = plistlib.loads(data)
+    except Exception as e:  # noqa: BLE001 — per-row error contract
+        if data[:8] != b"bplist00":
+            return None  # malformed XML: let the generic XML label win
+        res["ok"] = False
+        res["err"] = f"{type(e).__name__}: {e}"
+        return res
+    lines: list[str] = []
+    _plist_lines(obj, "", lines)
+    res["content"] = "\n".join(lines)
+    res["n_blocks"] = len(lines)
+    if isinstance(obj, dict):
+        for key in ("Title", "title", "Name", "name", "CFBundleName"):
+            v = obj.get(key)
+            if isinstance(v, str) and v.strip():
+                res["title"] = v.strip()
+                break
+    return res

@@ -448,6 +448,20 @@ def _build_office(d: int) -> bytes:
         build_xlsx,
     )
 
+    if d % 10 == 6:
+        from open_semantic_etl_spark.operators.office import build_xps
+
+        return build_xps(
+            [[("50", f"XPS Seite {d} "), ("50", "eins."), ("80", f"Zweite Zeile {d}.")]],
+            title=f"XDoc {d}", author=f"Author {d}",
+        )
+    if d % 10 == 7:
+        import plistlib
+
+        return plistlib.dumps(
+            {"Title": f"PList {d}", "count": d, "flag": True},
+            fmt=plistlib.FMT_BINARY,
+        )
     if d % 10 == 8:
         return build_epub(
             [f"Kapitel eins {d} mit genug Text zum Behalten.",
@@ -512,7 +526,9 @@ def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     title/author + sniffed mimetype for DOCX / XLSX / ODT / RTF payloads
     plus the legacy OLE family (.doc piece table, .xls BIFF8, .ppt text
     atoms, .msg property streams — operators/cfb.py), EPUB (OCF/OPF
-    spine walk) and iCalendar (RFC 5545 unfold + SUMMARY title). The
+    spine walk), iCalendar (RFC 5545 unfold + SUMMARY title), XPS
+    (ECMA-388 fdseq→fdoc→fpage Glyphs walk) and binary plists
+    (plistlib render). The
     same extraction also rides the generic extract_html PK/OLE-sniff
     routing (pytest-pinned in tests/test_office_eml.py + test_cfb.py);
     this query pins the field values against the DuckDB oracle."""
@@ -537,6 +553,8 @@ WITH m AS (SELECT doc_id, 'file:///docs/' || doc_id || '.office' AS url
            FROM documents WHERE doc_id < 200)
 SELECT url,
   CASE
+    WHEN doc_id % 10 = 6 THEN 'XPS Seite ' || doc_id || ' eins.' || chr(10) || 'Zweite Zeile ' || doc_id || '.'
+    WHEN doc_id % 10 = 7 THEN 'Title: PList ' || doc_id || chr(10) || 'count: ' || doc_id || chr(10) || 'flag: true'
     WHEN doc_id % 10 = 8 THEN 'Kapitel eins ' || doc_id || ' mit genug Text zum Behalten.' || chr(10) || 'Kapitel zwei ' || doc_id || ' ebenfalls mit genug Text.'
     WHEN doc_id % 10 = 9 THEN 'BEGIN:VCALENDAR' || chr(10) || 'VERSION:2.0' || chr(10) || 'BEGIN:VEVENT' || chr(10) || 'SUMMARY:Termin ' || doc_id || chr(10) || 'DESCRIPTION:Raum ' || doc_id || chr(10) || 'END:VEVENT' || chr(10) || 'END:VCALENDAR'
     WHEN doc_id % 8 = 0 THEN 'Heading ' || doc_id || chr(10) || 'Body paragraph ' || doc_id || ' with Grüßen.'
@@ -549,6 +567,8 @@ SELECT url,
     ELSE 'Zeile eins ' || doc_id || '.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
   END AS content_txt,
   CASE
+    WHEN doc_id % 10 = 6 THEN 'XDoc ' || doc_id
+    WHEN doc_id % 10 = 7 THEN 'PList ' || doc_id
     WHEN doc_id % 10 = 8 THEN 'EBook ' || doc_id
     WHEN doc_id % 10 = 9 THEN 'Termin ' || doc_id
     WHEN doc_id % 8 = 0 THEN 'Doc ' || doc_id WHEN doc_id % 8 = 1 THEN 'Sheet ' || doc_id
@@ -556,11 +576,15 @@ SELECT url,
     WHEN doc_id % 8 = 4 THEN 'WDoc ' || doc_id WHEN doc_id % 8 = 5 THEN 'XSheet ' || doc_id
     WHEN doc_id % 8 = 6 THEN 'PDeck ' || doc_id ELSE 'Msg ' || doc_id END AS title_txt,
   CASE
+    WHEN doc_id % 10 = 6 THEN 'Author ' || doc_id
+    WHEN doc_id % 10 = 7 THEN NULL
     WHEN doc_id % 10 = 9 THEN NULL
     WHEN doc_id % 10 = 8 THEN 'Author ' || doc_id
     WHEN doc_id % 8 = 7 THEN 'sender' || doc_id || '@example.org'
     ELSE 'Author ' || doc_id END AS author_ss,
   CASE
+    WHEN doc_id % 10 = 6 THEN 'application/vnd.ms-xpsdocument'
+    WHEN doc_id % 10 = 7 THEN 'application/x-plist'
     WHEN doc_id % 10 = 8 THEN 'application/epub+zip'
     WHEN doc_id % 10 = 9 THEN 'text/calendar'
     WHEN doc_id % 8 = 0 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
@@ -572,7 +596,8 @@ SELECT url,
     WHEN doc_id % 8 = 6 THEN 'application/vnd.ms-powerpoint'
     ELSE 'application/vnd.ms-outlook'
   END AS content_type_s,
-  CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 2 END AS n_blocks_i
+  CASE WHEN doc_id % 10 = 9 THEN 1
+       WHEN doc_id % 10 = 7 THEN 3 ELSE 2 END AS n_blocks_i
 FROM m
 """
 
