@@ -22,14 +22,19 @@ the ncompress stream format:
   CLEAR), which restores the same lag;
 - the infamous group-alignment quirk: the compressor flushes output
   in groups of 8 codes, so on every width change (and on CLEAR) the
-  ABSOLUTE bit position advances to the next multiple of
-  ``old_width * 8`` bits — a decoder without this skip desyncs on
-  any real file with >253 new entries.
+  bit position advances to the next multiple of ``old_width * 8``
+  bits RELATIVE to the previous change point (ncompress rebases its
+  buffer at each change — window-relative, not absolute; the r4
+  review caught the absolute variant desyncing on real files);
+- a maxbits-9 stream still grows to 10-bit codes when its capped
+  table fills: the reference init skips the ``n_bits == maxbits``
+  maxcode special case.
 
 ``lzw_z_compress`` exists to build deterministic fixtures (no
-``compress`` binary in the container); the decoder is additionally
-pinned on hand-assembled spec-literal streams in test_explodes so the
-round-trip cannot mask a shared off-by-one (the ADVICE r3 LZW lesson).
+``compress`` binary in the container); both directions are pinned
+against ``gzip -dc`` — gzip carries the ncompress decoder — plus
+hand-assembled spec-literal streams, so an encoder/decoder round-trip
+cannot mask a shared off-by-one (the ADVICE r3 LZW lesson).
 """
 
 from __future__ import annotations
@@ -40,19 +45,25 @@ _CLEAR = 256
 
 
 def _maxcode(nbits: int, maxbits: int) -> int:
-    """last free-entry count readable without a width bump: at the
-    top width the table just stops growing (ncompress: ``maxcode =
-    n_bits == maxbits ? maxmaxcode : MAXCODE(n_bits)-1``)."""
+    """last free-entry count readable without a width bump AFTER a
+    width change (ncompress/gzip: ``maxcode = n_bits == maxbits ?
+    maxmaxcode : MAXCODE(n_bits)-1``).  The INITIAL/post-CLEAR value
+    is unconditionally ``(1<<9)-1`` — the reference code skips this
+    special case at init, so a maxbits-9 stream still grows to 10-bit
+    codes once the (capped) table fills (gzip -d verified)."""
     return (1 << nbits) if nbits == maxbits else (1 << nbits) - 1
 
 
-def _group_skip(posbits: int, width: int) -> int:
-    """ncompress boundary rule: advance the absolute bit position to
-    the next multiple of ``width * 8`` bits (strictly past posbits-1).
-    Mirrors ``posbits = ((posbits-1) + ((n<<3) - (posbits-1+(n<<3)) %
-    (n<<3)))`` from the reference implementation."""
+def _group_skip(posbits: int, mark: int, width: int) -> int:
+    """ncompress boundary rule: pad the bit position to the next
+    multiple of ``width * 8`` bits RELATIVE to ``mark`` (the position
+    of the previous width change / CLEAR / stream start — ncompress
+    rebases its input buffer at every change, so alignment is
+    window-relative, NOT absolute; gzip -d, which carries the
+    ncompress decoder, rejects absolutely-aligned streams — r4 review
+    finding, verified against /usr/bin/gzip)."""
     g = width << 3
-    return (posbits - 1) + (g - (posbits - 1 + g) % g)
+    return posbits + (-(posbits - mark) % g)
 
 
 def unlzw(data: bytes, cap: int = 1 << 26) -> bytes:
@@ -75,12 +86,13 @@ def unlzw(data: bytes, cap: int = 1 << 26) -> bytes:
         return b""
 
     nbits = _INIT_BITS
-    maxcode = _maxcode(nbits, maxbits)
+    maxcode = (1 << _INIT_BITS) - 1  # init skips the maxbits case (see _maxcode)
     free_ent = _CLEAR + 1 if block else _CLEAR
     prefix = [0] * (1 << maxbits)
     suffix = bytearray(1 << maxbits)
     total_bits = len(data) << 3
     posbits = 3 << 3
+    mark = posbits  # origin of the current width window
     oldcode = -1
     finchar = 0
     out = bytearray()
@@ -88,7 +100,8 @@ def unlzw(data: bytes, cap: int = 1 << 26) -> bytes:
     while posbits + nbits <= total_bits:
         if free_ent > maxcode:
             # width bump consumes the group padding at the OLD width
-            posbits = _group_skip(posbits, nbits)
+            posbits = _group_skip(posbits, mark, nbits)
+            mark = posbits
             nbits += 1
             maxcode = _maxcode(nbits, maxbits)
             continue
@@ -106,10 +119,11 @@ def unlzw(data: bytes, cap: int = 1 << 26) -> bytes:
             out.append(code)
             continue
         if code == _CLEAR and block:
-            posbits = _group_skip(posbits, nbits)
+            posbits = _group_skip(posbits, mark, nbits)
+            mark = posbits
             free_ent = _CLEAR  # next add = dead slot 256 (never read)
             nbits = _INIT_BITS
-            maxcode = _maxcode(nbits, maxbits)
+            maxcode = (1 << _INIT_BITS) - 1
             continue  # oldcode kept — ncompress does not reset it
 
         incode = code
@@ -142,6 +156,7 @@ class _BitWriter:
     def __init__(self) -> None:
         self.buf = bytearray(3)  # header placeholder
         self.posbits = 3 << 3
+        self.mark = self.posbits  # origin of the current width window
 
     def put(self, code: int, width: int) -> None:
         need = (self.posbits + width + 7) >> 3
@@ -157,7 +172,8 @@ class _BitWriter:
         self.posbits += width
 
     def pad_group(self, width: int) -> None:
-        self.posbits = _group_skip(self.posbits, width)
+        self.posbits = _group_skip(self.posbits, self.mark, width)
+        self.mark = self.posbits
         need = (self.posbits + 7) >> 3
         if need > len(self.buf):
             self.buf.extend(b"\x00" * (need - len(self.buf)))
@@ -183,7 +199,7 @@ def _compress_with_clears(
         return hdr
     w = _BitWriter()
     nbits = _INIT_BITS
-    maxcode = _maxcode(nbits, maxbits)
+    maxcode = (1 << _INIT_BITS) - 1  # init skips the maxbits case (see _maxcode)
     table: dict[tuple[int, int], int] = {}
     free_ent = _CLEAR + 1 if block else _CLEAR
     adds = 0
@@ -205,7 +221,7 @@ def _compress_with_clears(
             table.clear()
             free_ent = _CLEAR + 1
             nbits = _INIT_BITS
-            maxcode = _maxcode(nbits, maxbits)
+            maxcode = (1 << _INIT_BITS) - 1
             adds = 0
         elif free_ent < (1 << maxbits):
             table[key] = free_ent

@@ -194,6 +194,11 @@ def _decompress_member(data: bytes, ctype: str) -> bytes | None:
                     # as if complete is worse than the container label
                     return None
                 data = obj.unused_data
+                if data and data[:2] != b"\x1f\x8b":
+                    # non-gzip tail after a complete member (tape
+                    # blocking / sector NUL padding): gzip(1) keeps the
+                    # decoded output with only a warning — so do we
+                    break
             return bytes(out)
         if ctype == "application/x-bzip2":
             import bz2
@@ -652,7 +657,9 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
         head = text[:512].lstrip().lower()
         if head.startswith("<?xml") and "xhtml" in text[:2048].lower():
             res["content_type"] = "application/xhtml+xml"
-        elif head.startswith("<?xml") and "<html" not in text[:2048].lower():
+        elif (
+            head.startswith("<?xml") or head.startswith("<!doctype plist")
+        ) and "<html" not in text[:2048].lower():
             if "<plist" in text[:1024] or head.startswith("<!doctype plist"):
                 # XML property list: same structured render as the
                 # bplist00 route (Tika PListParser covers both forms)

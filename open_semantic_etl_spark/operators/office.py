@@ -1180,11 +1180,16 @@ def build_xps(
 # --------------------------------------------------------------------------
 
 _PLIST_MIME = "application/x-plist"
+_PLIST_MAX_LINES = 100_000  # binary plists share objects by reference:
+# a ~150-byte bplist of nested 2-ref arrays expands 2^depth — the walk
+# must cap BEFORE growing, like every other bomb guard in this repo
 
 
 def _plist_lines(obj, path: str, out: list[str], depth: int = 0) -> None:
     if depth > 32:  # cyclic UIDs can't occur post-plistlib, but cap anyway
         return
+    if len(out) >= _PLIST_MAX_LINES:
+        raise ValueError("plist render over %d lines" % _PLIST_MAX_LINES)
     if isinstance(obj, dict):
         for k in obj:  # plistlib preserves document order
             _plist_lines(obj[k], f"{path}.{k}" if path else str(k), out, depth + 1)
@@ -1215,7 +1220,7 @@ def extract_plist(data: bytes) -> dict | None:
         data[:8] == b"bplist00"
         or head.startswith(b"<plist")
         or (head.startswith(b"<?xml") and b"<plist" in data[:1024])
-        or (head.startswith(b"<!DOCTYPE plist"))
+        or head[:15].lower().startswith(b"<!doctype plist")
     ):
         return None
     res = {
@@ -1228,7 +1233,10 @@ def extract_plist(data: bytes) -> dict | None:
         "err": None,
     }
     try:
-        obj = plistlib.loads(data)
+        # explicit fmt: plistlib's own sniffer only recognizes <?xml /
+        # <plist prefixes, so a DOCTYPE-first XML plist needs the hint
+        fmt = plistlib.FMT_BINARY if data[:8] == b"bplist00" else plistlib.FMT_XML
+        obj = plistlib.loads(data, fmt=fmt)
     except Exception as e:  # noqa: BLE001 — per-row error contract
         if data[:8] != b"bplist00":
             return None  # malformed XML: let the generic XML label win
@@ -1236,7 +1244,12 @@ def extract_plist(data: bytes) -> dict | None:
         res["err"] = f"{type(e).__name__}: {e}"
         return res
     lines: list[str] = []
-    _plist_lines(obj, "", lines)
+    try:
+        _plist_lines(obj, "", lines)
+    except ValueError as e:  # expansion bomb: fail loud, keep nothing
+        res["ok"] = False
+        res["err"] = str(e)
+        return res
     res["content"] = "\n".join(lines)
     res["n_blocks"] = len(lines)
     if isinstance(obj, dict):

@@ -383,7 +383,12 @@ def _cpio_members(
         if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
             continue
         _budget[0] -= len(payload)
-        clean = name.lstrip("./") or name
+        # strip the leading ./ (cpio convention) WITHOUT eating real
+        # leading dots — '.bashrc' must stay '.bashrc' (r4 review)
+        clean = name
+        while clean.startswith("./"):
+            clean = clean[2:]
+        clean = clean.lstrip("/") or name
         out.extend(
             _dispatch_member(
                 payload, f"{base_id}/{clean}", clean, container, _depth, _budget

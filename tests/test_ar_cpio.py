@@ -267,3 +267,11 @@ def test_nested_cpio_inside_zip_explodes(spark):
     rows = E.explode_zip(df).collect()
     assert [r["url"] for r in rows] == ["http://x/o.zip/payload.cpio/inner.txt"]
     assert rows[0]["container_s"] == "http://x/o.zip"
+
+
+def test_cpio_dotfile_names_survive():
+    """'./' prefixes strip, but real leading dots must not — .bashrc
+    stays .bashrc (r4 review: lstrip('./') ate dotfile names)."""
+    arc = _cpio_newc_bytes([("./.bashrc", b"x"), ("./d/.cfg", b"y")])
+    got = E._cpio_members(arc, "b", "b")
+    assert [m["child_id"] for m in got] == ["b/.bashrc", "b/d/.cfg"]

@@ -73,24 +73,22 @@ def test_roundtrip_all_maxbits_and_clears():
     assert unlzw(lzw_z_compress(txt, block=False)) == txt
 
 
-def test_group_alignment_padding_present():
-    """compress(1) flushes output in 8-code groups: every width change
-    inserts pad bits, so the stream is strictly longer than the naive
-    sum of code widths — a decoder without the skip desyncs.  The
-    text forces >255 table adds (one width bump minimum)."""
-    data = bytes(range(256)) * 3  # 255 adds in the first 256 codes
+def test_group_alignment_is_window_relative():
+    """compress(1) flushes output in 8-code groups RELATIVE to the
+    previous width change (ncompress rebases its buffer), so the
+    natural bumps land pad-free — the first segment is exactly 256
+    nine-bit codes = 36 groups — while a CLEAR at an arbitrary code
+    index DOES pad.  A decoder using absolute positions desyncs on
+    both (the r4 review bug, caught by gzip -dc)."""
+    data = bytes(range(256)) * 3  # forces the 9→10 bump
     z = lzw_z_compress(data, maxbits=12)
-    naive_bits = 0
-    # reconstruct the code count by decoding (decoder is pinned above)
     assert unlzw(z) == data
-    # 256 literals at 9 bits already exceed one group: the pad shows
-    # up as file length > ceil(total-code-bits / 8) for ANY packing
-    # without group flushes.  Encode the same prefix at a width that
-    # cannot bump (maxbits=9 stops the table at 512 entries) and
-    # compare: the 12-bit file must carry extra pad bytes.
-    z9 = lzw_z_compress(data, maxbits=9)
-    assert unlzw(z9) == data
-    assert len(z) != len(z9)  # different schedules, both decode
+    # natural-bump streams carry no pad: total bits are the exact sum
+    # of code widths (256 codes ride 9 bits before the first bump)
+    # → a CLEAR mid-stream must grow the file beyond that exact sum
+    zc = _compress_with_clears(data, clear_every=100)
+    assert unlzw(zc) == data
+    assert len(zc) > len(z)  # clears reset the table AND pad groups
 
 
 def test_cap_guard_checked_before_growth():
@@ -158,3 +156,55 @@ def test_tar_z_explodes():
     assert E._sniff_tar(arc, "payload.tar.Z")
     assert E._sniff_tar(arc, "payload.taz")
     assert not E._sniff_tar(lzw_z_compress(b"plain"), "payload.txt.Z")
+
+
+GZIP = __import__("shutil").which("gzip")
+
+
+@pytest.mark.skipif(not GZIP, reason="no gzip binary")
+def test_codec_against_gzip_oracle():
+    """gzip(1) carries the ncompress decoder: every encoder output
+    must survive `gzip -dc` byte-identically — the independent oracle
+    that caught the r4 absolute-vs-window-relative alignment bug."""
+    import subprocess
+
+    rnd = random.Random(99)
+    for trial in range(4):
+        n = rnd.randrange(500, 20000)
+        data = (
+            bytes(rnd.randrange(256) for _ in range(n))
+            if trial % 2
+            else bytes(rnd.choice(b"water under the bridge\n") for _ in range(n))
+        )
+        for maxbits in (9, 12, 16):
+            z = lzw_z_compress(data, maxbits=maxbits)
+            p = subprocess.run([GZIP, "-dc"], input=z, capture_output=True)
+            assert p.returncode in (0, 2) and p.stdout == data, (trial, maxbits)
+            assert unlzw(z) == data
+        z = _compress_with_clears(data, clear_every=77)
+        p = subprocess.run([GZIP, "-dc"], input=z, capture_output=True)
+        assert p.returncode in (0, 2) and p.stdout == data
+
+
+def test_maxbits9_grows_to_ten_bit_codes():
+    """the reference init skips the n_bits==maxbits maxcode case, so a
+    maxbits-9 stream grows to 10-bit codes when its capped table
+    fills — a decoder that never bumps desyncs after 255 adds."""
+    data = bytes(range(256)) * 8
+    z = lzw_z_compress(data, maxbits=9)
+    assert unlzw(z) == data
+
+
+def test_gzip_tail_padding_tolerated():
+    """NUL sector padding after a complete gzip member (tape blocking):
+    gzip(1) keeps the decoded output with a warning — so must the
+    transparent path (r4 review regression)."""
+    html = (
+        b"<html><head><title>T</title></head><body>"
+        b"<p>Padded body text.</p></body></html>"
+    )
+    r = extract_html(gzip.compress(html) + b"\x00" * 512)
+    assert r["content_type"] == "text/html" and r["title"] == "T"
+    # truncated member still rejected (never half a document)
+    t = extract_html(gzip.compress(html)[:20])
+    assert t["content_type"] == "application/gzip" and t["content"] == ""

@@ -782,3 +782,29 @@ def test_corrupt_bplist_fails_loud_not_wrong():
 def test_non_plist_xml_label_unchanged():
     xml = b'<?xml version="1.0"?><rss><channel><title>F</title></channel></rss>'
     assert extract_html(xml)["content_type"] == "application/xml"
+
+
+def test_plist_expansion_bomb_capped():
+    """binary plists share objects by reference; a tiny crafted file
+    can expand exponentially — the render walk caps BEFORE growing
+    (repo-wide bomb-guard invariant, r4 review)."""
+    import plistlib
+
+    big = {"k": [[["x"] * 50] * 50] * 50}  # 125k leaves via real nesting
+    r = extract_html(plistlib.dumps(big, fmt=plistlib.FMT_BINARY))
+    assert r["ok"] is False and "over" in (r["err"] or "")
+    assert r["content"] == ""
+
+
+def test_doctype_first_xml_plist_routes():
+    """an XML plist starting with <!DOCTYPE plist (no <?xml prolog)
+    must still take the structured route (r4 review: the disjunct was
+    dead under the <?xml-only branch, and plistlib's own sniffer
+    needs the explicit FMT_XML hint)."""
+    xp = (
+        b'<!DOCTYPE plist PUBLIC "-//Apple//DTD PLIST 1.0//EN" "x">'
+        b'<plist version="1.0"><dict><key>Title</key>'
+        b"<string>DT</string></dict></plist>"
+    )
+    r = extract_html(xp)
+    assert r["content_type"] == "application/x-plist" and r["title"] == "DT"
