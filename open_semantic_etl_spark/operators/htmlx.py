@@ -157,6 +157,36 @@ _MBOX_FROM_RE = re.compile(rb"\A" + MBOX_FROM_CORE)
 #: (odc) — 70 bytes covers the shorter odc form's whole header
 _CPIO_HEX_RE = re.compile(rb"\A[0-9a-fA-F]{70}")
 
+#: RFC-822 / MHTML gate: first line is header-shaped AND the head
+#: block carries both MIME-Version: and Content-Type: at line starts —
+#: every mail writer and every save-as-MHTML browser emits both, while
+#: prose that merely mentions them won't match the first-line shape
+_RFC822_FIRST_RE = re.compile(rb"\A[\x21-\x39\x3b-\x7e]+:[ \t]")
+_MIME_VERSION_RE = re.compile(rb"(?mi)^mime-version:")
+_MIME_CTYPE_RE = re.compile(rb"(?mi)^content-type:")
+
+#: dBase has no magic — the version byte is the strongest single gate
+_DBF_VERSIONS = frozenset((0x02, 0x03, 0x04, 0x05, 0x30, 0x31, 0x43,
+                           0x63, 0x83, 0x8B, 0xCB, 0xF5, 0x8E))
+
+
+def sniff_dbf(data: bytes) -> bool:
+    """structural dBase sniff (Tika mime application/x-dbf): known
+    version byte + plausible YYMMDD stamp + field-descriptor
+    arithmetic that adds up — three independent checks because every
+    single byte here can occur in prose/binaries.  Single-sourced
+    with sources/explode.py _dbf_rows (the MBOX_FROM_CORE pattern)."""
+    if len(data) < 65 or data[0] not in _DBF_VERSIONS:
+        return False
+    if not (1 <= data[2] <= 12 and 1 <= data[3] <= 31):
+        return False
+    hdr = int.from_bytes(data[8:10], "little")
+    rec = int.from_bytes(data[10:12], "little")
+    if hdr < 65 or rec < 1 or hdr > len(data):
+        return False
+    # header = 32 + 32*nfields + 1 terminator (+263 VFP backlink)
+    return (hdr - 33) % 32 == 0 or (hdr - 296) % 32 == 0
+
 #: transparently-decompressed single-member formats (Tika's
 #: CompressorParser behavior: a .html.gz indexes as its inner html)
 _COMPRESSED_TYPES = frozenset(
@@ -237,6 +267,8 @@ def sniff_content_type(data: bytes) -> str | None:
         return "application/x-cpio"
     if data.startswith(b"From ") and _MBOX_FROM_RE.match(data):
         return "application/mbox"  # From_ envelope line w/ asctime year
+    if data[:1] and data[0] in _DBF_VERSIONS and sniff_dbf(data):
+        return "application/x-dbf"  # structural, no magic (see sniff_dbf)
     if data.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf")):
         return None  # UTF BOM — text, even though UTF-16 bytes contain NULs
     head = data[:4096]
@@ -637,6 +669,28 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
                 return res
         if sniffed and sniffed != "application/pdf":
             res["content_type"] = sniffed
+            return res
+        if (
+            sniffed is None
+            and _RFC822_FIRST_RE.match(data)
+            and _MIME_VERSION_RE.search(data[:4096])
+            and _MIME_CTYPE_RE.search(data[:4096])
+        ):
+            # a standalone .eml / saved-as-MHTML web page (.mht is a
+            # multipart/related message whose text/html part is the
+            # page): body via the mail parser, title from Subject —
+            # Tika hands both to its RFC822Parser on this same path
+            from open_semantic_etl_spark.operators.eml import parse_eml
+
+            pe = parse_eml(data)
+            res["content_type"] = "message/rfc822"
+            res["content"] = pe["content_txt"] or ""
+            res["title"] = pe["subject_txt"]
+            res["meta_ts"] = pe["message_dt"]
+            res["n_blocks"] = 1 if res["content"] else 0
+            res["n_kept_blocks"] = res["n_blocks"]
+            res["ok"] = pe["ok"]
+            res["err"] = pe["err"]
             return res
         if sniffed == "application/pdf":
             from open_semantic_etl_spark.operators.pdfio import parse_pdf

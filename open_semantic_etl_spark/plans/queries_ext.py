@@ -1117,15 +1117,40 @@ def _build_sqlite(d: int) -> bytes:
     return data
 
 
+def _build_dbf_tab(d: int) -> bytes:
+    """same two-row contract as _build_csv, as a dBase III table
+    (Tika DBFParser tier — fixed-width C fields, typed shadows)."""
+    from open_semantic_etl_spark.sources.explode import build_dbf
+
+    return build_dbf(
+        [[f"item{d}", f"{d}.5"], [f"thing{d}", f"x{d}"]],
+        [("name", "C", 20), ("value", "C", 12)],
+    )
+
+
+_TAB_EXT = {2: "sqlite", 3: "dbf"}
+
+
 def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_semantic_etl_spark.sources.explode import explode_csv, explode_sqlite
+    from open_semantic_etl_spark.sources.explode import (
+        explode_csv,
+        explode_dbf,
+        explode_sqlite,
+    )
+
+    def build_tab(d: int) -> bytes:
+        if d % 4 == 2:
+            return _build_sqlite(d)
+        if d % 4 == 3:
+            return _build_dbf_tab(d)
+        return _build_csv(d)
 
     src = _binary_source(
         spark,
         sf_dir,
         150,
-        lambda d: _build_sqlite(d) if d % 3 == 2 else _build_csv(d),
-        lambda d: "file:///tab/%d.%s" % (d, "sqlite" if d % 3 == 2 else "csv"),
+        build_tab,
+        lambda d: "file:///tab/%d.%s" % (d, _TAB_EXT.get(d % 4, "csv")),
     )  # 150 tiny rows: recomputing per branch beats an app-lifetime cache
     cols = [
         "url",
@@ -1135,16 +1160,19 @@ def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fields")["value_t"].alias("value_t"),
         F.col("numbers")["value_f"].alias("value_f"),
     ]
-    csv_part = explode_csv(src.filter(~F.col("url").endswith(".sqlite"))).select(*cols)
+    csv_part = explode_csv(src.filter(F.col("url").endswith(".csv"))).select(*cols)
     db_part = explode_sqlite(src.filter(F.col("url").endswith(".sqlite"))).select(*cols)
-    return csv_part.unionByName(db_part)
+    dbf_part = explode_dbf(src.filter(F.col("url").endswith(".dbf"))).select(*cols)
+    return csv_part.unionByName(db_part).unionByName(dbf_part)
 
 
 SQL_CSV_EXPLODE = """
 WITH m AS (SELECT doc_id,
   'file:///tab/' || doc_id ||
-      CASE WHEN doc_id % 3 = 2 THEN '.sqlite' ELSE '.csv' END AS base,
-  CASE WHEN doc_id % 3 = 2 THEN '#items#' ELSE '#' END AS sep
+      CASE doc_id % 4 WHEN 2 THEN '.sqlite' WHEN 3 THEN '.dbf'
+                      ELSE '.csv' END AS base,
+  CASE doc_id % 4 WHEN 2 THEN '#items#' WHEN 3 THEN '#dbf#'
+                  ELSE '#' END AS sep
   FROM documents WHERE doc_id < 150)
 SELECT base || sep || '1' AS url, 1 AS page_i, base AS container_s,
        'item' || doc_id AS name_t, doc_id || '.5' AS value_t,

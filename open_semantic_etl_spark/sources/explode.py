@@ -988,6 +988,149 @@ def _sqlite_rows(data: bytes, base_id: str) -> list[dict]:
         con.close()
 
 
+# ---------------------------------------------------------------------------
+# dBase .dbf — Tika DBFParser parity: fixed-width records become child
+# docs with the CSV tier's typed shadows (<col>_t / <col>_f)
+# ---------------------------------------------------------------------------
+
+DBF_MAX_ROWS = 1_000_000  # child cap (runaway guard)
+
+from open_semantic_etl_spark.operators.htmlx import sniff_dbf  # noqa: E402
+# single-sourced with the mimetype sniff (the MBOX_FROM_CORE pattern)
+
+
+def _dbf_rows(data: bytes, base_id: str) -> list[dict]:
+    """active records → child rows (``<id>#dbf#<n>``, deleted-flag
+    ``*`` rows skipped — Tika DBFReader ditto); C/N/F/L/D field types
+    decode, unknown types keep their raw latin-1 text.  The record
+    width is validated against the descriptors so a lying header
+    cannot mis-slice every row."""
+    if not sniff_dbf(data):
+        return []
+    hdr = int.from_bytes(data[8:10], "little")
+    rec_size = int.from_bytes(data[10:12], "little")
+    fields: list[tuple[str, str, int]] = []  # (name, type, length)
+    pos = 32
+    while pos + 32 <= hdr and data[pos] != 0x0D:
+        desc = data[pos : pos + 32]
+        name = desc[0:11].split(b"\x00", 1)[0].decode("latin-1").strip()
+        ftype = chr(desc[11])
+        flen = desc[16]
+        if not name or flen == 0:
+            return []
+        fields.append((name, ftype, flen))
+        pos += 32
+    if not fields or pos >= len(data) or data[pos] != 0x0D:
+        return []
+    if rec_size != 1 + sum(f[2] for f in fields):
+        return []  # header lies about the record width
+    out: list[dict] = []
+    pos = hdr
+    n = 0
+    while pos + rec_size <= len(data) and len(out) < DBF_MAX_ROWS:
+        flag = data[pos]
+        if flag == 0x1A:  # EOF marker
+            break
+        row = data[pos : pos + rec_size]
+        pos += rec_size
+        if flag == 0x2A:  # deleted record
+            continue
+        n += 1
+        fvals: dict[str, str] = {}
+        numbers: dict[str, float] = {}
+        at = 1
+        for name, ftype, flen in fields:
+            raw = row[at : at + flen]
+            at += flen
+            txt = raw.decode("latin-1").strip().strip("\x00")
+            if not txt:
+                continue
+            if ftype == "L":
+                if txt[0] in "YyTt":
+                    txt = "true"
+                elif txt[0] in "NnFf":
+                    txt = "false"
+                else:
+                    continue  # '?' = uninitialized
+            fvals[f"{name}_t"] = txt
+            if ftype in ("N", "F"):
+                try:
+                    numbers[f"{name}_f"] = float(txt)
+                except ValueError:
+                    pass
+            elif ftype == "C":
+                try:  # text that reads as a number — CSV parity
+                    numbers[f"{name}_f"] = float(txt.replace(",", "."))
+                except ValueError:
+                    pass
+        out.append(
+            {
+                "child_id": f"{base_id}#dbf#{n}",
+                "page_i": n,
+                "container_s": base_id,
+                "table_s": "dbf",
+                "fields": fvals,
+                "numbers": numbers,
+            }
+        )
+    return out
+
+
+def explode_dbf(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """dbf rows → one row per active record (Tika DBFParser tier);
+    corrupt / non-dbf payloads yield zero children."""
+
+    def run(series: pd.Series, ids: pd.Series) -> pd.Series:
+        res = []
+        for data, base in zip(series, ids):
+            try:
+                res.append(_dbf_rows(bytes(data), base))
+            except Exception:  # noqa: BLE001 — bad table → no children
+                res.append([])
+        return pd.Series(res)
+
+    udf = F.pandas_udf(run, SQLITE_CHILD_TYPE)
+    ex = df.withColumn("_children", udf(F.col(bytes_col), F.col(id_col)))
+    ex = ex.select(F.col(id_col).alias("parent_id"), F.explode("_children").alias("c"))
+    return ex.select(
+        F.col("c.child_id").alias("url"),
+        F.col("c.page_i").alias("page_i"),
+        F.col("c.container_s").alias("container_s"),
+        F.col("c.table_s").alias("table_s"),
+        F.col("c.fields").alias("fields"),
+        F.col("c.numbers").alias("numbers"),
+        "parent_id",
+    )
+
+
+def build_dbf(rows: list[list[str]], columns: list[tuple[str, str, int]]) -> bytes:
+    """deterministic dBase III fixture writer: ``columns`` is
+    (name, type, length); values are written fixed-width latin-1
+    (numbers right-justified, text left-justified, per spec)."""
+    nrec = len(rows)
+    rec_size = 1 + sum(c[2] for c in columns)
+    hdr = 32 + 32 * len(columns) + 1
+    out = bytearray()
+    out += bytes([0x03, 24, 1, 1])  # dBase III, 2024-01-01
+    out += nrec.to_bytes(4, "little")
+    out += hdr.to_bytes(2, "little") + rec_size.to_bytes(2, "little")
+    out += b"\x00" * 20
+    for name, ftype, flen in columns:
+        d = bytearray(32)
+        d[0:11] = name.encode("latin-1")[:10].ljust(11, b"\x00")
+        d[11] = ord(ftype)
+        d[16] = flen
+        out += d
+    out += b"\x0d"
+    for row in rows:
+        out += b" "  # active flag
+        for (name, ftype, flen), val in zip(columns, row):
+            b = str(val).encode("latin-1")[:flen]
+            out += b.rjust(flen) if ftype in ("N", "F") else b.ljust(flen)
+    out += b"\x1a"
+    return bytes(out)
+
+
 def explode_sqlite(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
     """sqlite rows → one row per user-table row (Tika SQLite3Parser
     tier); corrupt / non-sqlite payloads yield zero children."""

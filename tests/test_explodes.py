@@ -583,3 +583,63 @@ def test_sqlite_reserved_prefix_filter_is_literal():
     )
     got = E._sqlite_rows(db, "d")
     assert [m["child_id"] for m in got] == ["d#sqlitemeta#1"]
+
+
+# ---------------------------------------------------------------------------
+# dBase .dbf tier — sources/explode.py _dbf_rows (Tika DBFParser parity)
+# ---------------------------------------------------------------------------
+
+
+def test_dbf_rows_types_and_deleted():
+    from open_semantic_etl_spark.sources.explode import _dbf_rows, build_dbf
+
+    cols = [("name", "C", 20), ("qty", "N", 8), ("ok", "L", 1), ("day", "D", 8)]
+    dbf = build_dbf(
+        [["alpha", "42", "T", "20240301"], ["beta", "-1.5", "?", ""]], cols
+    )
+    got = _dbf_rows(dbf, "file:///t/x.dbf")
+    assert [r["child_id"] for r in got] == [
+        "file:///t/x.dbf#dbf#1",
+        "file:///t/x.dbf#dbf#2",
+    ]
+    r1, r2 = got
+    assert r1["fields"] == {
+        "name_t": "alpha", "qty_t": "42", "ok_t": "true", "day_t": "20240301",
+    }
+    assert r1["numbers"] == {"qty_f": 42.0}
+    assert "ok_t" not in r2["fields"]  # '?' = uninitialized logical
+    assert r2["numbers"] == {"qty_f": -1.5}
+    # deleted flag (*) skips the record, numbering stays contiguous
+    hdr = int.from_bytes(dbf[8:10], "little")
+    rec = int.from_bytes(dbf[10:12], "little")
+    d2 = bytearray(dbf)
+    d2[hdr] = 0x2A
+    kept = _dbf_rows(bytes(d2), "x")
+    assert [r["fields"]["name_t"] for r in kept] == ["beta"]
+
+
+def test_dbf_sniff_is_structural():
+    from open_semantic_etl_spark.operators.htmlx import sniff_content_type, sniff_dbf
+    from open_semantic_etl_spark.sources.explode import build_dbf
+
+    dbf = build_dbf([["a", "1"]], [("name", "C", 10), ("value", "C", 5)])
+    assert sniff_dbf(dbf)
+    assert sniff_content_type(dbf) == "application/x-dbf"
+    # ETX-prefixed prose must not sniff (version bytes occur anywhere)
+    assert not sniff_dbf(b"\x03" + b"plain text long enough to check " * 4)
+    # lying record width yields zero children, not mis-sliced rows
+    from open_semantic_etl_spark.sources.explode import _dbf_rows
+
+    lying = bytearray(dbf)
+    lying[10:12] = (int.from_bytes(dbf[10:12], "little") + 1).to_bytes(2, "little")
+    assert _dbf_rows(bytes(lying), "x") == []
+
+
+def test_dbf_explode_stage(spark):
+    from open_semantic_etl_spark.sources.explode import build_dbf, explode_dbf
+
+    rows = [("file:///a.dbf", build_dbf([["n1", "1.5"]], [("name", "C", 8), ("value", "C", 6)]))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = explode_dbf(df).collect()
+    assert len(got) == 1 and got[0]["url"] == "file:///a.dbf#dbf#1"
+    assert got[0]["numbers"]["value_f"] == 1.5

@@ -808,3 +808,49 @@ def test_doctype_first_xml_plist_routes():
     )
     r = extract_html(xp)
     assert r["content_type"] == "application/x-plist" and r["title"] == "DT"
+
+
+def test_mhtml_and_standalone_eml_route():
+    """a standalone .eml and a saved-as-MHTML page (.mht =
+    multipart/related message whose text/html part is the page) route
+    through the mail parser: body text, Subject → title, Date →
+    meta_ts (Tika RFC822Parser parity). The gate needs a header-shaped
+    first line plus MIME-Version: AND Content-Type: at line starts, so
+    prose mentioning those headers stays text/plain."""
+    mht = (
+        b"From: <Saved by Browser>\r\n"
+        b"Subject: Page Title Here\r\n"
+        b"Date: Fri, 01 Mar 2024 08:30:00 +0000\r\n"
+        b"MIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/related; boundary="b1"; type="text/html"\r\n\r\n'
+        b"--b1\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Transfer-Encoding: quoted-printable\r\n"
+        b"Content-Location: https://example.org/page\r\n\r\n"
+        b"<html><head><title>Page Title Here</title></head><body>"
+        b"<p>Saved page bo=\r\ndy text.</p></body></html>\r\n"
+        b"--b1\r\n"
+        b"Content-Type: image/png\r\n"
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        b"iVBORw0KGgo=\r\n"
+        b"--b1--\r\n"
+    )
+    r = extract_html(mht)
+    assert r["content_type"] == "message/rfc822"
+    assert r["title"] == "Page Title Here"
+    assert r["content"] == "Saved page body text."
+    assert r["meta_ts"] == "2024-03-01T08:30:00Z"
+    eml = (
+        b"From: a@example.org\r\nTo: b@example.org\r\nSubject: Hi\r\n"
+        b"MIME-Version: 1.0\r\nContent-Type: text/plain\r\n\r\nBody line.\r\n"
+    )
+    r2 = extract_html(eml)
+    assert r2["content_type"] == "message/rfc822" and r2["content"] == "Body line."
+    # prose mentioning the headers mid-text stays plain text
+    prose = b"Note to self\nMIME-Version: discussions.\nContent-Type: header.\n"
+    assert extract_html(prose)["content_type"] == "text/plain"
+    # header-shaped first line without the MIME pair stays plain text
+    assert extract_html(b"Remember: buy milk\nmore\n")["content_type"] == "text/plain"
+    # vobject unaffected (BEGIN:VCALENDAR has no space after the colon)
+    vcal = b"BEGIN:VCALENDAR\nVERSION:2.0\nBEGIN:VEVENT\nSUMMARY:X\nEND:VEVENT\nEND:VCALENDAR"
+    assert extract_html(vcal)["content_type"] == "text/calendar"
