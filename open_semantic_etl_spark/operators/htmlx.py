@@ -127,6 +127,8 @@ _MAGIC = (
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
     (b"PK\x03\x04", "application/zip"),
     (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
     (b"!<arch>\n", "application/x-archive"),
@@ -557,6 +559,20 @@ def _fast_feed(parser: _ContentParser, text: str) -> None:
                 pos = n
 
 
+def _iso_to_dt(s: str | None) -> "datetime | None":
+    """'YYYY-MM-DDTHH:MM:SSZ' → aware datetime (the meta_ts struct
+    field is a TimestampType — a str would break the Arrow crossing
+    in the fused stage, which the HTML path never exercises)."""
+    if not s:
+        return None
+    try:
+        return datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        return None
+
+
 def extract_html(data: bytes | None, _depth: int = 0) -> dict:
     """Run the full contract over raw page bytes.
 
@@ -638,6 +654,36 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
                 return extract_html(inner, _depth + 1)
             res["content_type"] = sniffed
             return res
+        from open_semantic_etl_spark.operators.media import (
+            OCR_IMAGE_TYPES,
+            extract_media,
+            sniff_media,
+        )
+
+        if sniff_media(data) is not None:
+            # image/audio/video metadata tier (reference: Tika surfaces
+            # EXIF/ID3/container metadata for media payloads — its test
+            # pins content_type_ss == 'image/jpeg' etc.); pixel/sample
+            # DECODE stays behind the multimodal seam, but dims, EXIF
+            # title/author/date, ID3 tags, durations are plain struct
+            # parsing (operators/media.py). Raster images additionally
+            # flag needs_ocr — the reference's enhance_ocr tesseracts
+            # exactly these content types.
+            mr = extract_media(data)
+            if mr is not None:
+                res["content_type"] = mr["content_type"]
+                res["content"] = mr["content"]
+                res["title"] = mr["title"]
+                res["description"] = mr["description"]
+                res["meta_ts"] = _iso_to_dt(mr["datetime"])
+                res["n_blocks"] = mr["n_blocks"]
+                res["n_kept_blocks"] = mr["n_blocks"]
+                if mr["content_type"] in OCR_IMAGE_TYPES:
+                    res["needs_ocr"] = True
+                    res["n_images"] = 1
+                res["ok"] = mr["ok"]
+                res["err"] = mr["err"]
+                return res
         if data.startswith(b"{\\rtf"):
             # before the generic sniff early-return: an RTF with \binN
             # embedded picture bytes carries NULs in its head and would
@@ -686,7 +732,7 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
             res["content_type"] = "message/rfc822"
             res["content"] = pe["content_txt"] or ""
             res["title"] = pe["subject_txt"]
-            res["meta_ts"] = pe["message_dt"]
+            res["meta_ts"] = _iso_to_dt(pe["message_dt"])
             res["n_blocks"] = 1 if res["content"] else 0
             res["n_kept_blocks"] = res["n_blocks"]
             res["ok"] = pe["ok"]

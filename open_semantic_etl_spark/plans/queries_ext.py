@@ -656,15 +656,136 @@ WHERE i % 2 = 0
 """
 
 
+def _build_media(d: int) -> bytes:
+    """REAL media containers, one of ten formats by doc_id (the fake
+    FAKEIMG/FAKEVID codecs above stay — they pin the decode-seam
+    plumbing; these pin the metadata parsers in operators/media.py)."""
+    from open_semantic_etl_spark.operators import media as M
+
+    w, h = d % 64 + 1, d % 32 + 1
+    dur = d % 7 + 1  # ×100 ms
+    ch = d % 2 + 1
+    k = d % 10
+    if k == 0:
+        return M.build_jpeg(w, h, description=f"Bild {d}",
+                            artist=f"Fotograf {d}",
+                            dt=f"2024:03:01 07:30:{d % 60:02d}")
+    if k == 1:
+        return M.build_png(w, h, {"Title": f"PNG {d}", "Author": f"Autor {d}",
+                                  "Description": f"Beschreibung {d}"})
+    if k == 2:
+        return M.build_gif(w, h, comment=f"GIF Kommentar {d}")
+    if k == 3:
+        return M.build_tiff(w, h, description=f"TIFF Bild {d}",
+                            artist=f"Autor {d}")
+    if k == 4:
+        return M.build_bmp(w, h)
+    if k == 5:
+        return M.build_mp3(f"Song {d}", f"Band {d}", album=f"Album {d}",
+                           year=str(2000 + d % 25), audio_ms=100 * dur)
+    if k == 6:
+        return M.build_wav(800 * dur, rate=8000, channels=ch,
+                           info={"INAM": f"Wave {d}", "IART": f"Artist {d}"})
+    if k == 7:
+        return M.build_flac(1600 * dur, rate=16000, channels=ch,
+                            comments={"TITLE": f"Flac {d}",
+                                      "ARTIST": f"Artist {d}"})
+    if k == 8:
+        return M.build_mp4(100 * dur, w=w, h=h,
+                           tags={"title": f"Clip {d}", "author": f"Studio {d}"})
+    return M.build_ogg_vorbis(800 * dur, rate=8000, channels=ch,
+                              comments={"TITLE": f"Ogg {d}",
+                                        "ARTIST": f"Artist {d}"})
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """real binary media metadata: EXIF/PNG-text/GIF/TIFF/BMP dims +
+    ID3/RIFF-INFO/Vorbis/ilst tags + durations (operators/media.py;
+    reference: Tika's image/audio parsers via
+    enhance_extract_text_tika_server.py:33-262)."""
+    from open_semantic_etl_spark.operators.media import media_expr
+
+    src = _binary_source(spark, sf_dir, 200, _build_media, "file:///media/{d}.bin")
+    m = F.col("m")
+    return src.select("url", media_expr(F.col("html")).alias("m")).select(
+        "url",
+        m["width"].alias("width"), m["height"].alias("height"),
+        m["duration_ms"].alias("duration_ms"),
+        m["title"].alias("title_txt"), m["author"].alias("author_s"),
+        m["content_type"].alias("content_type_s"),
+        m["content"].alias("content_txt"),
+        m["media_dt"].alias("media_dt_s"),
+        m["ok"].cast("int").alias("ok"),
+    )
+
+
+SQL_MEDIA_META = """
+WITH m AS (SELECT doc_id AS d, doc_id % 10 AS k, doc_id % 64 + 1 AS w,
+                  doc_id % 32 + 1 AS h, doc_id % 7 + 1 AS dur,
+                  doc_id % 2 + 1 AS ch
+           FROM documents WHERE doc_id < 200)
+SELECT 'file:///media/' || d || '.bin' AS url,
+  CASE WHEN k <= 4 OR k = 8 THEN w END::int AS width,
+  CASE WHEN k <= 4 OR k = 8 THEN h END::int AS height,
+  CASE WHEN k >= 5 THEN 100 * dur END::bigint AS duration_ms,
+  CASE WHEN k = 1 THEN 'PNG ' || d  WHEN k = 5 THEN 'Song ' || d
+       WHEN k = 6 THEN 'Wave ' || d WHEN k = 7 THEN 'Flac ' || d
+       WHEN k = 8 THEN 'Clip ' || d WHEN k = 9 THEN 'Ogg ' || d
+  END AS title_txt,
+  CASE WHEN k = 0 THEN 'Fotograf ' || d WHEN k = 1 THEN 'Autor ' || d
+       WHEN k = 3 THEN 'Autor ' || d    WHEN k = 5 THEN 'Band ' || d
+       WHEN k = 6 THEN 'Artist ' || d   WHEN k = 7 THEN 'Artist ' || d
+       WHEN k = 8 THEN 'Studio ' || d   WHEN k = 9 THEN 'Artist ' || d
+  END AS author_s,
+  CASE k WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+         WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/tiff'
+         WHEN 4 THEN 'image/bmp'  WHEN 5 THEN 'audio/mpeg'
+         WHEN 6 THEN 'audio/x-wav' WHEN 7 THEN 'audio/flac'
+         WHEN 8 THEN 'video/mp4'  ELSE 'audio/ogg' END AS content_type_s,
+  CASE k
+    WHEN 0 THEN 'description: Bild ' || d || chr(10) || 'width: ' || w || chr(10) || 'height: ' || h
+    WHEN 1 THEN 'description: Beschreibung ' || d || chr(10) || 'width: ' || w || chr(10) || 'height: ' || h
+    WHEN 2 THEN 'comment: GIF Kommentar ' || d || chr(10) || 'width: ' || w || chr(10) || 'height: ' || h
+    WHEN 3 THEN 'description: TIFF Bild ' || d || chr(10) || 'width: ' || w || chr(10) || 'height: ' || h
+    WHEN 4 THEN 'width: ' || w || chr(10) || 'height: ' || h
+    WHEN 5 THEN 'album: Album ' || d || chr(10) || 'year: ' || (2000 + d % 25)
+             || chr(10) || 'channels: 2' || chr(10) || 'sample_rate: 44100'
+             || chr(10) || 'duration_ms: ' || (100 * dur)
+    WHEN 6 THEN 'channels: ' || ch || chr(10) || 'sample_rate: 8000'
+             || chr(10) || 'bits: 16' || chr(10) || 'duration_ms: ' || (100 * dur)
+    WHEN 7 THEN 'channels: ' || ch || chr(10) || 'sample_rate: 16000'
+             || chr(10) || 'duration_ms: ' || (100 * dur)
+    WHEN 8 THEN 'width: ' || w || chr(10) || 'height: ' || h
+             || chr(10) || 'duration_ms: ' || (100 * dur)
+    ELSE 'channels: ' || ch || chr(10) || 'sample_rate: 8000'
+             || chr(10) || 'duration_ms: ' || (100 * dur)
+  END AS content_txt,
+  CASE WHEN k = 0 THEN '2024-03-01T07:30:' || lpad((d % 60)::varchar, 2, '0') || 'Z'
+  END AS media_dt_s,
+  1 AS ok
+FROM m
+"""
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """image metadata + video frame-sample rows in ONE driver entry,
-    tagged by ``kind`` (driver caps CORRECTNESS at 50 queries; both
-    solo column sets keep their names so each stays oracle-pinned)."""
+    """image metadata + video frame-sample + REAL media-metadata rows
+    in ONE driver entry, tagged by ``kind`` (driver caps CORRECTNESS at
+    50 queries; each solo column set keeps its names so each stays
+    oracle-pinned)."""
+    null_media = [
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.lit(None).cast("string").alias("title_txt"),
+        F.lit(None).cast("string").alias("author_s"),
+        F.lit(None).cast("string").alias("content_type_s"),
+        F.lit(None).cast("string").alias("content_txt"),
+        F.lit(None).cast("string").alias("media_dt_s"),
+    ]
     meta = q_multimodal_meta(spark, sf_dir).select(
         F.lit("meta").alias("kind"), "url",
         "width", "height", "n_bytes", "ok",
         F.lit(None).cast("int").alias("frame_i"),
         F.lit(None).cast("string").alias("frame_txt"),
+        *null_media,
     )
     frames = q_multimodal_frames(spark, sf_dir).select(
         F.lit("frame").alias("kind"), "url",
@@ -673,18 +794,39 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_bytes"),
         F.lit(None).cast("int").alias("ok"),
         "frame_i", "frame_txt",
+        *null_media,
     )
-    return meta.unionByName(frames)
+    media = q_media_meta(spark, sf_dir).select(
+        F.lit("media").alias("kind"), "url",
+        "width", "height",
+        F.lit(None).cast("bigint").alias("n_bytes"), "ok",
+        F.lit(None).cast("int").alias("frame_i"),
+        F.lit(None).cast("string").alias("frame_txt"),
+        "duration_ms", "title_txt", "author_s", "content_type_s",
+        "content_txt", "media_dt_s",
+    )
+    return meta.unionByName(frames).unionByName(media)
 
+
+_NULL_MEDIA_SQL = """NULL::bigint AS duration_ms, NULL::varchar AS title_txt,
+       NULL::varchar AS author_s, NULL::varchar AS content_type_s,
+       NULL::varchar AS content_txt, NULL::varchar AS media_dt_s"""
 
 SQL_MULTIMODAL = f"""
 SELECT 'meta' AS kind, url, width, height, n_bytes, ok,
-       NULL::int AS frame_i, NULL::varchar AS frame_txt
+       NULL::int AS frame_i, NULL::varchar AS frame_txt, {_NULL_MEDIA_SQL}
 FROM ({SQL_MULTIMODAL_META})
 UNION ALL
 SELECT 'frame' AS kind, url, NULL::int AS width, NULL::int AS height,
-       NULL::bigint AS n_bytes, NULL::int AS ok, frame_i, frame_txt
+       NULL::bigint AS n_bytes, NULL::int AS ok, frame_i, frame_txt,
+       {_NULL_MEDIA_SQL}
 FROM ({SQL_MULTIMODAL_FRAMES})
+UNION ALL
+SELECT 'media' AS kind, url, width, height, NULL::bigint AS n_bytes, ok,
+       NULL::int AS frame_i, NULL::varchar AS frame_txt,
+       duration_ms, title_txt, author_s, content_type_s, content_txt,
+       media_dt_s
+FROM ({SQL_MEDIA_META})
 """
 
 

@@ -839,7 +839,8 @@ def test_mhtml_and_standalone_eml_route():
     assert r["content_type"] == "message/rfc822"
     assert r["title"] == "Page Title Here"
     assert r["content"] == "Saved page body text."
-    assert r["meta_ts"] == "2024-03-01T08:30:00Z"
+    # meta_ts is a real datetime (TimestampType Arrow contract)
+    assert r["meta_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == "2024-03-01T08:30:00Z"
     eml = (
         b"From: a@example.org\r\nTo: b@example.org\r\nSubject: Hi\r\n"
         b"MIME-Version: 1.0\r\nContent-Type: text/plain\r\n\r\nBody line.\r\n"
