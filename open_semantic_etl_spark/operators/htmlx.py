@@ -559,6 +559,28 @@ def _fast_feed(parser: _ContentParser, text: str) -> None:
                 pos = n
 
 
+def _extract_xml_doc(data: bytes, res: dict) -> dict | None:
+    """SVG / FictionBook2 raw-XML route (Tika SVGParser /
+    FictionBookParser parity); None = not one of these roots, keep the
+    generic XML handling."""
+    from open_semantic_etl_spark.operators.office import (
+        extract_fb2,
+        extract_svg,
+    )
+
+    doc = extract_svg(data) or extract_fb2(data)
+    if doc is None:
+        return None
+    res["content_type"] = doc["content_type"]
+    res["content"] = doc["content"]
+    res["title"] = doc["title"]
+    res["n_blocks"] = doc["n_blocks"]
+    res["n_kept_blocks"] = doc["n_blocks"]
+    res["ok"] = doc["ok"]
+    res["err"] = doc["err"]
+    return res
+
+
 def _iso_to_dt(s: str | None) -> "datetime | None":
     """'YYYY-MM-DDTHH:MM:SSZ' → aware datetime (the meta_ts struct
     field is a TimestampType — a str would break the Arrow crossing
@@ -773,10 +795,20 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
                     res["n_blocks"] = pl["n_blocks"]
                     res["n_kept_blocks"] = pl["n_blocks"]
                     return res
+            sx = _extract_xml_doc(data, res)
+            if sx is not None:
+                return sx
             # generic XML document (feed bytes, sitemaps, arbitrary
             # exports): honest Tika-style label; the text pull itself
             # is unchanged (structured handling lives in the rdf/feeds
             # operators, which parse these bytes properly)
+            res["content_type"] = "application/xml"
+        elif head.startswith(("<svg", "<fictionbook")):
+            # raw-XML document formats without an <?xml prologue — the
+            # root-name gate inside keeps lookalike tags on the HTML path
+            sx = _extract_xml_doc(data, res)
+            if sx is not None:
+                return sx
             res["content_type"] = "application/xml"
         elif not _TAG_HINT_RE.search(text):
             vo = _vobject_sniff(text)

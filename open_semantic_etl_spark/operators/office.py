@@ -932,6 +932,8 @@ def office_expr(bytes_col):
                 or extract_cfb(b)
                 or extract_tnef(b)
                 or extract_plist(b)
+                or extract_svg(b)
+                or extract_fb2(b)
                 or extract_vobject(b)
                 or empty
             )
@@ -1259,3 +1261,137 @@ def extract_plist(data: bytes) -> dict | None:
                 res["title"] = v.strip()
                 break
     return res
+
+
+# --------------------------------------------------------------------------
+# SVG + FictionBook2 — raw-XML document formats (Tika's SVGParser /
+# FictionBookParser; the reference reaches both through the Tika hop,
+# enhance_extract_text_tika_server.py:33-262)
+# --------------------------------------------------------------------------
+
+_XML_ROOT_RE = re.compile(
+    rb"\A\s*(?:<\?xml[^>]*\?>\s*)?(?:<!--.*?-->\s*)*(?:<!DOCTYPE[^>]*>\s*)?"
+    rb"<([A-Za-z][\w.-]*:)?([A-Za-z][\w.-]*)",
+    re.S,
+)
+
+
+def xml_root_localname(data: bytes) -> str | None:
+    """local name of the document's root element, or None — the cheap
+    routing gate for raw-XML formats (prefix stripped)."""
+    m = _XML_ROOT_RE.match(data[:2048])
+    return m.group(2).decode("ascii", "replace") if m else None
+
+
+def _ln(el) -> str:
+    """namespace-stripped local tag name."""
+    tag = el.tag
+    return tag.rsplit("}", 1)[-1] if isinstance(tag, str) else ""
+
+
+def extract_svg(data: bytes) -> dict | None:
+    """SVG → office-result shape: one content line per ``<text>``
+    element (tspan runs joined, document order), title from the first
+    ``<title>``; None when the root element is not ``svg``."""
+    if xml_root_localname(data) != "svg":
+        return None
+    res = {
+        "content": "", "title": None, "author": None,
+        "content_type": "image/svg+xml", "n_blocks": 0,
+        "ok": True, "err": None,
+    }
+    try:
+        root = ET.fromstring(data)
+    except Exception as e:  # noqa: BLE001 — per-row error contract
+        res["ok"] = False
+        res["err"] = f"{type(e).__name__}: {e}"
+        return res
+    lines: list[str] = []
+    for el in root.iter():
+        name = _ln(el)
+        if name == "text":
+            line = " ".join("".join(el.itertext()).split())
+            if line:
+                lines.append(line)
+        elif name == "title" and res["title"] is None:
+            t = " ".join("".join(el.itertext()).split())
+            res["title"] = t or None
+    res["content"] = "\n".join(lines)
+    res["n_blocks"] = len(lines)
+    return res
+
+
+def extract_fb2(data: bytes) -> dict | None:
+    """FictionBook2 e-book XML → office-result shape: body paragraph /
+    verse / subtitle lines, book-title + first author from the
+    description block; None when the root is not ``FictionBook``."""
+    if xml_root_localname(data) != "FictionBook":
+        return None
+    res = {
+        "content": "", "title": None, "author": None,
+        "content_type": "application/x-fictionbook+xml", "n_blocks": 0,
+        "ok": True, "err": None,
+    }
+    try:
+        root = ET.fromstring(data)
+    except Exception as e:  # noqa: BLE001
+        res["ok"] = False
+        res["err"] = f"{type(e).__name__}: {e}"
+        return res
+    lines: list[str] = []
+    for child in root:
+        name = _ln(child)
+        if name == "description":
+            for el in child.iter():
+                n = _ln(el)
+                if n == "book-title" and res["title"] is None:
+                    t = " ".join("".join(el.itertext()).split())
+                    res["title"] = t or None
+                elif n == "author" and res["author"] is None:
+                    parts = {
+                        _ln(e): " ".join("".join(e.itertext()).split())
+                        for e in el
+                    }
+                    full = " ".join(
+                        p for p in (parts.get("first-name"),
+                                    parts.get("middle-name"),
+                                    parts.get("last-name")) if p
+                    ) or parts.get("nickname", "")
+                    res["author"] = full or None
+        elif name == "body":
+            for el in child.iter():
+                if _ln(el) in ("p", "v", "subtitle"):
+                    line = " ".join("".join(el.itertext()).split())
+                    if line:
+                        lines.append(line)
+    res["content"] = "\n".join(lines)
+    res["n_blocks"] = len(lines)
+    return res
+
+
+def build_svg(lines: list[str], title: str | None = None,
+              w: int = 100, h: int = 50) -> bytes:
+    body = "".join(
+        f'<text x="10" y="{20 * (i + 1)}">{_xesc(t)}</text>'
+        for i, t in enumerate(lines)
+    )
+    tt = f"<title>{_xesc(title)}</title>" if title else ""
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}">'
+        f"{tt}{body}</svg>"
+    ).encode()
+
+
+def build_fb2(paras: list[str], title: str, author: tuple[str, str]) -> bytes:
+    body = "".join(f"<p>{_xesc(t)}</p>" for t in paras)
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<FictionBook xmlns="http://www.gribuser.ru/xml/fictionbook/2.0">'
+        "<description><title-info>"
+        f"<book-title>{_xesc(title)}</book-title>"
+        f"<author><first-name>{_xesc(author[0])}</first-name>"
+        f"<last-name>{_xesc(author[1])}</last-name></author>"
+        "</title-info></description>"
+        f"<body><section>{body}</section></body></FictionBook>"
+    ).encode()

@@ -462,6 +462,19 @@ def _build_office(d: int) -> bytes:
             {"Title": f"PList {d}", "count": d, "flag": True},
             fmt=plistlib.FMT_BINARY,
         )
+    if d % 10 == 4:
+        from open_semantic_etl_spark.operators.office import build_svg
+
+        return build_svg(
+            [f"SVG Text {d}", f"Zweite Zeile {d}"], title=f"Vektor {d}"
+        )
+    if d % 10 == 5:
+        from open_semantic_etl_spark.operators.office import build_fb2
+
+        return build_fb2(
+            [f"FB2 Absatz {d}.", f"Noch ein Absatz {d}."],
+            f"Buch {d}", ("Autor", str(d)),
+        )
     if d % 10 == 8:
         return build_epub(
             [f"Kapitel eins {d} mit genug Text zum Behalten.",
@@ -553,6 +566,8 @@ WITH m AS (SELECT doc_id, 'file:///docs/' || doc_id || '.office' AS url
            FROM documents WHERE doc_id < 200)
 SELECT url,
   CASE
+    WHEN doc_id % 10 = 4 THEN 'SVG Text ' || doc_id || chr(10) || 'Zweite Zeile ' || doc_id
+    WHEN doc_id % 10 = 5 THEN 'FB2 Absatz ' || doc_id || '.' || chr(10) || 'Noch ein Absatz ' || doc_id || '.'
     WHEN doc_id % 10 = 6 THEN 'XPS Seite ' || doc_id || ' eins.' || chr(10) || 'Zweite Zeile ' || doc_id || '.'
     WHEN doc_id % 10 = 7 THEN 'Title: PList ' || doc_id || chr(10) || 'count: ' || doc_id || chr(10) || 'flag: true'
     WHEN doc_id % 10 = 8 THEN 'Kapitel eins ' || doc_id || ' mit genug Text zum Behalten.' || chr(10) || 'Kapitel zwei ' || doc_id || ' ebenfalls mit genug Text.'
@@ -567,6 +582,8 @@ SELECT url,
     ELSE 'Zeile eins ' || doc_id || '.' || chr(10) || 'Zeile zwei ' || doc_id || '.'
   END AS content_txt,
   CASE
+    WHEN doc_id % 10 = 4 THEN 'Vektor ' || doc_id
+    WHEN doc_id % 10 = 5 THEN 'Buch ' || doc_id
     WHEN doc_id % 10 = 6 THEN 'XDoc ' || doc_id
     WHEN doc_id % 10 = 7 THEN 'PList ' || doc_id
     WHEN doc_id % 10 = 8 THEN 'EBook ' || doc_id
@@ -576,6 +593,8 @@ SELECT url,
     WHEN doc_id % 8 = 4 THEN 'WDoc ' || doc_id WHEN doc_id % 8 = 5 THEN 'XSheet ' || doc_id
     WHEN doc_id % 8 = 6 THEN 'PDeck ' || doc_id ELSE 'Msg ' || doc_id END AS title_txt,
   CASE
+    WHEN doc_id % 10 = 4 THEN NULL
+    WHEN doc_id % 10 = 5 THEN 'Autor ' || doc_id
     WHEN doc_id % 10 = 6 THEN 'Author ' || doc_id
     WHEN doc_id % 10 = 7 THEN NULL
     WHEN doc_id % 10 = 9 THEN NULL
@@ -583,6 +602,8 @@ SELECT url,
     WHEN doc_id % 8 = 7 THEN 'sender' || doc_id || '@example.org'
     ELSE 'Author ' || doc_id END AS author_ss,
   CASE
+    WHEN doc_id % 10 = 4 THEN 'image/svg+xml'
+    WHEN doc_id % 10 = 5 THEN 'application/x-fictionbook+xml'
     WHEN doc_id % 10 = 6 THEN 'application/vnd.ms-xpsdocument'
     WHEN doc_id % 10 = 7 THEN 'application/x-plist'
     WHEN doc_id % 10 = 8 THEN 'application/epub+zip'

@@ -855,3 +855,72 @@ def test_mhtml_and_standalone_eml_route():
     # vobject unaffected (BEGIN:VCALENDAR has no space after the colon)
     vcal = b"BEGIN:VCALENDAR\nVERSION:2.0\nBEGIN:VEVENT\nSUMMARY:X\nEND:VEVENT\nEND:VCALENDAR"
     assert extract_html(vcal)["content_type"] == "text/calendar"
+
+
+# ---------------------------------------------------------------------------
+# SVG + FictionBook2 raw-XML documents (Tika SVGParser/FictionBookParser)
+# ---------------------------------------------------------------------------
+
+
+def test_svg_extraction_and_routing():
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+    from open_semantic_etl_spark.operators.office import build_svg
+
+    svg = build_svg(["Erste Zeile", "Zweite <Zeile>"], title="Vektor T")
+    r = extract_html(svg)
+    assert r["content_type"] == "image/svg+xml"
+    assert r["content"] == "Erste Zeile\nZweite <Zeile>"
+    assert r["title"] == "Vektor T" and r["ok"]
+
+    # no <?xml prologue: the direct "<svg" route
+    bare = svg.split(b"?>", 1)[1]
+    r = extract_html(bare)
+    assert r["content_type"] == "image/svg+xml"
+    assert r["content"] == "Erste Zeile\nZweite <Zeile>"
+
+    # tspan runs join into the parent <text> line
+    r = extract_html(
+        b'<svg xmlns="http://www.w3.org/2000/svg">'
+        b"<text><tspan>a</tspan> <tspan>b</tspan></text></svg>"
+    )
+    assert r["content"] == "a b"
+
+
+def test_svg_lookalikes_stay_off_the_route():
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+
+    # inline SVG inside an HTML page: root is html, HTML path wins
+    r = extract_html(b"<html><body><svg><text>x</text></svg>ok</body></html>")
+    assert r["content_type"] == "text/html"
+
+    # a root element merely STARTING with 'svg' is not SVG
+    r = extract_html(b"<svgdata><text>x</text></svgdata>")
+    assert r["content_type"] != "image/svg+xml"
+
+    # malformed SVG: label kept, per-row error contract
+    r = extract_html(b'<?xml version="1.0"?><svg xmlns="u"><text>x</svg>')
+    assert r["content_type"] == "image/svg+xml"
+    assert r["ok"] is False and r["err"]
+
+
+def test_fb2_extraction_and_routing():
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+    from open_semantic_etl_spark.operators.office import build_fb2, extract_fb2
+
+    fb2 = build_fb2(["Absatz eins.", "Absatz zwei."], "Mein Buch", ("Lew", "Tolstoi"))
+    r = extract_html(fb2)
+    assert r["content_type"] == "application/x-fictionbook+xml"
+    assert r["content"] == "Absatz eins.\nAbsatz zwei."
+    assert r["title"] == "Mein Buch"
+
+    # author string joins name parts; description <p> are NOT body text
+    d = extract_fb2(fb2)
+    assert d["author"] == "Lew Tolstoi"
+
+    # annotation paragraphs inside <description> must not leak into content
+    noisy = fb2.replace(
+        b"</title-info>",
+        b"<annotation><p>Klappentext.</p></annotation></title-info>",
+    )
+    d = extract_fb2(noisy)
+    assert d["content"] == "Absatz eins.\nAbsatz zwei."
