@@ -267,6 +267,8 @@ def sniff_content_type(data: bytes) -> str | None:
         # with them — require the whole following header to be ASCII
         # hex (newc) / octal (odc) before claiming the label
         return "application/x-cpio"
+    if len(data) > 16 * 2048 + 8 and data[32769:32774] == b"CD001" and data[32768] in (0, 1, 2, 3, 255):
+        return "application/x-iso9660-image"  # ECMA-119 descriptor @ sector 16
     if data.startswith(b"From ") and _MBOX_FROM_RE.match(data):
         return "application/mbox"  # From_ envelope line w/ asctime year
     if data[:1] and data[0] in _DBF_VERSIONS and sniff_dbf(data):

@@ -190,7 +190,21 @@ def _build_cpio(d: int) -> bytes:
     return out.getvalue()
 
 
-_ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz", 3: "deb", 4: "cpio", 5: "tar.Z"}
+def _build_iso_arch(d: int) -> bytes:
+    """same member layout as _build_zip, but an ISO 9660 disc image
+    with a Joliet descriptor (names survive verbatim) — exercises the
+    ECMA-119 tier + zip-in-iso recursion under the same oracle."""
+    from open_semantic_etl_spark.operators.iso9660 import build_iso
+
+    return build_iso(
+        {f"notes/a{d}.txt": f"alpha {d}".encode(), "inner.zip": _inner_zip(d)},
+        volume_id=f"VOL{d}",
+        joliet=True,
+    )
+
+
+_ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz", 3: "deb", 4: "cpio",
+                5: "tar.Z", 6: "iso"}
 _ARCHIVE_BUILD = {
     0: _build_zip,
     1: _build_7z,
@@ -198,11 +212,12 @@ _ARCHIVE_BUILD = {
     3: _build_ar,
     4: _build_cpio,
     5: _build_tar_z,
+    6: _build_iso_arch,
 }
 
 
 def _build_archive(d: int) -> bytes:
-    return _ARCHIVE_BUILD[d % 6](d)
+    return _ARCHIVE_BUILD[d % 7](d)
 
 
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +228,7 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         150,
         _build_archive,
-        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 6]),
+        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 7]),
     )
     out = explode_zip(src)
     return out.select(
@@ -227,9 +242,9 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZIP_EXPLODE = """
 WITH m AS (
   SELECT doc_id, 'https://archive.example.org/' || doc_id ||
-         CASE doc_id % 6 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
+         CASE doc_id % 7 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
                          WHEN 3 THEN '.deb' WHEN 4 THEN '.cpio'
-                         WHEN 5 THEN '.tar.Z'
+                         WHEN 5 THEN '.tar.Z' WHEN 6 THEN '.iso'
                          ELSE '.zip' END AS base
   FROM documents WHERE doc_id < 150
 )

@@ -401,6 +401,39 @@ def _cpio_members(
     return out
 
 
+def _iso_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    """ISO 9660 disc image → member rows with the zip tier's id
+    scheme, byte budget, and nesting dispatch (operators/iso9660.py:
+    budgeted ECMA-119 walk, Joliet names preferred).  Extent sizes are
+    DECLARED in directory records, so the member/total caps apply
+    before any slice."""
+    from open_semantic_etl_spark.operators.iso9660 import iso_members
+
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    for name, payload in iso_members(
+        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    ):
+        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+            continue
+        _budget[0] -= max(len(payload), 64)
+        out.extend(
+            _dispatch_member(
+                payload, f"{base_id}/{name}", name, container, _depth, _budget
+            )
+        )
+        if _budget[0] <= 0:
+            break
+    return out
+
+
 def _dispatch_member(
     payload: bytes,
     child_id: str,
@@ -410,7 +443,8 @@ def _dispatch_member(
     _budget: list[int],
 ) -> list[dict]:
     """shared nested-container dispatch: recurse into zip/tar/7z/ar/
-    cpio members (outermost container id kept), else one member row."""
+    cpio/iso members (outermost container id kept), else one member
+    row."""
     if _depth < _ZIP_MAX_DEPTH:
         if payload[:4] == b"PK\x03\x04" and name.lower().endswith(".zip"):
             return _zip_members(payload, child_id, container, _depth + 1, _budget)
@@ -424,7 +458,18 @@ def _dispatch_member(
                 return walker(payload, child_id, container, _depth + 1, _budget)
             except Exception:  # noqa: BLE001 — corrupt: never lose bytes
                 pass
+        if _sniff_iso_payload(payload):
+            try:
+                return _iso_members(payload, child_id, container, _depth + 1, _budget)
+            except Exception:  # noqa: BLE001 — corrupt: never lose bytes
+                pass
     return [{"child_id": child_id, "container_s": container, "bytes": payload}]
+
+
+def _sniff_iso_payload(payload: bytes) -> bool:
+    from open_semantic_etl_spark.operators.iso9660 import sniff_iso
+
+    return len(payload) > 16 * 2048 and sniff_iso(payload)
 
 
 def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> DataFrame:
@@ -453,6 +498,8 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
                     res.append(_ar_members(data, base, base))
                 elif data[:6] in _CPIO_MAGICS:
                     res.append(_cpio_members(data, base, base))
+                elif _sniff_iso_payload(data):
+                    res.append(_iso_members(data, base, base))
                 else:
                     try:
                         res.append(_tar_members(data, base, base))

@@ -1,0 +1,182 @@
+"""ISO 9660 container tier (operators/iso9660.py + explode dispatch).
+
+Reference bar: the zip-tier child contract (enhance_zip.py:31-116)
+applied to disc images, which Tika reaches via Commons Compress.  The
+fixture writer is ours (no mkisofs in the container), so the reader is
+additionally pinned on a HAND-ASSEMBLED sector-literal image built
+byte-by-byte from ECMA-119 — round-trips are evidence, not tautology.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+import struct
+import zipfile
+
+from open_semantic_etl_spark.operators.iso9660 import (
+    build_iso,
+    iso_members,
+    sniff_iso,
+)
+
+_S = 2048
+
+
+def test_roundtrip_primary_descriptor():
+    img = build_iso({"readme.txt": b"hello", "docs/page.html": b"<p>x</p>"})
+    assert sniff_iso(img)
+    got = dict(iso_members(img))
+    # primary descriptor: d-character names are upper-cased by the writer
+    assert got == {"README.TXT": b"hello", "DOCS/PAGE.HTML": b"<p>x</p>"}
+
+
+def test_roundtrip_joliet_names_win():
+    img = build_iso(
+        {"Grüße Ünïcode.txt": b"j1", "sub/Lange Namen überall.txt": b"j2"},
+        joliet=True,
+    )
+    got = dict(iso_members(img))
+    assert got == {
+        "Grüße Ünïcode.txt": b"j1",
+        "sub/Lange Namen überall.txt": b"j2",
+    }
+
+
+def test_multi_sector_file_payload():
+    blob = bytes(range(256)) * 20  # 5120 B spans 3 sectors
+    got = dict(iso_members(build_iso({"big.bin": blob})))
+    assert got["BIG.BIN"] == blob
+
+
+def test_hand_assembled_sector_literal_image():
+    """one file, every structure written out longhand from ECMA-119 —
+    no shared code with build_iso."""
+    payload = b"sector literal content"
+
+    def both32(v):
+        return struct.pack("<I", v) + struct.pack(">I", v)
+
+    def both16(v):
+        return struct.pack("<H", v) + struct.pack(">H", v)
+
+    def rec(fi: bytes, extent: int, size: int, is_dir: bool) -> bytes:
+        body = bytearray(33 + len(fi) + (1 - len(fi) % 2))
+        body[0] = len(body)
+        body[2:10] = both32(extent)
+        body[10:18] = both32(size)
+        body[18:25] = bytes((124, 6, 15, 12, 0, 0, 0))
+        body[25] = 2 if is_dir else 0
+        body[28:32] = both16(1)
+        body[32] = len(fi)
+        body[33 : 33 + len(fi)] = fi
+        return bytes(body)
+
+    root_lba, file_lba = 18, 19
+    pvd = bytearray(_S)
+    pvd[0] = 1
+    pvd[1:6] = b"CD001"
+    pvd[6] = 1
+    pvd[40:47] = b"HANDVOL"
+    pvd[128:132] = both16(_S)
+    pvd[156:190] = rec(b"\x00", root_lba, _S, True).ljust(34, b"\x00")[:34]
+    term = bytearray(_S)
+    term[0] = 255
+    term[1:6] = b"CD001"
+    term[6] = 1
+    rootdir = (
+        rec(b"\x00", root_lba, _S, True)
+        + rec(b"\x01", root_lba, _S, True)
+        + rec(b"LITERAL.TXT;1", file_lba, len(payload), False)
+    ).ljust(_S, b"\x00")
+    img = (
+        b"\x00" * (16 * _S) + bytes(pvd) + bytes(term)
+        + rootdir + payload.ljust(_S, b"\x00")
+    )
+    assert sniff_iso(img)
+    assert iso_members(img) == [("LITERAL.TXT", payload)]
+
+
+def test_explode_dispatch_both_nesting_directions():
+    from open_semantic_etl_spark.sources.explode import _iso_members, _zip_members
+
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as zf:
+        zf.writestr("in.txt", "zip inside iso")
+    iso_with_zip = build_iso({"bundle.zip": inner.getvalue()}, joliet=True)
+
+    rows = _iso_members(iso_with_zip, "file:///d.iso", "file:///d.iso")
+    assert [(r["child_id"], bytes(r["bytes"])) for r in rows] == [
+        ("file:///d.iso/bundle.zip/in.txt", b"zip inside iso")
+    ]
+    assert rows[0]["container_s"] == "file:///d.iso"  # outermost id kept
+
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as zf:
+        zf.writestr("disc.iso", build_iso({"f.txt": b"iso inside zip"}, joliet=True))
+    rows = _zip_members(outer.getvalue(), "file:///o.zip", "file:///o.zip")
+    assert [(r["child_id"], bytes(r["bytes"])) for r in rows] == [
+        ("file:///o.zip/disc.iso/f.txt", b"iso inside zip")
+    ]
+
+
+def test_hostile_images_never_spin_or_slice_garbage():
+    base = build_iso({"a.txt": b"x" * 10, "d/b.txt": b"y" * 10})
+
+    # lying extent: file LBA points past the image → member skipped
+    img = bytearray(base)
+    pos = img.find(b"A.TXT;1") - 33
+    img[pos + 2 : pos + 6] = struct.pack("<I", 1 << 30)
+    got = dict(iso_members(bytes(img)))
+    assert "A.TXT" not in got and got.get("D/B.TXT") == b"y" * 10
+
+    # truncated image: complete leading members only, never a short slice
+    got = dict(iso_members(base[: len(base) - 1]))
+    assert all(len(v) in (10,) for v in got.values())
+
+    # self-looping directory (extent points at itself) terminates
+    img = bytearray(base)
+    pos = img.find(b"D\x00")  # the 'D' directory record's name field
+    # fallback: locate the subdir record via its directory flag instead
+    pos = img.find(b"\x01D", 17 * 2048)
+    if pos != -1:
+        rec_start = pos - 32
+        root_lba = 16 + 2  # PVD + terminator → first dir sector
+        img[rec_start + 2 : rec_start + 6] = struct.pack("<I", root_lba)
+        list(iso_members(bytes(img)))  # must return, not recurse forever
+
+
+def test_budget_caps_members():
+    files = {f"f{i:03d}.txt": b"z" * 8 for i in range(40)}
+    img = build_iso(files)
+    got = iso_members(img, max_total=64 * 10)  # 64 B min charge per member
+    assert 0 < len(got) <= 10
+
+
+def test_fuzz_total_function():
+    rng = random.Random(0x150)
+    base = build_iso({"a.txt": b"alpha", "d/b.txt": b"beta"}, joliet=True)
+    for i in range(300):
+        buf = bytearray(base[: rng.randrange(1, len(base) + 1)] if i % 2 else base)
+        for _ in range(rng.randrange(1, 6)):
+            buf[rng.randrange(len(buf))] ^= 0xFF
+        try:
+            iso_members(bytes(buf))
+        except ValueError:
+            pass  # the documented failure mode
+
+
+def test_sniff_negatives():
+    assert not sniff_iso(b"CD001")
+    assert not sniff_iso(b"\x00" * (16 * 2048) + b"xCD00" + b"1" * 100)
+    blob = bytearray(b"\x00" * (17 * 2048))
+    blob[16 * 2048] = 9  # unknown descriptor type
+    blob[16 * 2048 + 1 : 16 * 2048 + 6] = b"CD001"
+    assert not sniff_iso(bytes(blob))
+
+
+def test_htmlx_sniff_labels_iso():
+    from open_semantic_etl_spark.operators.htmlx import sniff_content_type
+
+    img = build_iso({"a.txt": b"x"})
+    assert sniff_content_type(img) == "application/x-iso9660-image"
