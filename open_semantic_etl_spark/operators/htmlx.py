@@ -139,8 +139,13 @@ _MAGIC = (
     (b"\x1f\x8b", "application/gzip"),
     (b"BZh", "application/x-bzip2"),
     (b"\xfd7zXZ\x00", "application/x-xz"),
+    (b"\x28\xb5\x2f\xfd", "application/zstd"),
+    (b"\x04\x22\x4d\x18", "application/x-lz4"),
+    (b"\xff\x06\x00\x00sNaPpY", "application/x-snappy-framed"),
     (b"WARC/", "application/warc"),
     (b"SQLite format 3\x00", "application/x-sqlite3"),
+    (b"ARROW1\x00\x00", "application/vnd.apache.arrow.file"),
+    (b"Obj\x01", "application/avro"),
 )
 
 #: a From_ envelope line: ``From <sender> <asctime>`` — requiring the
@@ -197,9 +202,34 @@ _COMPRESSED_TYPES = frozenset(
         "application/x-bzip2",
         "application/x-xz",
         "application/x-compress",
+        "application/zstd",
+        "application/x-lz4",
+        "application/x-lzma",
+        "application/x-snappy-framed",
     )
 )
 _DECOMPRESS_CAP = 1 << 26  # 64 MB inner bytes — zip-bomb guard
+
+
+def arrow_stream_decompress(data: bytes, codec: str, cap: int) -> bytes:
+    """zstd / lz4-frame decompress via pyarrow's streaming codec path
+    (CompressedInputStream needs no size header and joins concatenated
+    frames, matching gzip(1) member semantics). Raises pyarrow's
+    OSError on corrupt/truncated input and ValueError past ``cap`` —
+    callers map both to their degrade rule. Chunked reads keep peak
+    memory at cap + 1 MB even for a decompression bomb."""
+    import pyarrow as pa
+
+    stream = pa.input_stream(pa.py_buffer(data), compression=codec)
+    out = bytearray()
+    while True:
+        chunk = stream.read(1 << 20)
+        if not chunk:
+            break
+        out += chunk
+        if len(out) > cap:
+            raise ValueError("decompressed size over cap")
+    return bytes(out)
 
 
 def _decompress_member(data: bytes, ctype: str) -> bytes | None:
@@ -232,10 +262,24 @@ def _decompress_member(data: bytes, ctype: str) -> bytes | None:
                     # decoded output with only a warning — so do we
                     break
             return bytes(out)
+        if ctype in ("application/zstd", "application/x-lz4"):
+            codec = "zstd" if ctype == "application/zstd" else "lz4"
+            return arrow_stream_decompress(data, codec, _DECOMPRESS_CAP)
+        if ctype == "application/x-snappy-framed":
+            from open_semantic_etl_spark.operators.snappyf import (
+                unsnappy_frames,
+            )
+
+            return unsnappy_frames(data, cap=_DECOMPRESS_CAP)
         if ctype == "application/x-bzip2":
             import bz2
 
             obj = bz2.BZ2Decompressor()
+        elif ctype == "application/x-lzma":
+            import lzma
+
+            # legacy .lzma "alone" container (lzma(1)/xz --format=lzma)
+            obj = lzma.LZMADecompressor(format=lzma.FORMAT_ALONE)
         else:
             import lzma
 
@@ -271,8 +315,22 @@ def sniff_content_type(data: bytes) -> str | None:
         return "application/x-iso9660-image"  # ECMA-119 descriptor @ sector 16
     if data.startswith(b"From ") and _MBOX_FROM_RE.match(data):
         return "application/mbox"  # From_ envelope line w/ asctime year
+    if data[:3] == b"ORC" and len(data) >= 8 and data[-4:-1] == b"ORC":
+        # ORC's head magic is 3 ASCII bytes ("ORCHESTRA…" prose would
+        # match) — the spec's postscript-tail magic gates it too
+        return "application/x-orc"
+    if data[:4] == b"PAR1" and len(data) >= 12 and data[-4:] == b"PAR1":
+        # parquet: ASCII head magic alone would match prose — the
+        # format's footer magic (last 4 bytes) gates it too
+        return "application/vnd.apache.parquet"
     if data[:1] and data[0] in _DBF_VERSIONS and sniff_dbf(data):
         return "application/x-dbf"  # structural, no magic (see sniff_dbf)
+    if data[:3] == b"\x5d\x00\x00" and len(data) >= 13 and data[12] in (0, 0xFF):
+        # legacy .lzma "alone" header: default props byte 0x5d + a
+        # ≥64 KB dict size (low bytes zero) + the u64 size field's top
+        # byte (0x00 when known < 2^56, 0xff when unknown) — the same
+        # three-point structural gate file(1) uses; there is no magic
+        return "application/x-lzma"
     if data.startswith((b"\xff\xfe", b"\xfe\xff", b"\xef\xbb\xbf")):
         return None  # UTF BOM — text, even though UTF-16 bytes contain NULs
     head = data[:4096]

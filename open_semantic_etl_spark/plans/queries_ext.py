@@ -203,8 +203,27 @@ def _build_iso_arch(d: int) -> bytes:
     )
 
 
+def _build_tar_zst(d: int) -> bytes:
+    """same member layout, zstd-framed tar (.tar.zst) — exercises the
+    pyarrow streaming-codec tier feeding the tar walk, same oracle."""
+    import pyarrow as pa
+
+    buf = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(buf, "zstd") as s:
+        s.write(_build_tar(d, "w"))
+    return buf.getvalue().to_pybytes()
+
+
+def _build_tar_sz(d: int) -> bytes:
+    """same member layout, snappy-framed tar (.tar.sz, snzip shape) —
+    exercises the native framing decoder feeding the tar walk."""
+    from open_semantic_etl_spark.operators.snappyf import snappy_frame
+
+    return snappy_frame(_build_tar(d, "w"))
+
+
 _ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz", 3: "deb", 4: "cpio",
-                5: "tar.Z", 6: "iso"}
+                5: "tar.Z", 6: "iso", 7: "tar.zst", 8: "tar.sz"}
 _ARCHIVE_BUILD = {
     0: _build_zip,
     1: _build_7z,
@@ -213,11 +232,13 @@ _ARCHIVE_BUILD = {
     4: _build_cpio,
     5: _build_tar_z,
     6: _build_iso_arch,
+    7: _build_tar_zst,
+    8: _build_tar_sz,
 }
 
 
 def _build_archive(d: int) -> bytes:
-    return _ARCHIVE_BUILD[d % 7](d)
+    return _ARCHIVE_BUILD[d % 9](d)
 
 
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,7 +249,7 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         150,
         _build_archive,
-        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 7]),
+        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 9]),
     )
     out = explode_zip(src)
     return out.select(
@@ -242,9 +263,10 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZIP_EXPLODE = """
 WITH m AS (
   SELECT doc_id, 'https://archive.example.org/' || doc_id ||
-         CASE doc_id % 7 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
+         CASE doc_id % 9 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
                          WHEN 3 THEN '.deb' WHEN 4 THEN '.cpio'
                          WHEN 5 THEN '.tar.Z' WHEN 6 THEN '.iso'
+                         WHEN 7 THEN '.tar.zst' WHEN 8 THEN '.tar.sz'
                          ELSE '.zip' END AS base
   FROM documents WHERE doc_id < 150
 )
@@ -1306,10 +1328,57 @@ def _build_dbf_tab(d: int) -> bytes:
     )
 
 
-_TAB_EXT = {2: "sqlite", 3: "dbf"}
+def _build_columnar_tab(d: int) -> bytes:
+    """same two-row contract as _build_csv, in the data-lake format
+    picked by d%8 (4=parquet, 5=avro, 6=orc, 7=feather) — the
+    columnar tier (sources/columnar.py) shares the CSV oracle.  Avro
+    additionally rotates its block codec (null/deflate/snappy) so all
+    three stay under the driver hash."""
+    import io
+
+    import pyarrow as pa
+
+    k = d % 8
+    if k == 5:
+        from open_semantic_etl_spark.operators.avroio import build_avro
+
+        sch = {
+            "type": "record",
+            "name": "Row",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "value", "type": "string"},
+            ],
+        }
+        rows = [
+            {"name": f"item{d}", "value": f"{d}.5"},
+            {"name": f"thing{d}", "value": f"x{d}"},
+        ]
+        return build_avro(rows, sch, ("null", "deflate", "snappy")[d % 3])
+    t = pa.table({"name": [f"item{d}", f"thing{d}"],
+                  "value": [f"{d}.5", f"x{d}"]})
+    buf = io.BytesIO()
+    if k == 4:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, buf)
+    elif k == 6:
+        from pyarrow import orc
+
+        orc.write_table(t, buf)
+    else:
+        import pyarrow.feather as fe
+
+        fe.write_feather(t, buf)
+    return buf.getvalue()
+
+
+_TAB_EXT = {2: "sqlite", 3: "dbf", 4: "parquet", 5: "avro", 6: "orc",
+            7: "feather"}
 
 
 def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_semantic_etl_spark.sources.columnar import explode_columnar
     from open_semantic_etl_spark.sources.explode import (
         explode_csv,
         explode_dbf,
@@ -1317,10 +1386,12 @@ def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def build_tab(d: int) -> bytes:
-        if d % 4 == 2:
+        if d % 8 == 2:
             return _build_sqlite(d)
-        if d % 4 == 3:
+        if d % 8 == 3:
             return _build_dbf_tab(d)
+        if d % 8 >= 4:
+            return _build_columnar_tab(d)
         return _build_csv(d)
 
     src = _binary_source(
@@ -1328,7 +1399,7 @@ def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         150,
         build_tab,
-        lambda d: "file:///tab/%d.%s" % (d, _TAB_EXT.get(d % 4, "csv")),
+        lambda d: "file:///tab/%d.%s" % (d, _TAB_EXT.get(d % 8, "csv")),
     )  # 150 tiny rows: recomputing per branch beats an app-lifetime cache
     cols = [
         "url",
@@ -1341,15 +1412,26 @@ def q_csv_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_part = explode_csv(src.filter(F.col("url").endswith(".csv"))).select(*cols)
     db_part = explode_sqlite(src.filter(F.col("url").endswith(".sqlite"))).select(*cols)
     dbf_part = explode_dbf(src.filter(F.col("url").endswith(".dbf"))).select(*cols)
-    return csv_part.unionByName(db_part).unionByName(dbf_part)
+    col_part = explode_columnar(
+        src.filter(
+            F.col("url").rlike(r"\.(parquet|avro|orc|feather)$")
+        )
+    ).select(*cols)
+    return (
+        csv_part.unionByName(db_part).unionByName(dbf_part).unionByName(col_part)
+    )
 
 
 SQL_CSV_EXPLODE = """
 WITH m AS (SELECT doc_id,
   'file:///tab/' || doc_id ||
-      CASE doc_id % 4 WHEN 2 THEN '.sqlite' WHEN 3 THEN '.dbf'
+      CASE doc_id % 8 WHEN 2 THEN '.sqlite' WHEN 3 THEN '.dbf'
+                      WHEN 4 THEN '.parquet' WHEN 5 THEN '.avro'
+                      WHEN 6 THEN '.orc' WHEN 7 THEN '.feather'
                       ELSE '.csv' END AS base,
-  CASE doc_id % 4 WHEN 2 THEN '#items#' WHEN 3 THEN '#dbf#'
+  CASE doc_id % 8 WHEN 2 THEN '#items#' WHEN 3 THEN '#dbf#'
+                  WHEN 4 THEN '#parquet#' WHEN 5 THEN '#avro#'
+                  WHEN 6 THEN '#orc#' WHEN 7 THEN '#feather#'
                   ELSE '#' END AS sep
   FROM documents WHERE doc_id < 150)
 SELECT base || sep || '1' AS url, 1 AS page_i, base AS container_s,

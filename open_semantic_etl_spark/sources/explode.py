@@ -96,7 +96,8 @@ def _zip_members(
 # compressed tar can only be recognized by (compression magic + name) —
 # decompressing every gz member just to probe would defeat the bomb caps
 _TAR_NAME_RE = re.compile(
-    r"\.(tar(\.(gz|bz2|xz|z))?|tgz|tbz2?|txz|taz|tz)$", re.IGNORECASE
+    r"\.(tar(\.(gz|bz2|xz|z|zst|lz4|lzma|sz))?|tgz|tbz2?|txz|taz|tz|tzst)$",
+    re.IGNORECASE,
 )
 
 
@@ -110,6 +111,10 @@ def _sniff_tar(payload: bytes, name: str) -> bool:
             or payload[:3] == b"BZh"
             or payload[:6] == b"\xfd7zXZ\x00"
             or payload[:2] == b"\x1f\x9d"
+            or payload[:4] == b"\x28\xb5\x2f\xfd"
+            or payload[:4] == b"\x04\x22\x4d\x18"
+            or payload[:10] == b"\xff\x06\x00\x00sNaPpY"
+            or payload[:3] == b"\x5d\x00\x00"
         )
     )
 
@@ -180,7 +185,8 @@ def _tar_members(
     _depth: int = 0,
     _budget: list[int] | None = None,
 ) -> list[dict]:
-    """tar (plain or gz/bz2/xz — ``r:*``) → member rows; same id scheme,
+    """tar (plain or gz/bz2/xz/lzma via ``r:*``; .Z/zst/lz4 unwrapped
+    first) → member rows; same id scheme,
     byte budget, and nesting depth as zip (Tika's TarParser tier,
     enhance_zip.py:31-116 child semantics).  Each header block is
     charged 512 B against the budget so a compressed bomb of millions
@@ -201,6 +207,24 @@ def _tar_members(
         from open_semantic_etl_spark.operators.compressz import unlzw
 
         data = unlzw(data, cap=min(ZIP_MAX_ARCHIVE_BYTES, _budget[0]))
+    elif data[:4] in (b"\x28\xb5\x2f\xfd", b"\x04\x22\x4d\x18"):
+        # .tar.zst / .tar.lz4: also outside tarfile's r:* tier —
+        # pyarrow's streaming codec unwraps without a size header
+        # (raises on corruption/over-cap → the caller's degrade rule);
+        # .tar.lzma needs no unwrap (LZMAFile FORMAT_AUTO reads alone)
+        from open_semantic_etl_spark.operators.htmlx import (
+            arrow_stream_decompress,
+        )
+
+        codec = "zstd" if data[:4] == b"\x28\xb5\x2f\xfd" else "lz4"
+        data = arrow_stream_decompress(
+            data, codec, min(ZIP_MAX_ARCHIVE_BYTES, _budget[0])
+        )
+    elif data[:10] == b"\xff\x06\x00\x00sNaPpY":
+        # .tar.sz (snzip/snappy-framed tar): native framing decoder
+        from open_semantic_etl_spark.operators.snappyf import unsnappy_frames
+
+        data = unsnappy_frames(data, cap=min(ZIP_MAX_ARCHIVE_BYTES, _budget[0]))
     out: list[dict] = []
     with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
         it = iter(tf)
@@ -476,7 +500,7 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
     """archive rows → one row per (recursively reached) member file.
 
     Accepts zip, 7z (native reader, operators/sevenzip.py), AND tar
-    (plain/gz/bz2/xz — sniffed per row: ``PK`` →
+    (plain/gz/bz2/xz/Z/zst/lz4/lzma/sz — sniffed per row: ``PK`` →
     zipfile; anything else tried as ``tarfile r:*``, which validates
     the header checksum, then as a zip with leading junk — zipfile
     finds the end-of-central-directory from the TAIL, so
