@@ -253,7 +253,14 @@ def read_avro(data: bytes, max_rows: int = 1_000_000) -> tuple[dict, list]:
         if r.take(16) != sync:
             raise ValueError("avro: sync marker mismatch")
         if codec == "deflate":
-            block = zlib.decompress(block, wbits=-15)
+            # cap BEFORE allocation (decompress() is unbounded; bufsize is
+            # only an initial hint) — mirror the snappy path's _MAX_STR cap
+            d = zlib.decompressobj(wbits=-15)
+            block = d.decompress(block, _MAX_STR)
+            # unconsumed_tail: input left over once the cap was hit;
+            # not eof: the last consumed byte still had buffered output
+            if d.unconsumed_tail or not d.eof:
+                raise ValueError("avro: deflate block over cap")
         elif codec == "snappy":
             block = _snappy_block(block)
         br = _Reader(block)

@@ -116,9 +116,14 @@ def iso_members(
         seen_extents.add(extent)
         start = extent * _SECTOR
         end = min(start + length, len(data))
+        # charge the directory-sector budget for the data about to be
+        # scanned, not just for empty-record skips: overlapping
+        # record-packed directories would otherwise do
+        # O(extents × records) work with the budget never moving
+        budget[1] -= max(1, (end - start + _SECTOR - 1) // _SECTOR)
         pos = start
         while pos < end and len(out) < _MAX_MEMBERS:
-            if budget[1] <= 0:
+            if budget[1] < 0:
                 return
             len_dr = data[pos] if pos < len(data) else 0
             if len_dr == 0:
@@ -126,7 +131,6 @@ def iso_members(
                 if nxt <= pos:  # cross sector boundaries (ECMA-119 §6.8.1.1)
                     return
                 pos = nxt
-                budget[1] -= 1
                 continue
             rec2 = data[pos : pos + len_dr]
             if len(rec2) < 34:

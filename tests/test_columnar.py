@@ -251,6 +251,27 @@ def test_avro_count_bomb_rejected_before_allocation():
         read_avro(blob)
 
 
+def test_avro_deflate_bomb_capped_before_allocation():
+    """a deflate block expanding past _MAX_STR must raise at the cap,
+    not materialize the full expansion (decompressobj max_length path)."""
+    from open_semantic_etl_spark.operators.avroio import _MAX_STR
+
+    schema = {"type": "record", "name": "B",
+              "fields": [{"name": "x", "type": "long"}]}
+    sjson = json.dumps(schema).encode()
+    meta = (
+        _zz(2) + _zz(11) + b"avro.schema" + _zz(len(sjson)) + sjson
+        + _zz(10) + b"avro.codec" + _zz(7) + b"deflate" + _zz(0)
+    )
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = comp.compress(b"\x00" * (_MAX_STR + (1 << 20))) + comp.flush()
+    sync = b"0123456789abcdef"
+    blob = (b"Obj\x01" + meta + sync
+            + _zz(1) + _zz(len(body)) + body + sync)
+    with pytest.raises(ValueError, match="over cap"):
+        read_avro(blob)
+
+
 def test_unknown_codec_fails_loudly():
     blob = build_avro(AVRO_TAB_ROWS, AVRO_TAB_SCHEMA)
     bad = blob.replace(b"null", b"lzo!", 1)  # avro.codec value, same length

@@ -146,6 +146,58 @@ def test_hostile_images_never_spin_or_slice_garbage():
         list(iso_members(bytes(img)))  # must return, not recurse forever
 
 
+def test_record_packed_directory_bomb_is_budgeted():
+    """directories PACKED with valid records (no empty-record skips)
+    pointing at overlapping extents must charge the dir-sector budget
+    per sector SCANNED — the old skip-only charge let a 2 MB image do
+    O(extents × records) work."""
+    import time
+
+    # 8 MiB: the old code is QUADRATIC in image size (~27 s here, and
+    # minutes at real .iso sizes); the budgeted walk stays ~ms
+    n_sectors = 4096
+    img = bytearray(b"\x00" * (n_sectors * _S))
+    # minimal PVD at sector 16: root dir record points at sector 18,
+    # claiming the REST OF THE IMAGE as its length
+    root_lba, root_len = 18, (n_sectors - 18) * _S
+    pvd = bytearray(_S)
+    pvd[0] = 1
+    pvd[1:6] = b"CD001"
+    root = bytearray(34)
+    root[0] = 34
+    root[2:6] = struct.pack("<I", root_lba)
+    root[10:14] = struct.pack("<I", root_len)
+    root[25] = 0x02
+    root[32] = 1  # name = \x00 (self)
+    pvd[156:190] = root
+    img[16 * _S : 17 * _S] = pvd
+    term = bytearray(_S)
+    term[0] = 255
+    term[1:6] = b"CD001"
+    img[17 * _S : 18 * _S] = term
+    # every sector from 18 on: back-to-back DIRECTORY records, each
+    # claiming a distinct extent that itself spans the rest of the image
+    rec = bytearray(36)
+    rec[0] = 36
+    rec[10:14] = struct.pack("<I", root_len)
+    rec[25] = 0x02
+    rec[32] = 2
+    per_sector = _S // 36
+    pos = 18 * _S
+    extent = 18
+    for _ in range(18, n_sectors):
+        for j in range(per_sector):
+            extent += 1
+            rec[2:6] = struct.pack("<I", extent % n_sectors)
+            rec[33:35] = b"%02d" % (j % 100)
+            img[pos : pos + 36] = rec
+            pos += 36
+        pos = (pos // _S + 1) * _S
+    t0 = time.monotonic()
+    iso_members(bytes(img))
+    assert time.monotonic() - t0 < 3.0
+
+
 def test_budget_caps_members():
     files = {f"f{i:03d}.txt": b"z" * 8 for i in range(40)}
     img = build_iso(files)
