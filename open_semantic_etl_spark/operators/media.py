@@ -27,6 +27,10 @@ in-engine:
         ilst ©nam/©ART/©alb/©day/©cmt              (ISO 14496-12)
   OGG   page/packet demux: Vorbis or Opus id header + comments;
         last-page granule → duration               (RFC 3533/5334)
+  HEIC/AVIF  BMFF walk → ispe item property dims   (ISO 23008-12)
+  ICO   ICONDIR entry walk → largest dims          (Windows spec)
+  MKV/WEBM   EBML walk: DocType, Info duration/title, track
+        dims / sample-rate / channels              (RFC 9559)
 
 Every parser is TOTAL: corrupt bytes yield ok=False + err (the per-row
 error-column contract), never an exception, and all walks are
@@ -56,6 +60,9 @@ __all__ = [
     "build_flac",
     "build_mp4",
     "build_ogg_vorbis",
+    "build_heic",
+    "build_ico",
+    "build_mkv",
 ]
 
 _TEXT_CAP = 1 << 16  # per-field decompressed/decoded text cap
@@ -110,7 +117,22 @@ def sniff_media(data: bytes) -> str | None:
         size = int.from_bytes(data[0:4], "big")
         if 8 <= size <= len(data):
             brand = data[8:12]
+            if brand in (b"heic", b"heix", b"mif1", b"msf1"):
+                return "image/heic"
+            if brand in (b"avif", b"avis"):
+                return "image/avif"
             return "audio/mp4" if brand in (b"M4A ", b"M4B ") else "video/mp4"
+    if data.startswith(b"\x1a\x45\xdf\xa3"):
+        # EBML: webm vs matroska decided by DocType during the parse
+        return "video/webm"
+    if (
+        data.startswith(b"\x00\x00\x01\x00")
+        and len(data) >= 22
+        and 0 < int.from_bytes(data[4:6], "little") <= 64
+    ):
+        # ICO: reserved(2)=0 type(2)=1 count(2) — all-ASCII-safe bytes,
+        # so the count gate keeps NUL-padded binaries out
+        return "image/vnd.microsoft.icon"
     return None
 
 
@@ -305,9 +327,12 @@ def _png_text_chunk(ctype: bytes, body: bytes) -> tuple[str, str] | None:
         if len(rest) < 1 or rest[0] != 0:
             return None
         try:
-            return key, zlib.decompress(rest[1:], bufsize=_TEXT_CAP)[
-                :_TEXT_CAP
-            ].decode("latin-1", "replace").strip()
+            # decompressobj caps the OUTPUT (decompress()'s bufsize is only
+            # an initial buffer hint — a 1032:1 bomb would balloon the task)
+            d = zlib.decompressobj()
+            return key, d.decompress(rest[1:], _TEXT_CAP).decode(
+                "latin-1", "replace"
+            ).strip()
         except zlib.error:
             return None
     # iTXt: compflag(1) compmethod(1) lang\0 translated\0 text
@@ -319,7 +344,7 @@ def _png_text_chunk(ctype: bytes, body: bytes) -> tuple[str, str] | None:
     _, _, text = rest.partition(b"\x00")  # translated keyword
     if compressed:
         try:
-            text = zlib.decompress(text, bufsize=_TEXT_CAP)
+            text = zlib.decompressobj().decompress(text, _TEXT_CAP)
         except zlib.error:
             return None
     return key, text[:_TEXT_CAP].decode("utf-8", "replace").strip()
@@ -665,7 +690,10 @@ def _vorbis_comments(body: bytes) -> dict:
 
 # -- MP4 / ISO-BMFF ----------------------------------------------------------
 
-_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl", b"udta", b"ilst"))
+_MP4_CONTAINERS = frozenset(
+    (b"moov", b"trak", b"mdia", b"minf", b"stbl", b"udta", b"ilst",
+     b"iprp", b"ipco")  # HEIF item-property path to ispe
+)
 _ILST_KEYS = {
     b"\xa9nam": "title", b"\xa9ART": "author", b"\xa9alb": "album",
     b"\xa9day": "year", b"\xa9cmt": "comment",
@@ -721,6 +749,14 @@ def _parse_mp4(data: bytes) -> dict:
                 if w and h:
                     f["width"] = max(f.get("width", 0), w)
                     f["height"] = max(f.get("height", 0), h)
+            elif btype == b"ispe" and size >= 20:
+                # HEIF image-spatial-extents (ISO 23008-12 §6.5.3):
+                # thumbnails carry their own ispe — the largest wins
+                w = int.from_bytes(data[body + 4 : body + 8], "big")
+                h = int.from_bytes(data[body + 8 : body + 12], "big")
+                if w and h:
+                    f["width"] = max(f.get("width", 0), w)
+                    f["height"] = max(f.get("height", 0), h)
             elif btype == b"meta":
                 walk(body + 4, pos + size, depth + 1, False)  # full box
             elif btype in _MP4_CONTAINERS and depth < 12:
@@ -730,6 +766,118 @@ def _parse_mp4(data: bytes) -> dict:
     walk(0, len(data), 0, False)
     if not f:
         raise ValueError("no parseable MP4 boxes")
+    return f
+
+
+def _parse_heif(data: bytes) -> dict:
+    """HEIC/AVIF still image: the BMFF walk with dims required (the
+    ispe item property instead of tkhd)."""
+    f = _parse_mp4(data)
+    if "width" not in f:
+        raise ValueError("no ispe item property")
+    f.pop("duration_ms", None)  # image sequences: dims only
+    return f
+
+
+def _parse_ico(data: bytes) -> dict:
+    """ICONDIR walk: largest image entry's dims (0 encodes 256)."""
+    n = int.from_bytes(data[4:6], "little")
+    w = h = 0
+    for i in range(n):
+        e = 6 + 16 * i
+        if e + 16 > len(data):
+            break
+        ew, eh = data[e] or 256, data[e + 1] or 256
+        if ew * eh > w * h:
+            w, h = ew, eh
+    if not w:
+        raise ValueError("no ICONDIR entries")
+    return {"width": w, "height": h}
+
+
+# -- Matroska / WebM (EBML) ---------------------------------------------------
+
+_EBML_MASTERS = frozenset((
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+    0xE1,        # Audio
+))
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int, bool]:
+    """(value, next_pos, is_unknown) — EBML variable-width int.  IDs
+    keep the marker bit (matroska convention); sizes strip it, and an
+    all-ones size means 'unknown: extends to the parent's end'."""
+    if pos >= len(data):
+        raise ValueError("EBML varint past end")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("EBML varint over 8 bytes")
+    n = 9 - b0.bit_length()
+    if pos + n > len(data):
+        raise ValueError("truncated EBML varint")
+    raw = int.from_bytes(data[pos : pos + n], "big")
+    if keep_marker:
+        return raw, pos + n, False
+    val = raw - (1 << (7 * n))
+    return val, pos + n, val == (1 << (7 * n)) - 1
+
+
+def _parse_mkv(data: bytes) -> dict:
+    f: dict = {}
+    state = {"timescale": 1_000_000, "duration": None, "budget": _WALK_CAP}
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        while pos < end and state["budget"] > 0 and depth <= 8:
+            state["budget"] -= 1
+            eid, pos, _ = _ebml_vint(data, pos, True)
+            esize, pos, unknown = _ebml_vint(data, pos, False)
+            if unknown or pos + esize > end:
+                esize = end - pos  # unknown-size (live-muxed) / truncated
+            body = data[pos : pos + esize]
+            if eid in _EBML_MASTERS:
+                walk(pos, pos + esize, depth + 1)
+            elif eid == 0x4282:  # DocType
+                dt = body.split(b"\x00", 1)[0].decode("ascii", "replace")
+                f["content_type"] = (
+                    "video/webm" if dt == "webm" else "video/x-matroska"
+                )
+            elif eid == 0x2AD7B1 and body:  # TimestampScale (ns/tick)
+                state["timescale"] = int.from_bytes(body, "big") or 1
+            elif eid == 0x4489 and len(body) in (4, 8):  # Duration (ticks)
+                state["duration"] = struct.unpack(
+                    ">f" if len(body) == 4 else ">d", body
+                )[0]
+            elif eid == 0x7BA9 and body:  # Title
+                f.setdefault(
+                    "title", body.decode("utf-8", "replace").strip() or None
+                )
+            elif eid == 0xB0 and body:  # PixelWidth
+                f["width"] = max(f.get("width", 0), int.from_bytes(body, "big"))
+            elif eid == 0xBA and body:  # PixelHeight
+                f["height"] = max(f.get("height", 0), int.from_bytes(body, "big"))
+            elif eid == 0xB5 and len(body) in (4, 8):  # SamplingFrequency
+                f["sample_rate"] = int(
+                    struct.unpack(">f" if len(body) == 4 else ">d", body)[0]
+                )
+            elif eid == 0x9F and body:  # Channels
+                f["channels"] = int.from_bytes(body, "big")
+            pos += esize
+
+    try:
+        walk(0, len(data), 0)
+    except ValueError:
+        if not f:
+            raise
+    if "content_type" not in f:
+        raise ValueError("no EBML DocType")
+    dur, ts = state["duration"], state["timescale"]
+    if dur and dur > 0:
+        f["duration_ms"] = int(dur * ts / 1_000_000)
     return f
 
 
@@ -806,6 +954,10 @@ _PARSERS = {
     "audio/ogg": _parse_ogg,
     "video/mp4": _parse_mp4,
     "audio/mp4": _parse_mp4,
+    "image/heic": _parse_heif,
+    "image/avif": _parse_heif,
+    "image/vnd.microsoft.icon": _parse_ico,
+    "video/webm": _parse_mkv,  # refines to x-matroska via DocType
 }
 
 #: content render order — free-text first (searchable), numerics after;
@@ -853,6 +1005,8 @@ def extract_media(data: bytes) -> dict | None:
                 "duration_ms", "sample_rate", "channels"):
         if f.get(key) is not None:
             res[key] = f[key]
+    if f.get("content_type"):  # EBML DocType refines webm vs matroska
+        res["content_type"] = f["content_type"]
     res["datetime"] = f.get("datetime")
     lines = [f"{k}: {f[k]}" for k in _CONTENT_KEYS if f.get(k) not in (None, "")]
     res["content"] = "\n".join(lines)
@@ -1126,6 +1280,65 @@ def build_mp4(duration_ms: int, w: int = 0, h: int = 0,
         meta = _box(b"meta", b"\x00\x00\x00\x00" + _box(b"ilst", ilst))
         moov_kids += _box(b"udta", meta)
     return ftyp + _box(b"moov", moov_kids) + _box(b"mdat", b"\x00" * 8)
+
+
+def build_heic(w: int, h: int, brand: bytes = b"heic") -> bytes:
+    """ftyp + meta(full)/iprp/ipco/ispe — the dims path real HEIF
+    writers emit (thumbnail ispe omitted)."""
+    ispe = _box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+    meta = _box(
+        b"meta",
+        b"\x00\x00\x00\x00" + _box(b"iprp", _box(b"ipco", ispe)),
+    )
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + brand + b"mif1")
+    return ftyp + meta
+
+
+def build_ico(sizes: list[tuple[int, int]]) -> bytes:
+    """ICONDIR + entries (payload bytes are a stub — dims-only tier)."""
+    hdr = struct.pack("<HHH", 0, 1, len(sizes))
+    entries = b""
+    img_off = 6 + 16 * len(sizes)
+    for w, h in sizes:
+        entries += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, 4, img_off
+        )
+        img_off += 4
+    return hdr + entries + b"\x00" * (4 * len(sizes))
+
+
+def _ebml(eid: int, body: bytes) -> bytes:
+    """one EBML element: raw id bytes + minimal-width size + body."""
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = 1
+    while len(body) >= (1 << (7 * n)) - 1:  # all-ones = unknown, avoid
+        n += 1
+    size = ((1 << (7 * n)) + len(body)).to_bytes(n, "big")
+    return idb + size + body
+
+
+def build_mkv(
+    duration_ms: int, w: int = 0, h: int = 0, title: str | None = None,
+    doctype: str = "webm", sample_rate: int = 0, channels: int = 0,
+) -> bytes:
+    header = _ebml(0x1A45DFA3, _ebml(0x4282, doctype.encode()))
+    info = _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+    info += _ebml(0x4489, struct.pack(">d", float(duration_ms)))
+    if title:
+        info += _ebml(0x7BA9, title.encode("utf-8"))
+    tracks = b""
+    if w and h:
+        video = _ebml(0xB0, w.to_bytes(2, "big")) + _ebml(0xBA, h.to_bytes(2, "big"))
+        tracks += _ebml(0xAE, _ebml(0xE0, video))
+    if sample_rate:
+        audio = _ebml(0xB5, struct.pack(">f", float(sample_rate)))
+        if channels:
+            audio += _ebml(0x9F, bytes([channels]))
+        tracks += _ebml(0xAE, _ebml(0xE1, audio))
+    segment = _ebml(0x1549A966, info)
+    if tracks:
+        segment += _ebml(0x1654AE6B, tracks)
+    return header + _ebml(0x18538067, segment)
 
 
 _OGG_CRC_TABLE = []

@@ -21,7 +21,10 @@ from open_semantic_etl_spark.operators.media import (
     build_bmp,
     build_flac,
     build_gif,
+    build_heic,
+    build_ico,
     build_jpeg,
+    build_mkv,
     build_mp3,
     build_mp4,
     build_ogg_vorbis,
@@ -271,6 +274,24 @@ def test_png_ztxt_and_compressed_itxt():
     assert r["description"] == "Lang text" and r["title"] == "Grüße"
 
 
+def test_png_text_bomb_capped():
+    """a zTXt chunk expanding to 10 MiB must come back truncated at
+    _TEXT_CAP, never materializing the full expansion."""
+    from open_semantic_etl_spark.operators.media import _TEXT_CAP, _png_chunk
+
+    bomb = _png_chunk(
+        b"zTXt", b"Description\x00\x00" + zlib.compress(b"x" * (10 << 20))
+    )
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 8, 2, 0, 0, 0))
+        + bomb
+        + _png_chunk(b"IEND", b"")
+    )
+    r = extract_media(data)
+    assert r["ok"] and 0 < len(r["description"]) <= _TEXT_CAP
+
+
 def test_flac_36bit_total_samples():
     data = bytearray(build_flac(100, rate=16000))
     # STREAMINFO body starts at 8; patch total-samples to 2^33 (> u32)
@@ -296,6 +317,72 @@ def test_gif87a_with_image_before_comment():
 # ---------------------------------------------------------------------------
 
 
+def test_heic_avif_ispe_dims():
+    r = extract_media(build_heic(640, 480))
+    assert r["ok"] and r["content_type"] == "image/heic"
+    assert (r["width"], r["height"]) == (640, 480)
+    r = extract_media(build_heic(100, 50, brand=b"avif"))
+    assert r["ok"] and r["content_type"] == "image/avif"
+    assert (r["width"], r["height"]) == (100, 50)
+
+
+def test_heic_largest_ispe_wins():
+    # primary 1024x768 + a 160x120 thumbnail property — largest governs
+    import struct as st
+
+    def box(t, b):
+        return st.pack(">I", len(b) + 8) + t + b
+
+    ispe_big = box(b"ispe", b"\x00" * 4 + st.pack(">II", 1024, 768))
+    ispe_thumb = box(b"ispe", b"\x00" * 4 + st.pack(">II", 160, 120))
+    meta = box(b"meta", b"\x00" * 4 + box(b"iprp", box(b"ipco", ispe_thumb + ispe_big)))
+    blob = box(b"ftyp", b"heic\x00\x00\x00\x00heicmif1") + meta
+    r = extract_media(blob)
+    assert (r["width"], r["height"]) == (1024, 768)
+
+
+def test_ico_largest_entry():
+    r = extract_media(build_ico([(16, 16), (48, 48), (32, 32)]))
+    assert r["ok"] and r["content_type"] == "image/vnd.microsoft.icon"
+    assert (r["width"], r["height"]) == (48, 48)
+    # width byte 0 encodes 256
+    r = extract_media(build_ico([(256, 256), (16, 16)]))
+    assert (r["width"], r["height"]) == (256, 256)
+
+
+def test_mkv_roundtrip_webm_and_matroska():
+    r = extract_media(build_mkv(90_000, w=1920, h=1080, title="Clip",
+                                sample_rate=48000, channels=2))
+    assert r["ok"] and r["content_type"] == "video/webm"
+    assert (r["width"], r["height"]) == (1920, 1080)
+    assert r["duration_ms"] == 90_000 and r["title"] == "Clip"
+    assert r["sample_rate"] == 48000 and r["channels"] == 2
+    r = extract_media(build_mkv(1000, doctype="matroska"))
+    assert r["content_type"] == "video/x-matroska"
+
+
+def test_mkv_hand_assembled_unknown_size_segment():
+    """spec-literal webm with an UNKNOWN-size Segment (live-muxed shape,
+    RFC 9559 §4.3): 01 FF×7 size extends to end of stream."""
+    blob = bytes.fromhex(
+        "1a45dfa3" "87"               # EBML header, size 7
+        "4282" "84" + b"webm".hex()   # DocType "webm"
+        + "18538067" "01ffffffffffffff"  # Segment, UNKNOWN size
+        + "1549a966" "8e"             # Info, size 14
+        + "2ad7b1" "83" "0f4240"      # TimestampScale 1e6 ns
+        + "4489" "84" + struct.pack(">f", 2500.0).hex()  # Duration 2500 ticks
+        + "1654ae6b" "8b"             # Tracks, size 11
+        + "ae" "89"                   # TrackEntry, size 9
+        + "e0" "87"                   # Video, size 7
+        + "b0" "82" "01e0"            # PixelWidth 480
+        + "ba" "81" "f0"              # PixelHeight 240
+    )
+    r = extract_media(blob)
+    assert r["ok"] and r["content_type"] == "video/webm"
+    assert (r["width"], r["height"]) == (480, 240)
+    assert r["duration_ms"] == 2500
+
+
 @pytest.mark.parametrize("payload", [
     b"ID3 is a tagging format used by MP3 players everywhere.",
     b"fLaC files are lossless; this sentence is not one of them.",
@@ -303,6 +390,7 @@ def test_gif87a_with_image_before_comment():
     b"BMW is a car maker, BM alone does not make this a bitmap.",
     b"RIFF through the pages of this book.",
     b"II* wildcard prose\x00 almost a TIFF but not quite",
+    b"\x00\x00\x01\x00 looks like an ICO count gate rejects\x00" * 2,
 ])
 def test_sniff_rejects_prose(payload):
     assert sniff_media(payload) is None
@@ -315,6 +403,10 @@ def test_sniff_accepts_all_builders():
         (build_bmp(2, 2), "image/bmp"), (build_mp3("t", "a"), "audio/mpeg"),
         (build_wav(8), "audio/x-wav"), (build_flac(8), "audio/flac"),
         (build_mp4(10), "video/mp4"), (build_ogg_vorbis(8), "audio/ogg"),
+        (build_heic(2, 2), "image/heic"),
+        (build_heic(2, 2, brand=b"avif"), "image/avif"),
+        (build_ico([(4, 4)]), "image/vnd.microsoft.icon"),
+        (build_mkv(10), "video/webm"),
     ]
     for data, want in cases:
         assert sniff_media(data) == want, want
@@ -335,6 +427,8 @@ def test_fuzz_total_function():
         build_wav(80, info={"INAM": "t"}), build_flac(80, comments={"TITLE": "t"}),
         build_mp4(100, w=4, h=4, tags={"title": "t"}),
         build_ogg_vorbis(80, comments={"TITLE": "t"}),
+        build_heic(9, 9), build_ico([(16, 16), (256, 256)]),
+        build_mkv(500, w=9, h=9, title="t", sample_rate=8000, channels=1),
     ]
     for i in range(4000):
         base = bases[i % len(bases)]
