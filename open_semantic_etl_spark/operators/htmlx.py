@@ -131,6 +131,7 @@ _MAGIC = (
     (b"MM\x00*", "image/tiff"),
     (b"PK\x03\x04", "application/zip"),
     (b"7z\xbc\xaf\x27\x1c", "application/x-7z-compressed"),
+    (b"Rar!\x1a\x07", "application/vnd.rar"),
     (b"!<arch>\n", "application/x-archive"),
     (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),

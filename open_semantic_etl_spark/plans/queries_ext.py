@@ -222,8 +222,20 @@ def _build_tar_sz(d: int) -> bytes:
     return snappy_frame(_build_tar(d, "w"))
 
 
+def _build_rar_arch(d: int) -> bytes:
+    """same member layout, a STORED RAR (v5 on even ids, v4 on odd) —
+    exercises the rar tier + zip-in-rar recursion under the same
+    oracle (operators/rar.py: compressed members are out of scope)."""
+    from open_semantic_etl_spark.operators.rar import build_rar4, build_rar5
+
+    build = build_rar5 if d % 2 == 0 else build_rar4
+    return build(
+        {f"notes/a{d}.txt": f"alpha {d}".encode(), "inner.zip": _inner_zip(d)}
+    )
+
+
 _ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz", 3: "deb", 4: "cpio",
-                5: "tar.Z", 6: "iso", 7: "tar.zst", 8: "tar.sz"}
+                5: "tar.Z", 6: "iso", 7: "tar.zst", 8: "tar.sz", 9: "rar"}
 _ARCHIVE_BUILD = {
     0: _build_zip,
     1: _build_7z,
@@ -234,11 +246,12 @@ _ARCHIVE_BUILD = {
     6: _build_iso_arch,
     7: _build_tar_zst,
     8: _build_tar_sz,
+    9: _build_rar_arch,
 }
 
 
 def _build_archive(d: int) -> bytes:
-    return _ARCHIVE_BUILD[d % 9](d)
+    return _ARCHIVE_BUILD[d % 10](d)
 
 
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +262,7 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         150,
         _build_archive,
-        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 9]),
+        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 10]),
     )
     out = explode_zip(src)
     return out.select(
@@ -263,11 +276,12 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZIP_EXPLODE = """
 WITH m AS (
   SELECT doc_id, 'https://archive.example.org/' || doc_id ||
-         CASE doc_id % 9 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
-                         WHEN 3 THEN '.deb' WHEN 4 THEN '.cpio'
-                         WHEN 5 THEN '.tar.Z' WHEN 6 THEN '.iso'
-                         WHEN 7 THEN '.tar.zst' WHEN 8 THEN '.tar.sz'
-                         ELSE '.zip' END AS base
+         CASE doc_id % 10 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
+                          WHEN 3 THEN '.deb' WHEN 4 THEN '.cpio'
+                          WHEN 5 THEN '.tar.Z' WHEN 6 THEN '.iso'
+                          WHEN 7 THEN '.tar.zst' WHEN 8 THEN '.tar.sz'
+                          WHEN 9 THEN '.rar'
+                          ELSE '.zip' END AS base
   FROM documents WHERE doc_id < 150
 )
 SELECT base || '/notes/a' || doc_id || '.txt' AS url, base AS container_s,
