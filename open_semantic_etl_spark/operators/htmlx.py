@@ -326,6 +326,13 @@ def sniff_content_type(data: bytes) -> str | None:
         return "application/vnd.apache.parquet"
     if data[:1] and data[0] in _DBF_VERSIONS and sniff_dbf(data):
         return "application/x-dbf"  # structural, no magic (see sniff_dbf)
+    if data[:4] == b"MSCF":
+        # "MSCF" is printable prose-capable — version + header
+        # arithmetic gate it (operators/cab.py sniff_cab)
+        from open_semantic_etl_spark.operators.cab import sniff_cab
+
+        if sniff_cab(data):
+            return "application/vnd.ms-cab-compressed"
     if data[:3] == b"\x5d\x00\x00" and len(data) >= 13 and data[12] in (0, 0xFF):
         # legacy .lzma "alone" header: default props byte 0x5d + a
         # ≥64 KB dict size (low bytes zero) + the u64 size field's top

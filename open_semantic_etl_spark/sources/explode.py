@@ -213,6 +213,40 @@ def _rar_members(
     return out
 
 
+def _cab_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    """Microsoft cabinet → member rows with the zip tier's id scheme,
+    byte budget, and nesting dispatch (Tika's cab tier; child
+    semantics enhance_zip.py:31-116).  none/MSZIP folders decode;
+    QUANTUM/LZX and multi-cabinet sets raise and degrade to an opaque
+    row (operators/cab.py contract)."""
+    from open_semantic_etl_spark.operators.cab import cab_members
+
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    members = cab_members(
+        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    )
+    for name, payload in members:
+        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+            continue  # oversized member: skip it, keep the rest
+        _budget[0] -= max(len(payload), 64)
+        out.extend(
+            _dispatch_member(
+                payload, f"{base_id}/{name}", name, container, _depth, _budget
+            )
+        )
+        if _budget[0] <= 0:
+            break
+    return out
+
+
 def _tar_members(
     data: bytes,
     base_id: str,
@@ -527,7 +561,18 @@ def _dispatch_member(
                 return _rar_members(payload, child_id, container, _depth + 1, _budget)
             except Exception:  # noqa: BLE001 — compressed/corrupt: opaque row
                 pass
+        if _sniff_cab_payload(payload):
+            try:
+                return _cab_members(payload, child_id, container, _depth + 1, _budget)
+            except Exception:  # noqa: BLE001 — LZX/corrupt: opaque row
+                pass
     return [{"child_id": child_id, "container_s": container, "bytes": payload}]
+
+
+def _sniff_cab_payload(payload: bytes) -> bool:
+    from open_semantic_etl_spark.operators.cab import sniff_cab
+
+    return sniff_cab(payload)
 
 
 def _sniff_iso_payload(payload: bytes) -> bool:
@@ -566,6 +611,8 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
                     res.append(_iso_members(data, base, base))
                 elif data[:7] == b"Rar!\x1a\x07\x00" or data[:8] == b"Rar!\x1a\x07\x01\x00":
                     res.append(_rar_members(data, base, base))
+                elif _sniff_cab_payload(data):
+                    res.append(_cab_members(data, base, base))
                 else:
                     try:
                         res.append(_tar_members(data, base, base))
