@@ -129,6 +129,9 @@ def cab_members(
     for _name, cb_file, uoff, ifolder in files:
         need[ifolder] = max(need.get(ifolder, 0), uoff + cb_file)
     streams: dict[int, bytes] = {}
+    decoded_total = 0  # cumulative across folders — 65 k folders may
+    # all point at the same CFDATA run; per-folder caps alone would
+    # let a crafted cabinet decode folders × cap bytes
     for ifolder, want in need.items():
         off, n_blocks, typ = folders[ifolder]
         if typ in (2, 3):
@@ -138,7 +141,10 @@ def cab_members(
             )
         if typ not in (0, 1):
             raise ValueError("cab: unknown compression type %d" % typ)
-        if want > min(max_member + (1 << 16), max_total):
+        decoded_total += want
+        if want > min(max_member + (1 << 16), max_total) or (
+            decoded_total > max_total + (1 << 16)
+        ):
             raise ValueError("cab: folder over byte budget")
         out = bytearray()
         pos = off

@@ -120,8 +120,8 @@ def _members4(data: bytes, max_member: int, max_total: int) -> list:
                 unp_size |= high_unp << 32
                 name_at += 8
             raw_name = data[name_at : name_at + name_len]
-            if len(raw_name) != name_len:
-                raise ValueError("rar4: truncated name")
+            if len(raw_name) != name_len or name_at + name_len > pos + size:
+                raise ValueError("rar4: name extends past its header")
             if flags & 0x0200:  # unicode pair: ansi name before NUL
                 raw_name = raw_name.split(b"\x00", 1)[0]
             name = raw_name.decode("utf-8", "replace").replace("\\", "/")

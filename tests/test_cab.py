@@ -89,6 +89,35 @@ def test_multi_cabinet_set_fails_loudly():
         cab_members(bytes(arc))
 
 
+def test_folder_fanout_bomb_is_budgeted():
+    """a cabinet whose MANY folders all point at the same CFDATA run
+    (each under the per-folder cap) must trip the CUMULATIVE decode
+    budget instead of materializing folders × cap bytes."""
+    body = b"z" * 30_000
+    fields = struct.pack("<HH", len(body), len(body))
+    cfdata = struct.pack("<I", _csum(body, _csum(fields, 0))) + fields + body
+    n = 64
+    cffile = b""
+    for i in range(n):
+        cffile += struct.pack(
+            "<IIHHHH", len(body), 0, i, 0, 0, 0x20
+        ) + b"f%02d\x00" % i
+    coff_files = 36 + 8 * n
+    data_off = coff_files + len(cffile)
+    cffolders = b"".join(
+        struct.pack("<IHH", data_off, 1, 0) for _ in range(n)
+    )
+    cb = data_off + len(cfdata)
+    header = (
+        b"MSCF\x00\x00\x00\x00" + struct.pack("<I", cb) + b"\x00\x00\x00\x00"
+        + struct.pack("<I", coff_files) + b"\x00\x00\x00\x00"
+        + struct.pack("<BBHHHHH", 3, 1, n, n, 0, 0, 0)
+    )
+    arc = header + cffolders + cffile + cfdata
+    with pytest.raises(ValueError, match="budget"):
+        cab_members(arc, max_member=40_000, max_total=100_000)
+
+
 def test_utf8_names():
     files = {"Grüße/naïve.txt": b"utf8 name"}
     assert dict(cab_members(build_cab(files))) == files

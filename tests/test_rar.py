@@ -130,6 +130,32 @@ def test_compressed_member_fails_loudly():
         rar_members(arc5)
 
 
+def test_rar4_name_must_fit_its_header():
+    """a lying NAME_SIZE that reaches into the data area must raise,
+    not slurp payload bytes into the member name."""
+
+    def blk(btype, flags, body, add=b""):
+        size = 7 + len(body) + (4 if flags & 0x8000 else 0)
+        head = struct.pack("<BHH", btype, flags, size)
+        if flags & 0x8000:
+            head += struct.pack("<I", len(add))
+        head += body
+        return struct.pack("<H", zlib.crc32(head) & 0xFFFF) + head + add
+
+    payload = b"data area bytes"
+    fhdr = struct.pack(
+        "<IBIIBBHI", len(payload), 2, zlib.crc32(payload) & 0xFFFFFFFF,
+        0, 29, 0x30, 200, 0x20,  # NAME_SIZE = 200 >> header room
+    ) + b"a.txt"
+    arc = (
+        b"Rar!\x1a\x07\x00"
+        + blk(0x73, 0x0000, b"\x00" * 6)
+        + blk(0x74, 0x8000, fhdr, payload)
+    )
+    with pytest.raises(ValueError, match="name"):
+        rar_members(arc)
+
+
 def test_member_crc_flip_fails():
     arc = bytearray(build_rar4({"z.txt": b"payload under crc"}))
     arc[arc.find(b"payload under crc")] ^= 0x01
