@@ -566,6 +566,14 @@ def _dispatch_member(
                 return _cab_members(payload, child_id, container, _depth + 1, _budget)
             except Exception:  # noqa: BLE001 — LZX/corrupt: opaque row
                 pass
+        sfx = _sfx_archive(payload)
+        if sfx is not None:
+            try:
+                return _dispatch_member(
+                    sfx, child_id, name, container, _depth, _budget
+                )
+            except Exception:  # noqa: BLE001 — stub-data false hit: opaque row
+                pass
     return [{"child_id": child_id, "container_s": container, "bytes": payload}]
 
 
@@ -573,6 +581,35 @@ def _sniff_cab_payload(payload: bytes) -> bool:
     from open_semantic_etl_spark.operators.cab import sniff_cab
 
     return sniff_cab(payload)
+
+
+_SFX_SCAN_CAP = 4 << 20  # installer stubs sit well under 4 MiB
+
+
+def _sfx_archive(data: bytes) -> bytes | None:
+    """MZ-executable payload → the embedded archive bytes, or None.
+
+    Self-extracting installers are an EXE stub followed by a plain
+    RAR/7z/CAB archive — unrar, 7z, and cabextract all locate the
+    archive by scanning for its signature (SFX zips need no scan:
+    zipfile finds the end-of-central-directory from the TAIL).  The
+    scan is capped: a real stub is tens of KB, and an archive magic
+    appearing deep inside random EXE data would fail its own header
+    checks and degrade to no children anyway."""
+    if data[:2] != b"MZ":
+        return None
+    best = None
+    for sig in (b"Rar!\x1a\x07", b"7z\xbc\xaf\x27\x1c", b"MSCF"):
+        i = data.find(sig, 2, _SFX_SCAN_CAP)
+        if i > 0 and (best is None or i < best[0]):
+            best = (i, sig)
+    if best is None:
+        return None
+    i, sig = best
+    tail = data[i:]
+    if sig == b"MSCF" and not _sniff_cab_payload(tail):
+        return None  # "MSCF" string inside the stub, not a cabinet
+    return tail
 
 
 def _sniff_iso_payload(payload: bytes) -> bool:
@@ -613,6 +650,10 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
                     res.append(_rar_members(data, base, base))
                 elif _sniff_cab_payload(data):
                     res.append(_cab_members(data, base, base))
+                elif (sfx := _sfx_archive(data)) is not None:
+                    res.append(
+                        _dispatch_member(sfx, base, base, base, 0, None)
+                    )
                 else:
                     try:
                         res.append(_tar_members(data, base, base))

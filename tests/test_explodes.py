@@ -566,6 +566,39 @@ def test_explode_zip_with_prepended_junk(spark):
     assert bytes(rows[0]["html"]) == b"payload"
 
 
+def test_sfx_archives_behind_mz_stub(spark):
+    """self-extracting installers: EXE stub + RAR/7z/CAB — the archive
+    is located by signature scan (unrar/7z/cabextract behavior)."""
+    from open_semantic_etl_spark.operators.cab import build_cab
+    from open_semantic_etl_spark.operators.rar import build_rar5
+    from open_semantic_etl_spark.operators.sevenzip import build_7z
+
+    stub = b"MZ" + b"\x90" * 200 + b"This program cannot be run in DOS mode"
+    cases = [
+        ("http://x/setup_rar.exe", stub + build_rar5({"payload.txt": b"from rar sfx"})),
+        ("http://x/setup_7z.exe",
+         stub + build_7z([("payload.txt", b"from 7z sfx")])),
+        ("http://x/setup_cab.exe", stub + build_cab({"payload.txt": b"from cab sfx"})),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(b)) for u, b in cases], "url string, html binary"
+    )
+    got = {r["url"]: bytes(r["html"]) for r in E.explode_zip(df).collect()}
+    assert got["http://x/setup_rar.exe/payload.txt"] == b"from rar sfx"
+    assert got["http://x/setup_7z.exe/payload.txt"] == b"from 7z sfx"
+    assert got["http://x/setup_cab.exe/payload.txt"] == b"from cab sfx"
+
+
+def test_sfx_scan_false_positives_stay_opaque():
+    # an EXE whose stub mentions "MSCF" in prose must NOT claim children
+    blob = b"MZ" + b"\x00" * 60 + b"the MSCF marker is described here" + b"\x00" * 100
+    assert E._sfx_archive(blob) is None
+    # no archive signature at all
+    assert E._sfx_archive(b"MZ" + b"\x90" * 500) is None
+    # non-MZ payloads never scan
+    assert E._sfx_archive(b"PK\x03\x04junk") is None
+
+
 def test_truncated_tar_keeps_leading_members():
     full = _tar_bytes({"a.txt": b"alpha", "b.txt": b"beta" * 200}, "w")
     cut = full[: 512 + 512 + 100]  # a.txt complete, b.txt torn mid-payload
