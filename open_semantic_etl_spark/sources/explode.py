@@ -78,7 +78,12 @@ def _zip_members(
                 continue
             if info.file_size > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
                 continue  # oversized member: skip it, keep the rest
-            payload = zf.read(info)
+            try:
+                payload = zf.read(info)
+            except Exception:  # noqa: BLE001 — encrypted (RuntimeError) or
+                continue  # CRC-bad member: skip IT, keep the rest (the
+                # oversized-member rule; one locked file must not erase
+                # every sibling's children)
             _budget[0] -= len(payload)
             child_id = f"{base_id}/{info.filename}"
             # nested containers recurse, keeping the OUTERMOST container id

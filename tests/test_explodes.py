@@ -566,6 +566,30 @@ def test_explode_zip_with_prepended_junk(spark):
     assert bytes(rows[0]["html"]) == b"payload"
 
 
+def test_encrypted_or_corrupt_zip_member_skipped_not_fatal():
+    """one locked/corrupt member must not erase every sibling's
+    children (the oversized-member rule applied to read failures)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("good1.txt", "alpha")
+        z.writestr("locked.txt", "secret")
+        z.writestr("good2.txt", "beta")
+    blob = bytearray(buf.getvalue())
+    # flip the encryption bit in BOTH of locked.txt's headers —
+    # zipfile trusts the central directory's general-purpose flags
+    at = blob.find(b"locked.txt") - 30  # local header: flags at +6
+    assert blob[at : at + 4] == b"PK\x03\x04"
+    blob[at + 6] |= 0x01
+    at = blob.find(b"locked.txt", at + 40) - 46  # central dir: flags at +8
+    assert blob[at : at + 4] == b"PK\x01\x02"
+    blob[at + 8] |= 0x01
+    got = E._zip_members(bytes(blob), "z", "z")
+    assert [m["child_id"] for m in got] == ["z/good1.txt", "z/good2.txt"]
+
+
 def test_sfx_archives_behind_mz_stub(spark):
     """self-extracting installers: EXE stub + RAR/7z/CAB — the archive
     is located by signature scan (unrar/7z/cabextract behavior)."""
