@@ -63,6 +63,7 @@ __all__ = [
     "build_heic",
     "build_ico",
     "build_mkv",
+    "build_aiff",
 ]
 
 _TEXT_CAP = 1 << 16  # per-field decompressed/decoded text cap
@@ -125,6 +126,13 @@ def sniff_media(data: bytes) -> str | None:
     if data.startswith(b"\x1a\x45\xdf\xa3"):
         # EBML: webm vs matroska decided by DocType during the parse
         return "video/webm"
+    if (
+        data.startswith(b"FORM")
+        and len(data) >= 12
+        and data[8:12] in (b"AIFF", b"AIFC")
+    ):
+        # "FORM" is prose-capable — the form-type gate decides
+        return "audio/aiff"
     if (
         data.startswith(b"\x00\x00\x01\x00")
         and len(data) >= 22
@@ -632,6 +640,44 @@ def _parse_mp3(data: bytes) -> dict:
     return f
 
 
+_AIFF_TEXT = {b"NAME": "title", b"AUTH": "author", b"ANNO": "comment"}
+
+
+def _parse_aiff(data: bytes) -> dict:
+    """AIFF/AIFC (EA IFF 85, big-endian): COMM rate/channels/frames →
+    duration, NAME/AUTH/ANNO text chunks."""
+    f: dict = {}
+    end = min(len(data), 8 + int.from_bytes(data[4:8], "big"))
+    pos = 12
+    for _ in range(_WALK_CAP):
+        if pos + 8 > end:
+            break
+        cid = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"COMM" and clen >= 18:
+            f["channels"] = int.from_bytes(body[0:2], "big")
+            frames = int.from_bytes(body[2:6], "big")
+            # sampleRate is an 80-bit IEEE 754 extended float
+            exp = int.from_bytes(body[8:10], "big") & 0x7FFF
+            mant = int.from_bytes(body[10:18], "big")
+            if mant and 0 < exp < 0x7FFF:
+                rate = int(mant * 2.0 ** (exp - 16383 - 63))
+                f["sample_rate"] = rate
+                if rate:
+                    f["duration_ms"] = frames * 1000 // rate
+        else:
+            key = _AIFF_TEXT.get(cid)
+            if key and body:
+                val = body.decode("utf-8", "replace").strip()
+                if val:
+                    f.setdefault(key, val)
+        pos += 8 + clen + (clen & 1)  # chunks pad to even (IFF rule)
+    if "channels" not in f:
+        raise ValueError("no COMM chunk")
+    return f
+
+
 def _parse_flac(data: bytes) -> dict:
     f: dict = {}
     pos = 4
@@ -958,6 +1004,7 @@ _PARSERS = {
     "image/avif": _parse_heif,
     "image/vnd.microsoft.icon": _parse_ico,
     "video/webm": _parse_mkv,  # refines to x-matroska via DocType
+    "audio/aiff": _parse_aiff,
 }
 
 #: content render order — free-text first (searchable), numerics after;
@@ -1280,6 +1327,26 @@ def build_mp4(duration_ms: int, w: int = 0, h: int = 0,
         meta = _box(b"meta", b"\x00\x00\x00\x00" + _box(b"ilst", ilst))
         moov_kids += _box(b"udta", meta)
     return ftyp + _box(b"moov", moov_kids) + _box(b"mdat", b"\x00" * 8)
+
+
+def build_aiff(nframes: int, rate: int = 8000, channels: int = 1,
+               name: str | None = None, author: str | None = None) -> bytes:
+    # 80-bit extended float for the sample rate
+    exp = rate.bit_length() - 1
+    mant = rate << (63 - exp)
+    comm = (
+        struct.pack(">HIH", channels, nframes, 16)
+        + struct.pack(">H", 16383 + exp) + struct.pack(">Q", mant)
+    )
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    for cid, text in ((b"NAME", name), (b"AUTH", author)):
+        if text:
+            raw = text.encode()
+            chunks += cid + struct.pack(">I", len(raw)) + raw
+            chunks += b"\x00" * (len(raw) & 1)
+    pcm = b"\x00" * (8 + nframes * channels * 2)
+    chunks += b"SSND" + struct.pack(">I", len(pcm)) + pcm
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
 
 
 def build_heic(w: int, h: int, brand: bytes = b"heic") -> bytes:

@@ -383,8 +383,36 @@ def test_mkv_hand_assembled_unknown_size_segment():
     assert r["duration_ms"] == 2500
 
 
+def test_aiff_comm_and_text_chunks():
+    from open_semantic_etl_spark.operators.media import build_aiff
+
+    r = extract_media(build_aiff(16000, rate=16000, channels=2,
+                                 name="Tune", author="Someone"))
+    assert r["ok"] and r["content_type"] == "audio/aiff"
+    assert r["sample_rate"] == 16000 and r["channels"] == 2
+    assert r["duration_ms"] == 1000
+    assert r["title"] == "Tune" and r["author"] == "Someone"
+
+
+def test_aiff_hand_assembled_odd_chunk_padding():
+    """spec-literal AIFF with an odd-length NAME chunk — the IFF even-
+    pad rule must keep the walk aligned (44.1 kHz 80-bit float)."""
+    comm = struct.pack(">HIH", 1, 44100, 16) + bytes.fromhex("400E") + \
+        struct.pack(">Q", 44100 << (63 - 15))
+    name = b"Odd"  # 3 bytes -> 1 pad byte
+    blob = (
+        b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + 4) + b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"NAME" + struct.pack(">I", 3) + name + b"\x00"
+    )
+    r = extract_media(blob)
+    assert r["ok"] and r["sample_rate"] == 44100 and r["channels"] == 1
+    assert r["duration_ms"] == 1000 and r["title"] == "Odd"
+
+
 @pytest.mark.parametrize("payload", [
     b"ID3 is a tagging format used by MP3 players everywhere.",
+    b"FORM follows function, as architects of AIFF-era software knew.",
     b"fLaC files are lossless; this sentence is not one of them.",
     b"OggSound is a made-up word that should stay text.",
     b"BMW is a car maker, BM alone does not make this a bitmap.",
@@ -408,6 +436,9 @@ def test_sniff_accepts_all_builders():
         (build_ico([(4, 4)]), "image/vnd.microsoft.icon"),
         (build_mkv(10), "video/webm"),
     ]
+    from open_semantic_etl_spark.operators.media import build_aiff
+
+    cases.append((build_aiff(80), "audio/aiff"))
     for data, want in cases:
         assert sniff_media(data) == want, want
 
@@ -430,6 +461,9 @@ def test_fuzz_total_function():
         build_heic(9, 9), build_ico([(16, 16), (256, 256)]),
         build_mkv(500, w=9, h=9, title="t", sample_rate=8000, channels=1),
     ]
+    from open_semantic_etl_spark.operators.media import build_aiff
+
+    bases.append(build_aiff(80, name="t", author="a"))
     for i in range(4000):
         base = bases[i % len(bases)]
         buf = bytearray(base[: rng.randrange(1, len(base) + 1)] if i % 2 else base)
