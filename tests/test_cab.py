@@ -159,6 +159,30 @@ def test_extract_html_labels_cab():
     assert r["content_type"] == "text/plain"
 
 
+def test_roundtrip_property_mszip_and_stored():
+    """property: any unique-name member dict survives build→parse in
+    both folder codecs (hypothesis over paths and binary payloads)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                               whitelist_characters="_-. "),
+        min_size=1, max_size=12,
+    ).filter(lambda s: s.strip() and s not in (".", ".."))
+    path = st.lists(name, min_size=1, max_size=3).map("/".join)
+    members = st.dictionaries(path, st.binary(max_size=300),
+                              min_size=1, max_size=6)
+
+    @given(members, st.booleans())
+    @settings(max_examples=40, deadline=None)
+    def check(files, mszip):
+        got = dict(cab_members(build_cab(files, mszip=mszip)))
+        assert got == files
+
+    check()
+
+
 def test_fuzz_total_function():
     rng = random.Random(0xCAB)
     bases = [

@@ -227,6 +227,30 @@ def test_extract_html_labels_rar():
     assert r["content_type"] == "application/vnd.rar"
 
 
+def test_roundtrip_property_both_versions():
+    """property: any unique-name member dict survives build→parse for
+    BOTH wire formats (hypothesis over paths and binary payloads)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                               whitelist_characters="_-. "),
+        min_size=1, max_size=12,
+    ).filter(lambda s: s.strip() and s not in (".", ".."))
+    path = st.lists(name, min_size=1, max_size=3).map("/".join)
+    members = st.dictionaries(path, st.binary(max_size=300), max_size=6)
+
+    @given(members)
+    @settings(max_examples=40, deadline=None)
+    def check(files):
+        for build in (build_rar4, build_rar5):
+            got = dict(rar_members(build(files)))
+            assert got == files
+
+    check()
+
+
 def test_fuzz_total_function():
     rng = random.Random(0x4A52)
     bases = [
