@@ -333,6 +333,11 @@ def sniff_content_type(data: bytes) -> str | None:
 
         if sniff_cab(data):
             return "application/vnd.ms-cab-compressed"
+    if data[:2] == b"\x60\xea":
+        from open_semantic_etl_spark.operators.arj import sniff_arj
+
+        if sniff_arj(data):
+            return "application/x-arj"
     if data[:3] == b"\x5d\x00\x00" and len(data) >= 13 and data[12] in (0, 0xFF):
         # legacy .lzma "alone" header: default props byte 0x5d + a
         # ≥64 KB dict size (low bytes zero) + the u64 size field's top

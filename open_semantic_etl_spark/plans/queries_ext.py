@@ -222,6 +222,16 @@ def _build_tar_sz(d: int) -> bytes:
     return snappy_frame(_build_tar(d, "w"))
 
 
+def _build_arj_arch(d: int) -> bytes:
+    """same member layout, a stored ARJ (Commons Compress
+    ArjArchiveInputStream is stored-only too), same oracle."""
+    from open_semantic_etl_spark.operators.arj import build_arj
+
+    return build_arj(
+        {f"notes/a{d}.txt": f"alpha {d}".encode(), "inner.zip": _inner_zip(d)}
+    )
+
+
 def _build_cab_arch(d: int) -> bytes:
     """same member layout, an MSZIP cabinet (stored on odd ids) —
     exercises the [MS-CAB] tier + zip-in-cab recursion, same oracle."""
@@ -247,7 +257,7 @@ def _build_rar_arch(d: int) -> bytes:
 
 _ARCHIVE_EXT = {0: "zip", 1: "7z", 2: "tgz", 3: "deb", 4: "cpio",
                 5: "tar.Z", 6: "iso", 7: "tar.zst", 8: "tar.sz", 9: "rar",
-                10: "cab"}
+                10: "cab", 11: "arj"}
 _ARCHIVE_BUILD = {
     0: _build_zip,
     1: _build_7z,
@@ -260,11 +270,12 @@ _ARCHIVE_BUILD = {
     8: _build_tar_sz,
     9: _build_rar_arch,
     10: _build_cab_arch,
+    11: _build_arj_arch,
 }
 
 
 def _build_archive(d: int) -> bytes:
-    return _ARCHIVE_BUILD[d % 11](d)
+    return _ARCHIVE_BUILD[d % 12](d)
 
 
 def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +286,7 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         150,
         _build_archive,
-        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 11]),
+        lambda d: "https://archive.example.org/%d.%s" % (d, _ARCHIVE_EXT[d % 12]),
     )
     out = explode_zip(src)
     return out.select(
@@ -289,11 +300,12 @@ def q_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZIP_EXPLODE = """
 WITH m AS (
   SELECT doc_id, 'https://archive.example.org/' || doc_id ||
-         CASE doc_id % 11 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
+         CASE doc_id % 12 WHEN 1 THEN '.7z' WHEN 2 THEN '.tgz'
                           WHEN 3 THEN '.deb' WHEN 4 THEN '.cpio'
                           WHEN 5 THEN '.tar.Z' WHEN 6 THEN '.iso'
                           WHEN 7 THEN '.tar.zst' WHEN 8 THEN '.tar.sz'
                           WHEN 9 THEN '.rar' WHEN 10 THEN '.cab'
+                          WHEN 11 THEN '.arj'
                           ELSE '.zip' END AS base
   FROM documents WHERE doc_id < 150
 )

@@ -252,6 +252,39 @@ def _cab_members(
     return out
 
 
+def _arj_members(
+    data: bytes,
+    base_id: str,
+    container: str,
+    _depth: int = 0,
+    _budget: list[int] | None = None,
+) -> list[dict]:
+    """ARJ archive → member rows with the zip tier's id scheme, byte
+    budget, and nesting dispatch (Commons Compress
+    ArjArchiveInputStream tier — which, like operators/arj.py, reads
+    STORED entries only and throws on compressed ones)."""
+    from open_semantic_etl_spark.operators.arj import arj_members
+
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    members = arj_members(
+        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    )
+    for name, payload in members:
+        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+            continue  # oversized member: skip it, keep the rest
+        _budget[0] -= max(len(payload), 64)
+        out.extend(
+            _dispatch_member(
+                payload, f"{base_id}/{name}", name, container, _depth, _budget
+            )
+        )
+        if _budget[0] <= 0:
+            break
+    return out
+
+
 def _tar_members(
     data: bytes,
     base_id: str,
@@ -571,6 +604,11 @@ def _dispatch_member(
                 return _cab_members(payload, child_id, container, _depth + 1, _budget)
             except Exception:  # noqa: BLE001 — LZX/corrupt: opaque row
                 pass
+        if _sniff_arj_payload(payload):
+            try:
+                return _arj_members(payload, child_id, container, _depth + 1, _budget)
+            except Exception:  # noqa: BLE001 — compressed/corrupt: opaque row
+                pass
         sfx = _sfx_archive(payload)
         if sfx is not None:
             try:
@@ -586,6 +624,12 @@ def _sniff_cab_payload(payload: bytes) -> bool:
     from open_semantic_etl_spark.operators.cab import sniff_cab
 
     return sniff_cab(payload)
+
+
+def _sniff_arj_payload(payload: bytes) -> bool:
+    from open_semantic_etl_spark.operators.arj import sniff_arj
+
+    return sniff_arj(payload)
 
 
 _SFX_SCAN_CAP = 4 << 20  # installer stubs sit well under 4 MiB
@@ -655,6 +699,8 @@ def explode_zip(df: DataFrame, id_col: str = "url", bytes_col: str = "html") -> 
                     res.append(_rar_members(data, base, base))
                 elif _sniff_cab_payload(data):
                     res.append(_cab_members(data, base, base))
+                elif _sniff_arj_payload(data):
+                    res.append(_arj_members(data, base, base))
                 elif (sfx := _sfx_archive(data)) is not None:
                     res.append(
                         _dispatch_member(sfx, base, base, base, 0, None)
