@@ -62,6 +62,34 @@ ZIP_MAX_ARCHIVE_BYTES = 1 << 30  # 1 GB decompressed per container
 _ZIP_MAX_DEPTH = 8               # zip-in-zip nesting
 
 
+def _walk_pairs(
+    members: list,
+    base_id: str,
+    container: str,
+    _depth: int,
+    _budget: list[int] | None,
+) -> list[dict]:
+    """shared (name, payload) → member-row loop for the native archive
+    readers (7z/iso/rar/cab/arj): zip-tier id scheme, byte budget with
+    a 64 B minimum charge (a million empty members cannot spin the
+    worker), oversized-member skip, nesting dispatch."""
+    if _budget is None:
+        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    out: list[dict] = []
+    for name, payload in members:
+        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
+            continue  # oversized member: skip it, keep the rest
+        _budget[0] -= max(len(payload), 64)
+        out.extend(
+            _dispatch_member(
+                payload, f"{base_id}/{name}", name, container, _depth, _budget
+            )
+        )
+        if _budget[0] <= 0:
+            break
+    return out
+
+
 def _zip_members(
     data: bytes,
     base_id: str,
@@ -165,22 +193,12 @@ def _7z_members(
 
     if _budget is None:
         _budget = [ZIP_MAX_ARCHIVE_BYTES]
-    out: list[dict] = []
-    members = sevenzip_members(
-        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    return _walk_pairs(
+        sevenzip_members(
+            data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+        ),
+        base_id, container, _depth, _budget,
     )
-    for name, payload in members:
-        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
-            continue  # oversized member: skip it, keep the rest
-        _budget[0] -= max(len(payload), 64)
-        out.extend(
-            _dispatch_member(
-                payload, f"{base_id}/{name}", name, container, _depth, _budget
-            )
-        )
-        if _budget[0] <= 0:
-            break
-    return out
 
 
 def _rar_members(
@@ -200,22 +218,12 @@ def _rar_members(
 
     if _budget is None:
         _budget = [ZIP_MAX_ARCHIVE_BYTES]
-    out: list[dict] = []
-    members = rar_members(
-        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    return _walk_pairs(
+        rar_members(
+            data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+        ),
+        base_id, container, _depth, _budget,
     )
-    for name, payload in members:
-        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
-            continue  # oversized member: skip it, keep the rest
-        _budget[0] -= max(len(payload), 64)
-        out.extend(
-            _dispatch_member(
-                payload, f"{base_id}/{name}", name, container, _depth, _budget
-            )
-        )
-        if _budget[0] <= 0:
-            break
-    return out
 
 
 def _cab_members(
@@ -234,22 +242,12 @@ def _cab_members(
 
     if _budget is None:
         _budget = [ZIP_MAX_ARCHIVE_BYTES]
-    out: list[dict] = []
-    members = cab_members(
-        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    return _walk_pairs(
+        cab_members(
+            data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+        ),
+        base_id, container, _depth, _budget,
     )
-    for name, payload in members:
-        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
-            continue  # oversized member: skip it, keep the rest
-        _budget[0] -= max(len(payload), 64)
-        out.extend(
-            _dispatch_member(
-                payload, f"{base_id}/{name}", name, container, _depth, _budget
-            )
-        )
-        if _budget[0] <= 0:
-            break
-    return out
 
 
 def _arj_members(
@@ -267,22 +265,12 @@ def _arj_members(
 
     if _budget is None:
         _budget = [ZIP_MAX_ARCHIVE_BYTES]
-    out: list[dict] = []
-    members = arj_members(
-        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+    return _walk_pairs(
+        arj_members(
+            data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+        ),
+        base_id, container, _depth, _budget,
     )
-    for name, payload in members:
-        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
-            continue  # oversized member: skip it, keep the rest
-        _budget[0] -= max(len(payload), 64)
-        out.extend(
-            _dispatch_member(
-                payload, f"{base_id}/{name}", name, container, _depth, _budget
-            )
-        )
-        if _budget[0] <= 0:
-            break
-    return out
 
 
 def _tar_members(
@@ -548,21 +536,12 @@ def _iso_members(
 
     if _budget is None:
         _budget = [ZIP_MAX_ARCHIVE_BYTES]
-    out: list[dict] = []
-    for name, payload in iso_members(
-        data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
-    ):
-        if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):
-            continue
-        _budget[0] -= max(len(payload), 64)
-        out.extend(
-            _dispatch_member(
-                payload, f"{base_id}/{name}", name, container, _depth, _budget
-            )
-        )
-        if _budget[0] <= 0:
-            break
-    return out
+    return _walk_pairs(
+        iso_members(
+            data, max_member=ZIP_MAX_MEMBER_BYTES, max_total=max(_budget[0], 1)
+        ),
+        base_id, container, _depth, _budget,
+    )
 
 
 def _dispatch_member(
