@@ -115,6 +115,28 @@ def test_extract_html_labels_arj():
     assert r["content_type"] == "application/x-arj" and r["content"] == ""
 
 
+def test_roundtrip_property():
+    """property: any unique-name member dict survives build→parse
+    (hypothesis over paths and binary payloads)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                               whitelist_characters="_-. "),
+        min_size=1, max_size=12,
+    ).filter(lambda s: s.strip() and s not in (".", ".."))
+    path = st.lists(name, min_size=1, max_size=3).map("/".join)
+    members = st.dictionaries(path, st.binary(max_size=300), max_size=6)
+
+    @given(members)
+    @settings(max_examples=40, deadline=None)
+    def check(files):
+        assert dict(arj_members(build_arj(files))) == files
+
+    check()
+
+
 def test_fuzz_total_function():
     rng = random.Random(0xA12)
     base = build_arj({"a.txt": b"alpha", "b/c.txt": b"beta" * 20})
