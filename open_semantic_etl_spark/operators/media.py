@@ -64,6 +64,7 @@ __all__ = [
     "build_ico",
     "build_mkv",
     "build_aiff",
+    "build_asf",
 ]
 
 _TEXT_CAP = 1 << 16  # per-field decompressed/decoded text cap
@@ -133,6 +134,9 @@ def sniff_media(data: bytes) -> str | None:
     ):
         # "FORM" is prose-capable — the form-type gate decides
         return "audio/aiff"
+    if data.startswith(_ASF_HEADER_GUID):
+        # WMV/WMA/ASF: audio-only refines to x-ms-wma during the parse
+        return "video/x-ms-asf"
     if (
         data.startswith(b"\x00\x00\x01\x00")
         and len(data) >= 22
@@ -640,6 +644,84 @@ def _parse_mp3(data: bytes) -> dict:
     return f
 
 
+# -- ASF (WMV / WMA) — [MS-ASF] GUID-framed header objects ------------------
+
+_ASF_HEADER_GUID = bytes.fromhex("3026b2758e66cf11a6d900aa0062ce6c")
+_ASF_FILE_PROPS = bytes.fromhex("a1dcab8c47a9cf118ee400c00c205365")
+_ASF_CONTENT_DESC = bytes.fromhex("3326b2758e66cf11a6d900aa0062ce6c")
+_ASF_STREAM_PROPS = bytes.fromhex("9107dcb7b7a9cf118ee600c00c205365")
+_ASF_VIDEO_MEDIA = bytes.fromhex("c0ef19bc4d5bcf11a8fd00805f5c442b")
+_ASF_AUDIO_MEDIA = bytes.fromhex("409e69f84d5bcf11a8fd00805f5c442b")
+
+
+def _asf_utf16(b: bytes) -> str:
+    return b.decode("utf-16-le", "replace").split("\x00", 1)[0].strip()
+
+
+def _parse_asf(data: bytes) -> dict:
+    """[MS-ASF] §2.3: Header Object wraps sub-objects — File Properties
+    (play duration minus preroll), Stream Properties (video dims /
+    audio rate+channels), Content Description (title/author)."""
+    f: dict = {}
+    if len(data) < 30:
+        raise ValueError("short ASF header")
+    hdr_size = int.from_bytes(data[16:24], "little")
+    end = min(len(data), hdr_size)
+    pos = 30  # GUID + size + object count + 2 reserved bytes
+    has_video = has_audio = False
+    preroll_ms = 0
+    play_100ns = 0
+    for _ in range(_WALK_CAP):
+        if pos + 24 > end:
+            break
+        guid = data[pos : pos + 16]
+        osize = int.from_bytes(data[pos + 16 : pos + 24], "little")
+        if osize < 24:
+            break
+        body = data[pos + 24 : pos + osize]
+        if guid == _ASF_FILE_PROPS and len(body) >= 64:
+            play_100ns = int.from_bytes(body[40:48], "little")
+            preroll_ms = int.from_bytes(body[56:64], "little")
+        elif guid == _ASF_STREAM_PROPS and len(body) >= 54:
+            stype = body[0:16]
+            ts_len = int.from_bytes(body[40:44], "little")
+            ts = body[54 : 54 + ts_len]
+            if stype == _ASF_VIDEO_MEDIA and len(ts) >= 9:
+                f["width"] = int.from_bytes(ts[0:4], "little")
+                f["height"] = int.from_bytes(ts[4:8], "little")
+                has_video = True
+            elif stype == _ASF_AUDIO_MEDIA and len(ts) >= 8:
+                f["channels"] = int.from_bytes(ts[2:4], "little")
+                f["sample_rate"] = int.from_bytes(ts[4:8], "little")
+                has_audio = True
+        elif guid == _ASF_CONTENT_DESC and len(body) >= 10:
+            lens = [
+                int.from_bytes(body[2 * i : 2 * i + 2], "little")
+                for i in range(5)
+            ]
+            at = 10
+            vals = []
+            for ln in lens:
+                vals.append(_asf_utf16(body[at : at + ln]))
+                at += ln
+            if vals[0]:
+                f.setdefault("title", vals[0])
+            if vals[1]:
+                f.setdefault("author", vals[1])
+            if vals[3]:
+                f.setdefault("description", vals[3])
+        pos += osize
+    if not (has_video or has_audio or play_100ns):
+        raise ValueError("no parseable ASF objects")
+    if play_100ns:
+        dur = play_100ns // 10_000 - preroll_ms
+        if dur > 0:
+            f["duration_ms"] = dur
+    if has_audio and not has_video:
+        f["content_type"] = "audio/x-ms-wma"
+    return f
+
+
 _AIFF_TEXT = {b"NAME": "title", b"AUTH": "author", b"ANNO": "comment"}
 
 
@@ -1005,6 +1087,7 @@ _PARSERS = {
     "image/vnd.microsoft.icon": _parse_ico,
     "video/webm": _parse_mkv,  # refines to x-matroska via DocType
     "audio/aiff": _parse_aiff,
+    "video/x-ms-asf": _parse_asf,  # refines to x-ms-wma when audio-only
 }
 
 #: content render order — free-text first (searchable), numerics after;
@@ -1327,6 +1410,49 @@ def build_mp4(duration_ms: int, w: int = 0, h: int = 0,
         meta = _box(b"meta", b"\x00\x00\x00\x00" + _box(b"ilst", ilst))
         moov_kids += _box(b"udta", meta)
     return ftyp + _box(b"moov", moov_kids) + _box(b"mdat", b"\x00" * 8)
+
+
+def build_asf(duration_ms: int, w: int = 0, h: int = 0,
+              title: str | None = None, author: str | None = None,
+              rate: int = 0, channels: int = 0) -> bytes:
+    """minimal [MS-ASF] header object + empty data section."""
+
+    def obj(guid: bytes, body: bytes) -> bytes:
+        return guid + struct.pack("<Q", 24 + len(body)) + body
+
+    subs = []
+    fp = (
+        b"\x00" * 16 + struct.pack("<QQQ", 0, 0, 0)
+        + struct.pack("<Q", (duration_ms + 500) * 10_000)
+        + struct.pack("<Q", 0) + struct.pack("<Q", 500)  # preroll 500 ms
+        + struct.pack("<I", 2) + struct.pack("<II", 0, 0)
+    )
+    subs.append(obj(_ASF_FILE_PROPS, fp))
+    if w and h:
+        ts = struct.pack("<IIBH", w, h, 0, 0)
+        sp = (
+            _ASF_VIDEO_MEDIA + b"\x00" * 16 + struct.pack("<Q", 0)
+            + struct.pack("<II", len(ts), 0) + struct.pack("<HI", 1, 0) + ts
+        )
+        subs.append(obj(_ASF_STREAM_PROPS, sp))
+    if rate:
+        ts = struct.pack("<HHIIHH", 1, channels or 1, rate, rate * 2, 2, 16)
+        sp = (
+            _ASF_AUDIO_MEDIA + b"\x00" * 16 + struct.pack("<Q", 0)
+            + struct.pack("<II", len(ts), 0) + struct.pack("<HI", 2, 0) + ts
+        )
+        subs.append(obj(_ASF_STREAM_PROPS, sp))
+    if title or author:
+        t = (title or "").encode("utf-16-le") + b"\x00\x00"
+        a = (author or "").encode("utf-16-le") + b"\x00\x00"
+        cd = struct.pack("<HHHHH", len(t), len(a), 0, 0, 0) + t + a
+        subs.append(obj(_ASF_CONTENT_DESC, cd))
+    body = b"".join(subs)
+    hdr = (
+        _ASF_HEADER_GUID + struct.pack("<Q", 30 + len(body))
+        + struct.pack("<I", len(subs)) + b"\x01\x02" + body
+    )
+    return hdr + b"\x00" * 16  # token data-object stub
 
 
 def build_aiff(nframes: int, rate: int = 8000, channels: int = 1,

@@ -754,7 +754,7 @@ WHERE i % 2 = 0
 
 
 def _build_media(d: int) -> bytes:
-    """REAL media containers, one of THIRTEEN formats by doc_id (the
+    """REAL media containers, one of FOURTEEN formats by doc_id (the
     fake FAKEIMG/FAKEVID codecs above stay — they pin the decode-seam
     plumbing; these pin the metadata parsers in operators/media.py)."""
     from open_semantic_etl_spark.operators import media as M
@@ -762,7 +762,10 @@ def _build_media(d: int) -> bytes:
     w, h = d % 64 + 1, d % 32 + 1
     dur = d % 7 + 1  # ×100 ms
     ch = d % 2 + 1
-    k = d % 13
+    k = d % 14
+    if k == 13:
+        return M.build_asf(100 * dur, w=w, h=h, title=f"Film {d}",
+                           author=f"Studio {d}")
     if k == 10:
         return M.build_heic(w, h)
     if k == 11:
@@ -823,23 +826,26 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_META = """
-WITH m AS (SELECT doc_id AS d, doc_id % 13 AS k, doc_id % 64 + 1 AS w,
+WITH m AS (SELECT doc_id AS d, doc_id % 14 AS k, doc_id % 64 + 1 AS w,
                   doc_id % 32 + 1 AS h, doc_id % 7 + 1 AS dur,
                   doc_id % 2 + 1 AS ch
            FROM documents WHERE doc_id < 200)
 SELECT 'file:///media/' || d || '.bin' AS url,
   CASE WHEN k <= 4 OR k = 8 OR k >= 10 THEN w END::int AS width,
   CASE WHEN k <= 4 OR k = 8 OR k >= 10 THEN h END::int AS height,
-  CASE WHEN (k >= 5 AND k <= 9) OR k = 12 THEN 100 * dur END::bigint AS duration_ms,
+  CASE WHEN (k >= 5 AND k <= 9) OR k = 12 OR k = 13
+       THEN 100 * dur END::bigint AS duration_ms,
   CASE WHEN k = 1 THEN 'PNG ' || d  WHEN k = 5 THEN 'Song ' || d
        WHEN k = 6 THEN 'Wave ' || d WHEN k = 7 THEN 'Flac ' || d
        WHEN k = 8 THEN 'Clip ' || d WHEN k = 9 THEN 'Ogg ' || d
        WHEN k = 12 THEN 'Video ' || d
+       WHEN k = 13 THEN 'Film ' || d
   END AS title_txt,
   CASE WHEN k = 0 THEN 'Fotograf ' || d WHEN k = 1 THEN 'Autor ' || d
        WHEN k = 3 THEN 'Autor ' || d    WHEN k = 5 THEN 'Band ' || d
        WHEN k = 6 THEN 'Artist ' || d   WHEN k = 7 THEN 'Artist ' || d
        WHEN k = 8 THEN 'Studio ' || d   WHEN k = 9 THEN 'Artist ' || d
+       WHEN k = 13 THEN 'Studio ' || d
   END AS author_s,
   CASE k WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
          WHEN 2 THEN 'image/gif'  WHEN 3 THEN 'image/tiff'
@@ -847,7 +853,8 @@ SELECT 'file:///media/' || d || '.bin' AS url,
          WHEN 6 THEN 'audio/x-wav' WHEN 7 THEN 'audio/flac'
          WHEN 8 THEN 'video/mp4'  WHEN 10 THEN 'image/heic'
          WHEN 11 THEN 'image/vnd.microsoft.icon'
-         WHEN 12 THEN 'video/webm' ELSE 'audio/ogg' END AS content_type_s,
+         WHEN 12 THEN 'video/webm' WHEN 13 THEN 'video/x-ms-asf'
+         ELSE 'audio/ogg' END AS content_type_s,
   CASE k
     WHEN 0 THEN 'description: Bild ' || d || chr(10) || 'width: ' || w || chr(10) || 'height: ' || h
     WHEN 1 THEN 'description: Beschreibung ' || d || chr(10) || 'width: ' || w || chr(10) || 'height: ' || h
@@ -866,6 +873,8 @@ SELECT 'file:///media/' || d || '.bin' AS url,
     WHEN 10 THEN 'width: ' || w || chr(10) || 'height: ' || h
     WHEN 11 THEN 'width: ' || w || chr(10) || 'height: ' || h
     WHEN 12 THEN 'width: ' || w || chr(10) || 'height: ' || h
+             || chr(10) || 'duration_ms: ' || (100 * dur)
+    WHEN 13 THEN 'width: ' || w || chr(10) || 'height: ' || h
              || chr(10) || 'duration_ms: ' || (100 * dur)
     ELSE 'channels: ' || ch || chr(10) || 'sample_rate: 8000'
              || chr(10) || 'duration_ms: ' || (100 * dur)

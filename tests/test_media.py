@@ -410,6 +410,22 @@ def test_aiff_hand_assembled_odd_chunk_padding():
     assert r["duration_ms"] == 1000 and r["title"] == "Odd"
 
 
+def test_asf_wmv_and_wma():
+    from open_semantic_etl_spark.operators.media import build_asf
+
+    r = extract_media(build_asf(30_000, w=640, h=360, title="Film",
+                                author="Studio", rate=44100, channels=2))
+    assert r["ok"] and r["content_type"] == "video/x-ms-asf"
+    assert (r["width"], r["height"]) == (640, 360)
+    assert r["duration_ms"] == 30_000
+    assert r["title"] == "Film" and r["author"] == "Studio"
+    assert r["sample_rate"] == 44100 and r["channels"] == 2
+    # audio-only refines the label (what .wma files are)
+    r = extract_media(build_asf(5000, rate=8000, channels=1, title="Song"))
+    assert r["content_type"] == "audio/x-ms-wma"
+    assert r["duration_ms"] == 5000 and r["title"] == "Song"
+
+
 @pytest.mark.parametrize("payload", [
     b"ID3 is a tagging format used by MP3 players everywhere.",
     b"FORM follows function, as architects of AIFF-era software knew.",
@@ -436,9 +452,10 @@ def test_sniff_accepts_all_builders():
         (build_ico([(4, 4)]), "image/vnd.microsoft.icon"),
         (build_mkv(10), "video/webm"),
     ]
-    from open_semantic_etl_spark.operators.media import build_aiff
+    from open_semantic_etl_spark.operators.media import build_aiff, build_asf
 
     cases.append((build_aiff(80), "audio/aiff"))
+    cases.append((build_asf(100, w=4, h=4), "video/x-ms-asf"))
     for data, want in cases:
         assert sniff_media(data) == want, want
 
@@ -461,9 +478,10 @@ def test_fuzz_total_function():
         build_heic(9, 9), build_ico([(16, 16), (256, 256)]),
         build_mkv(500, w=9, h=9, title="t", sample_rate=8000, channels=1),
     ]
-    from open_semantic_etl_spark.operators.media import build_aiff
+    from open_semantic_etl_spark.operators.media import build_aiff, build_asf
 
     bases.append(build_aiff(80, name="t", author="a"))
+    bases.append(build_asf(900, w=9, h=9, title="t", rate=8000, channels=1))
     for i in range(4000):
         base = bases[i % len(bases)]
         buf = bytearray(base[: rng.randrange(1, len(base) + 1)] if i % 2 else base)
