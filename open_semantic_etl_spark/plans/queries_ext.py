@@ -75,11 +75,34 @@ def _inner_zip(d: int) -> bytes:
 
 
 def _build_zip(d: int) -> bytes:
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zo:
-        zo.writestr(zipfile.ZipInfo(f"notes/a{d}.txt", _ZIP_DT), f"alpha {d}")
-        zo.writestr(zipfile.ZipInfo("inner.zip", _ZIP_DT), _inner_zip(d))
-    return buf.getvalue()
+    """plain-zip slot, sub-rotated by d//12 so the alpha member cycles
+    through the legacy compression methods zipfile cannot decode
+    (operators/zipcodecs.py: Shrink / Implode / Deflate64) — same two
+    oracle rows, now covering the native fallback decoders."""
+    variant = (d // 12) % 4
+    if variant == 0:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zo:
+            zo.writestr(zipfile.ZipInfo(f"notes/a{d}.txt", _ZIP_DT), f"alpha {d}")
+            zo.writestr(zipfile.ZipInfo("inner.zip", _ZIP_DT), _inner_zip(d))
+        return buf.getvalue()
+    from open_semantic_etl_spark.operators.zipcodecs import (
+        build_deflate64,
+        build_implode,
+        build_zip_raw,
+        shrink_compress,
+    )
+
+    text = f"alpha {d}".encode()
+    if variant == 1:
+        alpha = (f"notes/a{d}.txt", 1, 0, shrink_compress(text), text)
+    elif variant == 2:
+        ops = [("lit", b) for b in text]
+        alpha = (f"notes/a{d}.txt", 6, 6, build_implode(ops, 6), text)
+    else:
+        alpha = (f"notes/a{d}.txt", 9, 0, build_deflate64([("lit", text)]), text)
+    inner = _inner_zip(d)
+    return build_zip_raw([alpha, ("inner.zip", 0, 0, inner, inner)])
 
 
 def _build_tar(d: int, mode: str) -> bytes:

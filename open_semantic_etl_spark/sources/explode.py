@@ -90,6 +90,48 @@ def _walk_pairs(
     return out
 
 
+def _native_zip_read(data: bytes, info: "zipfile.ZipInfo") -> bytes | None:
+    """members ``zipfile`` cannot decode — Shrink (1), Implode (6),
+    Deflate64 (9), zstd (93), xz (95), the methods Tika's Commons-
+    Compress tier handles (enhance_zip.py:31-116).  Parses the local
+    header at ``info.header_offset`` (zipfile already normalized it
+    for leading junk / SFX stubs), decodes via ``zipcodecs``, and
+    trusts the result only if length AND crc32 match the central
+    directory.  Returns None on any failure: the caller skips the
+    member and keeps its siblings."""
+    import struct
+    import zlib
+
+    from open_semantic_etl_spark.operators.zipcodecs import (
+        NATIVE_ZIP_METHODS,
+        decode_zip_member,
+    )
+
+    if info.compress_type not in NATIVE_ZIP_METHODS or info.flag_bits & 0x1:
+        return None  # no safe decoder / encrypted — fail loudly by skip
+    off = info.header_offset
+    if data[off : off + 4] != b"PK\x03\x04" or off + 30 > len(data):
+        return None
+    n, m = struct.unpack_from("<HH", data, off + 26)
+    start = off + 30 + n + m
+    comp = data[start : start + info.compress_size]
+    if len(comp) != info.compress_size:
+        return None
+    try:
+        payload = decode_zip_member(
+            info.compress_type,
+            info.flag_bits,
+            comp,
+            info.file_size,
+            cap=ZIP_MAX_MEMBER_BYTES,
+        )
+    except Exception:  # noqa: BLE001 — corrupt stream: skip this member
+        return None
+    if len(payload) != info.file_size or zlib.crc32(payload) != info.CRC:
+        return None
+    return payload
+
+
 def _zip_members(
     data: bytes,
     base_id: str,
@@ -108,6 +150,13 @@ def _zip_members(
                 continue  # oversized member: skip it, keep the rest
             try:
                 payload = zf.read(info)
+            except NotImplementedError:
+                # method zipfile lacks: Shrink/Implode/Deflate64/zstd/xz
+                # decode natively (zipcodecs), CRC-verified; Reduce/PPMd
+                # and friends stay None → skip the member, keep siblings
+                payload = _native_zip_read(data, info)
+                if payload is None:
+                    continue
             except Exception:  # noqa: BLE001 — encrypted (RuntimeError) or
                 continue  # CRC-bad member: skip IT, keep the rest (the
                 # oversized-member rule; one locked file must not erase
