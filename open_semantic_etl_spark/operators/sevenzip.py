@@ -64,6 +64,22 @@ _CODER_LZMA1 = b"\x03\x01\x01"
 _CODER_BZIP2 = b"\x04\x02\x02"
 _CODER_DEFLATE = b"\x04\x01\x08"
 
+#: BCJ branch-converter coders (7-Zip Methods.txt ids) → the stdlib
+#: liblzma filter that implements the identical transform (both trees
+#: descend from the LZMA SDK's Bra* filters).  Decoded via a raw-stream
+#: round-trip (see _apply_coder_inner) so the filter semantics are
+#: liblzma's, never a from-memory reimplementation.  ARM64 (0x0a) and
+#: RISC-V (0x0b) stay unsupported: this liblzma predates their filters,
+#: and a guessed transform that "succeeds" is the unacceptable mode.
+_BCJ_CODERS = {
+    b"\x03\x03\x01\x03": "FILTER_X86",
+    b"\x03\x03\x02\x05": "FILTER_POWERPC",
+    b"\x03\x03\x04\x01": "FILTER_IA64",
+    b"\x03\x03\x05\x01": "FILTER_ARM",
+    b"\x03\x03\x07\x01": "FILTER_ARMTHUMB",
+    b"\x03\x03\x08\x05": "FILTER_SPARC",
+}
+
 _MAX_FILES = 1_000_000  # header-declared count sanity cap
 
 
@@ -307,6 +323,51 @@ def _lzma2_filter(props: bytes) -> list[dict]:
     return [{"id": lzma.FILTER_LZMA2, "dict_size": max(dict_size, 1 << 12)}]
 
 
+def _bcj_filter_spec(cid: bytes, props: bytes) -> dict:
+    name = _BCJ_CODERS[cid]
+    if not hasattr(lzma, name):
+        raise SevenZipError(f"liblzma lacks {name}")
+    filt: dict = {"id": getattr(lzma, name)}
+    if props:
+        if len(props) != 4:
+            raise SevenZipError("bad BCJ props")
+        off = int.from_bytes(props, "little")
+        if off:
+            filt["start_offset"] = off  # liblzma rejects misaligned ones
+    return filt
+
+
+def _bcj_decode(cid: bytes, props: bytes, data: bytes) -> bytes:
+    """apply the BCJ inverse via liblzma itself: wrap the filtered bytes
+    in a preset-0 raw LZMA2 stream, then decompress through the
+    [BCJ, LZMA2] chain — liblzma undoes LZMA2 and then runs its own
+    branch-filter decoder.  Zero guessed semantics; the round-trip
+    costs one fast preset-0 pass on a cold-path member."""
+    inner = lzma.compress(
+        data,
+        format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA2, "preset": 0}],
+    )
+    return lzma.decompress(
+        inner,
+        format=lzma.FORMAT_RAW,
+        filters=[_bcj_filter_spec(cid, props), {"id": lzma.FILTER_LZMA2}],
+    )
+
+
+def bcj_encode(cid: bytes, data: bytes) -> bytes:
+    """fixture-writer twin: the forward branch transform, again by
+    liblzma (compress through [BCJ, LZMA2], strip the LZMA2 layer)."""
+    packed = lzma.compress(
+        data,
+        format=lzma.FORMAT_RAW,
+        filters=[_bcj_filter_spec(cid, b""), {"id": lzma.FILTER_LZMA2, "preset": 0}],
+    )
+    return lzma.decompress(
+        packed, format=lzma.FORMAT_RAW, filters=[{"id": lzma.FILTER_LZMA2}]
+    )
+
+
 def _apply_coder(coder: dict, raw: bytes, size: int) -> bytes:
     try:
         return _apply_coder_inner(coder, raw, size)
@@ -339,6 +400,8 @@ def _apply_coder_inner(coder: dict, raw: bytes, size: int) -> bytes:
         for i in range(dist, len(buf)):
             buf[i] = (buf[i] + buf[i - dist]) & 0xFF
         out = bytes(buf)
+    elif cid in _BCJ_CODERS:
+        out = _bcj_decode(cid, props, raw[:size])
     else:
         raise SevenZipError(f"unsupported 7z coder {cid.hex()}")
     if len(out) != size:
@@ -564,7 +627,15 @@ def _w_streams_info(
     crcs: list[int] | None,
     coder_id: bytes = _CODER_LZMA1,
     props: bytes = _W_LZMA1_PROPS,
+    chain: list[tuple[bytes, bytes]] | None = None,
 ) -> bytes:
+    """``chain`` (first-applied → last, e.g. ``[(LZMA1, props),
+    (BCJ_X86, b"")]``) writes each folder as that coder chain with one
+    bind pair per link — the shape 7-Zip emits for filtered streams.
+    Every chained coder is size-preserving except the innermost, so
+    all out-stream sizes equal the folder's unpack size."""
+    if chain is None:
+        chain = [(coder_id, props)]
     o = io.BytesIO()
     o.write(_wnum(_K_PACK_INFO))
     o.write(_wnum(pack_pos) + _wnum(len(pack_sizes)) + _wnum(_K_SIZE))
@@ -573,14 +644,19 @@ def _w_streams_info(
     o.write(_wnum(_K_END))
     o.write(_wnum(_K_UNPACK_INFO) + _wnum(_K_FOLDER) + _wnum(len(unpack_sizes)))
     o.write(b"\x00")  # not external
-    coder_flag = bytes([len(coder_id) | (0x20 if props else 0)])
     for _ in unpack_sizes:
-        o.write(_wnum(1) + coder_flag + coder_id)  # one simple coder
-        if props:
-            o.write(_wnum(len(props)) + props)
+        o.write(_wnum(len(chain)))
+        for cid, cprops in chain:
+            o.write(bytes([len(cid) | (0x20 if cprops else 0)]) + cid)
+            if cprops:
+                o.write(_wnum(len(cprops)) + cprops)
+        for k in range(len(chain) - 1):
+            # bind pair: coder k+1's input ← coder k's output
+            o.write(_wnum(k + 1) + _wnum(k))
     o.write(_wnum(_K_UNPACK_SIZES))
     for s in unpack_sizes:
-        o.write(_wnum(s))
+        for _ in chain:
+            o.write(_wnum(s))
     o.write(_wnum(_K_END))
     if counts is not None or crcs is not None:
         o.write(_wnum(_K_SUBSTREAMS))
@@ -608,22 +684,34 @@ def build_7z(
     solid: bool = False,
     encoded_header: bool = False,
     with_crc: bool = True,
+    bcj: bytes | None = None,
 ) -> bytes:
     """deterministic 7z fixture: LZMA1 folders — one per non-empty
     member, or ONE solid folder holding all payloads (``solid=True``,
     exercising the substream walk); zero-byte members become
     empty-file entries.  ``encoded_header=True`` LZMA-compresses the
     header itself (the shape every real 7z writer emits by default).
+    ``bcj`` (a _BCJ_CODERS id) adds that branch filter outside the
+    LZMA1 coder — the folder shape 7-Zip emits for executables.
     """
     nonempty = [(n, d) for n, d in members if d]
     payloads = [d for _, d in nonempty]
+    chain = None
+    if bcj is not None:
+        chain = [(_CODER_LZMA1, _W_LZMA1_PROPS), (bcj, b"")]
+
+    def _pack(blob: bytes) -> bytes:
+        # encode direction of the folder chain: the branch filter runs
+        # over the WHOLE folder stream (position-dependent!), then LZMA1
+        return _w_lzma1(bcj_encode(bcj, blob) if bcj is not None else blob)
+
     if solid and payloads:
-        packs = [_w_lzma1(b"".join(payloads))]
+        packs = [_pack(b"".join(payloads))]
         unpack_sizes = [sum(len(p) for p in payloads)]
         counts: list[int] | None = [len(payloads)]
         sub_sizes: list[int] | None = [len(p) for p in payloads]
     else:
-        packs = [_w_lzma1(p) for p in payloads]
+        packs = [_pack(p) for p in payloads]
         unpack_sizes = [len(p) for p in payloads]
         counts = None
         sub_sizes = None
@@ -640,7 +728,8 @@ def build_7z(
         h.write(_wnum(_K_MAIN_STREAMS))
         h.write(
             _w_streams_info(
-                0, [len(p) for p in packs], unpack_sizes, counts, sub_sizes, crcs
+                0, [len(p) for p in packs], unpack_sizes, counts, sub_sizes,
+                crcs, chain=chain,
             )
         )
     h.write(_wnum(_K_FILES_INFO) + _wnum(len(members)))

@@ -139,13 +139,16 @@ def _build_tar_z(d: int) -> bytes:
 def _build_7z(d: int) -> bytes:
     """same member layout as _build_zip, but a solid LZMA1 7z with an
     encoded header (the real-writer default shape) — exercises the
-    native 7z tier + zip-in-7z recursion under the same oracle."""
+    native 7z tier + zip-in-7z recursion under the same oracle.  Every
+    third one adds the BCJ x86 branch-filter coder chain (the folder
+    shape 7-Zip emits for executables)."""
     from open_semantic_etl_spark.operators.sevenzip import build_7z
 
     return build_7z(
         [(f"notes/a{d}.txt", f"alpha {d}".encode()), ("inner.zip", _inner_zip(d))],
         solid=True,
         encoded_header=True,
+        bcj=b"\x03\x03\x01\x03" if (d // 12) % 2 == 1 else None,
     )
 
 

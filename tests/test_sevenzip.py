@@ -3,6 +3,7 @@ routing.  Reference parity bar: Tika's SevenZParser explodes .7z the
 same way its ZipParser explodes .zip (enhance_zip.py:31-116 child
 semantics)."""
 
+import io
 import lzma
 import zlib
 
@@ -275,3 +276,123 @@ def test_corrupt_nested_sevenzip_degrades_to_member_row(spark):
     rows = E.explode_zip(df).collect()
     assert [r["url"] for r in rows] == ["http://x/o.zip/bad.7z"]
     assert bytes(rows[0]["html"]) == bad
+
+
+# ---------------------------------------------------------------------------
+# BCJ branch-filter coder chains (x86/PPC/IA64/ARM/ARMT/SPARC)
+# ---------------------------------------------------------------------------
+
+def _branchy_payload(cid: bytes = b"\x03\x03\x01\x03") -> bytes:
+    """synthetic machine-code-ish bytes dense in the given filter's
+    branch encodings, at that architecture's alignment, so the filter
+    actually transforms something (asserted non-vacuous below)."""
+    import struct as _struct
+
+    from open_semantic_etl_spark.operators.sevenzip import bcj_encode
+
+    if cid == b"\x03\x03\x01\x03":  # x86: E8/E9 + rel32 with 00/FF MSB
+        out = bytearray()
+        for i in range(800):
+            out += bytes([0xE8, i & 0xFF, (i >> 8) & 0xFF, 0x00, 0x00])
+            out += bytes([0xE9, 0x10, 0x20, 0xFF, 0xFF])
+            out += b"\x90" * 6
+        return bytes(out)
+    if cid == b"\x03\x03\x02\x05":  # PPC bl (aligned BE words)
+        return b"".join(
+            _struct.pack(">I", 0x48000001 | ((i << 2) & 0x03FFFFFC))
+            for i in range(2000)
+        )
+    if cid == b"\x03\x03\x08\x05":  # SPARC call (aligned BE words)
+        return b"".join(
+            _struct.pack(">I", 0x40000000 | (i & 0x3FFFFF)) for i in range(2000)
+        )
+    if cid == b"\x03\x03\x05\x01":  # ARM BL (aligned LE words, byte3=EB)
+        return b"".join(
+            bytes([i & 0xFF, (i >> 8) & 0xFF, 0x12, 0xEB]) for i in range(2000)
+        )
+    if cid == b"\x03\x03\x07\x01":  # Thumb BL halfword pair F0xx/F8xx
+        return b"".join(
+            bytes([i & 0xFF, 0xF0 | ((i >> 8) & 7), i & 0xFF, 0xF8])
+            for i in range(2000)
+        )
+    if cid == b"\x03\x03\x04\x01":  # IA64: find a bundle the filter moves
+        for t in range(32):
+            for slot_shift in (5, 46, 87):
+                v = t | ((5 << 37) << slot_shift)  # br.call opcode = 5
+                b = v.to_bytes(16, "little") * 200
+                if bcj_encode(cid, b) != b:
+                    return b
+        raise AssertionError("no IA64 branch pattern transforms")
+    raise AssertionError(f"unknown cid {cid.hex()}")
+
+
+@pytest.mark.parametrize("cid", sorted(
+    __import__("open_semantic_etl_spark.operators.sevenzip",
+               fromlist=["_BCJ_CODERS"])._BCJ_CODERS
+))
+def test_bcj_chain_roundtrip(cid):
+    from open_semantic_etl_spark.operators.sevenzip import bcj_encode
+
+    payload = _branchy_payload(cid)
+    # the filter must do real work on this payload, else the test is vacuous
+    assert bcj_encode(cid, payload) != payload
+    members = [("bin/app.exe", payload), ("readme.txt", b"hello bcj")]
+    for solid in (False, True):
+        arc = build_7z(members, solid=solid, encoded_header=True, bcj=cid)
+        assert sevenzip_members(arc) == members
+
+
+def test_bcj_solid_filter_runs_over_joined_stream():
+    """two members in one solid folder: the branch filter is position-
+    dependent, so filtering members separately would corrupt the second
+    one — the builder must filter the JOINED stream (and the reader's
+    split must agree)."""
+    from open_semantic_etl_spark.operators.sevenzip import (
+        _BCJ_CODERS,
+        bcj_encode,
+    )
+
+    x86 = b"\x03\x03\x01\x03"
+    a = _branchy_payload()[:3000]
+    b = _branchy_payload()[:3000]
+    joined = bcj_encode(x86, a + b)
+    per_member = bcj_encode(x86, a) + bcj_encode(x86, b)
+    assert joined != per_member  # position-dependence is real on this data
+    arc = build_7z([("a", a), ("b", b)], solid=True, bcj=x86)
+    assert sevenzip_members(arc) == [("a", a), ("b", b)]
+
+
+def test_bcj_crc_catches_corruption():
+    x86 = b"\x03\x03\x01\x03"
+    arc = bytearray(build_7z([("app", _branchy_payload())], bcj=x86))
+    # flip one packed-stream byte (offset 40: inside the LZMA body)
+    arc[40] ^= 0xFF
+    with pytest.raises(SevenZipError):
+        sevenzip_members(bytes(arc))
+
+
+def test_unknown_branch_filters_fail_loudly():
+    """ARM64 (0x0a) / RISC-V (0x0b) / BCJ2 have no liblzma twin here —
+    a folder using them must raise, not decode garbage."""
+    from open_semantic_etl_spark.operators import sevenzip as SZ
+
+    payload = b"plain bytes" * 10
+    chain = [(SZ._CODER_LZMA1, SZ._W_LZMA1_PROPS), (b"\x0a", b"")]
+    packs = [SZ._w_lzma1(payload)]
+    h = io.BytesIO()
+    h.write(SZ._wnum(SZ._K_HEADER))
+    h.write(SZ._wnum(SZ._K_MAIN_STREAMS))
+    h.write(SZ._w_streams_info(0, [len(packs[0])], [len(payload)],
+                               None, None, None, chain=chain))
+    h.write(SZ._wnum(0x05) + SZ._wnum(1))  # kFilesInfo, 1 file
+    name = "x\x00".encode("utf-16-le")
+    h.write(SZ._wnum(0x11) + SZ._wnum(len(name) + 1) + b"\x00" + name)
+    h.write(SZ._wnum(SZ._K_END) + SZ._wnum(SZ._K_END))
+    header = h.getvalue()
+    body = packs[0]
+    tail = (len(body).to_bytes(8, "little") + len(header).to_bytes(8, "little")
+            + zlib.crc32(header).to_bytes(4, "little"))
+    arc = (SEVENZIP_MAGIC + b"\x00\x04" + zlib.crc32(tail).to_bytes(4, "little")
+           + tail + body + header)
+    with pytest.raises(SevenZipError):
+        sevenzip_members(arc)
