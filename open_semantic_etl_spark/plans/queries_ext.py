@@ -1341,6 +1341,9 @@ SELECT base || '#page=2', 2, 'scan' || doc_id || 'b1' || chr(10) || 'scan' || do
 
 
 def _build_warc(d: int) -> bytes:
+    """one response record + its WET ``conversion`` twin (the Common
+    Crawl extracted-text layout) + a request record that must be
+    skipped — covering both child-yielding record types per oracle."""
     body = f"<html><body>Example Domain {d}</body></html>".encode()
     http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
     resp = (
@@ -1351,8 +1354,18 @@ def _build_warc(d: int) -> bytes:
         f"WARC-Date: 2024-03-01T00:00:{d % 60:02d}Z\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
     ).encode() + http
+    wet_text = f"Example Domain {d}".encode()
+    wet = (
+        "\r\n\r\nWARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: http://site{d}.example.com/\r\n"
+        f"WARC-Record-ID: <urn:uuid:wet{d}>\r\n"
+        f"WARC-Date: 2024-03-01T00:00:{d % 60:02d}Z\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(wet_text)}\r\n\r\n"
+    ).encode() + wet_text
     req = b"\r\n\r\nWARC/1.0\r\nWARC-Type: request\r\nContent-Length: 2\r\n\r\nXX"
-    return resp + req
+    return resp + wet + req
 
 
 def q_warc_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,6 +1388,13 @@ SELECT 'http://site' || doc_id || '.example.com//urn:uuid:rec' || doc_id AS url,
        '2024-03-01T00:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z' AS warc_dt,
        '<html><body>Example Domain ' || doc_id || '</body></html>' AS body_text,
        'file:///warc/' || doc_id || '.warc' AS parent_id
+FROM documents WHERE doc_id < 150
+UNION ALL
+SELECT 'http://site' || doc_id || '.example.com//urn:uuid:wet' || doc_id,
+       'http://site' || doc_id || '.example.com/',
+       '2024-03-01T00:00:' || lpad((doc_id % 60)::varchar, 2, '0') || 'Z',
+       'Example Domain ' || doc_id,
+       'file:///warc/' || doc_id || '.warc'
 FROM documents WHERE doc_id < 150
 """
 

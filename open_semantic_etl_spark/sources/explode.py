@@ -862,13 +862,22 @@ def parse_warc(data: bytes) -> list[dict]:
         length = int(headers.get("content-length", "0"))
         payload = data[body_start : body_start + length]
         pos = body_start + length
-        if headers.get("warc-type") == "response":
-            http_m = _HTTP_HDR_END.search(payload)
-            body = payload[http_m.end() :] if http_m else payload
-            if http_m and re.search(
-                rb"(?im)^transfer-encoding:\s*chunked\s*$", payload[: http_m.start()]
-            ):
-                body = _dechunk(body)
+        wtype = headers.get("warc-type")
+        if wtype in ("response", "conversion", "resource"):
+            if wtype == "response":
+                # strip the HTTP envelope + chunked framing
+                http_m = _HTTP_HDR_END.search(payload)
+                body = payload[http_m.end() :] if http_m else payload
+                if http_m and re.search(
+                    rb"(?im)^transfer-encoding:\s*chunked\s*$",
+                    payload[: http_m.start()],
+                ):
+                    body = _dechunk(body)
+            else:
+                # conversion (Common Crawl WET extracted text) and
+                # resource records carry the payload directly, no HTTP
+                # envelope — warcio's content_stream does the same
+                body = payload
             uri = headers.get("warc-target-uri")
             rid = headers.get("warc-record-id", "").strip("<>")
             out.append(

@@ -700,3 +700,40 @@ def test_dbf_explode_stage(spark):
     got = explode_dbf(df).collect()
     assert len(got) == 1 and got[0]["url"] == "file:///a.dbf#dbf#1"
     assert got[0]["numbers"]["value_f"] == 1.5
+
+
+def test_warc_conversion_and_resource_records():
+    """WET (`conversion`) and `resource` records carry their payload
+    without an HTTP envelope — Common Crawl's extracted-text layout;
+    request/metadata records still skip (warcio content_stream parity)."""
+    from open_semantic_etl_spark.sources.explode import parse_warc
+
+    def rec(wtype: str, rid: str, payload: bytes, extra: str = "") -> bytes:
+        return (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {wtype}\r\n"
+            "WARC-Target-URI: http://w.example.com/\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+            "WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            f"{extra}"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode() + payload + b"\r\n\r\n"
+
+    wet_text = b"Extracted text.\nSecond line."
+    http = b"HTTP/1.1 200 OK\r\n\r\n<html>x</html>"
+    blob = (
+        rec("response", "r1", http)
+        + rec("conversion", "w1", wet_text, "Content-Type: text/plain\r\n")
+        + rec("resource", "s1", b"raw resource bytes")
+        + rec("metadata", "m1", b"{}")
+        + rec("request", "q1", b"GET /")
+    )
+    got = {r["child_id"]: r["bytes"] for r in parse_warc(blob)}
+    assert set(got) == {
+        "http://w.example.com//urn:uuid:r1",
+        "http://w.example.com//urn:uuid:w1",
+        "http://w.example.com//urn:uuid:s1",
+    }
+    assert got["http://w.example.com//urn:uuid:w1"] == wet_text
+    assert got["http://w.example.com//urn:uuid:s1"] == b"raw resource bytes"
+    assert got["http://w.example.com//urn:uuid:r1"] == b"<html>x</html>"
