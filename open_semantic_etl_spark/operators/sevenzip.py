@@ -395,13 +395,19 @@ def _apply_coder_inner(coder: dict, raw: bytes, size: int) -> bytes:
     elif cid == _CODER_DELTA:
         if len(props) != 1:
             raise SevenZipError("bad Delta props")
+        if len(raw) != size:  # size-preserving filter: in must equal out
+            raise SevenZipError("7z Delta size mismatch")
         dist = props[0] + 1
-        buf = bytearray(raw[:size])
+        buf = bytearray(raw)
         for i in range(dist, len(buf)):
             buf[i] = (buf[i] + buf[i - dist]) & 0xFF
         out = bytes(buf)
     elif cid in _BCJ_CODERS:
-        out = _bcj_decode(cid, props, raw[:size])
+        # size-preserving: slicing here would fabricate member bytes
+        # from an inconsistent chain instead of rejecting it (r4 review)
+        if len(raw) != size:
+            raise SevenZipError("7z BCJ size mismatch")
+        out = _bcj_decode(cid, props, raw)
     else:
         raise SevenZipError(f"unsupported 7z coder {cid.hex()}")
     if len(out) != size:
@@ -504,7 +510,11 @@ def _decode_streams(data: bytes, si: dict, max_member: int, max_total: int) -> l
     size_idx = 0
     for f, cnt in zip(si["folders"], si["counts"]):
         npack = len(f["packed"])
-        if _folder_unpack_size(f) > max_total:
+        # EVERY coder output in the chain counts, not just the folder's
+        # final one: a crafted [LZMA out=50 GB → BCJ out=10 B] chain
+        # would otherwise materialize the intermediate before any size
+        # check fires (r4 review — the cap must hold BEFORE decompress)
+        if any(s > max_total for s in f["unpack_sizes"]):
             raise SevenZipError("7z folder exceeds caps")
         pack = [
             data[offsets[pack_idx + j] : offsets[pack_idx + j + 1]] for j in range(npack)

@@ -830,7 +830,8 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def parse_warc(data: bytes) -> list[dict]:
-    """yield response records: (child_id, target_uri, warc_date, payload).
+    """yield response/conversion/resource records:
+    (child_id, target_uri, warc_date, payload).
 
     Reads WARC/1.0/1.1 record headers (Content-Length framing) from
     plain OR gzipped input (multi-member ``.warc.gz`` — the Common
@@ -838,7 +839,9 @@ def parse_warc(data: bytes) -> list[dict]:
     to the body and decodes chunked transfer framing, matching
     warcio's content_stream behavior used by enhance_warc.py:80-92.
     (Content-Encoding compression is preserved as-is, also matching
-    content_stream's default.)
+    content_stream's default.)  ``conversion`` (Common Crawl WET
+    extracted text) and ``resource`` records yield their payload
+    directly; request/metadata/warcinfo records skip.
     """
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)

@@ -396,3 +396,46 @@ def test_unknown_branch_filters_fail_loudly():
            + tail + body + header)
     with pytest.raises(SevenZipError):
         sevenzip_members(arc)
+
+
+def test_chain_intermediate_size_capped_before_decompress():
+    """r4 review: a crafted [LZMA1 out=huge -> BCJ out=tiny] chain must
+    be rejected from DECLARED sizes, before the intermediate stream is
+    materialized — and an inconsistent chain must never 'decode' to
+    fabricated bytes."""
+    from open_semantic_etl_spark.operators import sevenzip as SZ
+
+    x86 = b"\x03\x03\x01\x03"
+    big = b"\x00" * (5 << 20)  # 5 MB of zeros packs to ~7 KB
+    pack = SZ._w_lzma1(big)
+    chain = [(SZ._CODER_LZMA1, SZ._W_LZMA1_PROPS), (x86, b"")]
+
+    def arc_with_sizes(lzma_out: int, bcj_out: int) -> bytes:
+        h = io.BytesIO()
+        h.write(SZ._wnum(SZ._K_HEADER))
+        h.write(SZ._wnum(SZ._K_MAIN_STREAMS))
+        # hand-write per-coder unpack sizes (the builder keeps them equal)
+        si = SZ._w_streams_info(0, [len(pack)], [lzma_out], None, None,
+                                None, chain=chain)
+        # _w_streams_info writes [s]*len(chain); patch the two varints
+        a, b = SZ._wnum(lzma_out), SZ._wnum(bcj_out)
+        si = si.replace(a + a, a + b, 1)
+        h.write(si)
+        name = "x\x00".encode("utf-16-le")
+        h.write(SZ._wnum(0x05) + SZ._wnum(1))
+        h.write(SZ._wnum(0x11) + SZ._wnum(len(name) + 1) + b"\x00" + name)
+        h.write(SZ._wnum(SZ._K_END) + SZ._wnum(SZ._K_END))
+        header = h.getvalue()
+        tail = (len(pack).to_bytes(8, "little")
+                + len(header).to_bytes(8, "little")
+                + zlib.crc32(header).to_bytes(4, "little"))
+        return (SEVENZIP_MAGIC + b"\x00\x04"
+                + zlib.crc32(tail).to_bytes(4, "little") + tail + pack + header)
+
+    # declared intermediate blows the cap → rejected before decompress
+    with pytest.raises(SevenZipError, match="caps"):
+        sevenzip_members(arc_with_sizes(len(big), 10),
+                         max_member=1 << 10, max_total=1 << 10)
+    # inconsistent chain within caps → size mismatch, never silent bytes
+    with pytest.raises(SevenZipError, match="size mismatch|wrong size"):
+        sevenzip_members(arc_with_sizes(len(big), 10))
