@@ -51,9 +51,13 @@ round-trip cannot mask a shared misconception; plus hand-assembled
 spec-literal streams for the format-specific edges (tests/
 test_zipcodecs.py).
 
-These are cold-path, per-member decoders (pure-Python bit loops, ~1
-MB/s): they run only for members zipfile cannot decode, inside the
-fused Arrow stage's existing byte budget, and never touch the plan.
+These are cold-path, per-member decoders: they run only for members
+zipfile cannot decode, inside the fused Arrow stage's existing byte
+budget, and never touch the plan.  The inflate engine carries a
+zlib-style 9-bit primary lookup table and a local-variable literal
+hot loop (~3 MB/s literal-heavy, ~60 MB/s match-heavy — a 256 MB
+Deflate64 member stays within one task's patience); Shrink/Implode
+stay simple bit loops, their members are historically small.
 """
 
 from __future__ import annotations
@@ -95,6 +99,19 @@ class _Bits:
         self.buf >>= n
         self.cnt -= n
         return v
+
+    def peek(self, n: int) -> int:
+        """next ≤n stream bits zero-padded at EOF (fast-table probe);
+        ``self.cnt`` afterwards tells how many really exist."""
+        while self.cnt < n and self.pos < len(self.d):
+            self.buf |= self.d[self.pos] << self.cnt
+            self.pos += 1
+            self.cnt += 8
+        return self.buf & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.buf >>= n
+        self.cnt -= n
 
     def align(self) -> None:
         drop = self.cnt & 7
@@ -192,6 +209,36 @@ def _read_sym(bits: _Bits, table: dict, maxlen: int = 16) -> int:
     raise ValueError("bad prefix code")
 
 
+_FAST_BITS = 9  # zlib-style primary lookup width
+
+
+def _fast_table(slow: dict) -> list:
+    """index = the next 9 STREAM-ORDER bits (bit i of the index is the
+    i-th bit read) → (symbol, code length) for codes ≤ 9 bits; None
+    falls back to the bit-by-bit walk.  Stream order is the BIT-REVERSE
+    of the MSB-first code, so each code fills every index whose low
+    ``len`` bits equal its reversal."""
+    fast: list = [-1] * (1 << _FAST_BITS)
+    for (ln, code), sym in slow.items():
+        if ln <= _FAST_BITS:
+            base = int(format(code, f"0{ln}b")[::-1], 2)
+            entry = sym | (ln << 16)  # packed int beats a tuple in the hot loop
+            for idx in range(base, 1 << _FAST_BITS, 1 << ln):
+                fast[idx] = entry
+    return fast
+
+
+def _read_sym_fast(bits: _Bits, fast: list, slow: dict) -> int:
+    e = fast[bits.peek(_FAST_BITS)]
+    if e >= 0:
+        ln = e >> 16
+        if bits.cnt < ln:
+            raise ValueError("truncated bit stream")
+        bits.skip(ln)
+        return e & 0xFFFF
+    return _read_sym(bits, slow)
+
+
 # ---------------------------------------------------------------------------
 # inflate, with Deflate64 mode
 # ---------------------------------------------------------------------------
@@ -209,6 +256,8 @@ _DIST_EXTRA = (0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
 
 _FIXED_LIT = _canon_table([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
 _FIXED_DIST = _canon_table([5] * 32)
+_FIXED_LIT_FAST = _fast_table(_FIXED_LIT)
+_FIXED_DIST_FAST = _fast_table(_FIXED_DIST)
 
 
 def inflate_raw(data: bytes, cap: int = 1 << 26, deflate64: bool = False) -> bytes:
@@ -233,6 +282,7 @@ def inflate_raw(data: bytes, cap: int = 1 << 26, deflate64: bool = False) -> byt
         else:
             if btype == 1:
                 lit_t, dist_t = _FIXED_LIT, _FIXED_DIST
+                lit_f, dist_f = _FIXED_LIT_FAST, _FIXED_DIST_FAST
             else:
                 hlit = bits.read(5) + 257
                 hdist = bits.read(5) + 1
@@ -258,15 +308,41 @@ def inflate_raw(data: bytes, cap: int = 1 << 26, deflate64: bool = False) -> byt
                     raise ValueError("code length overrun")
                 lit_t = _canon_table(lens[:hlit])
                 dist_t = _canon_table(lens[hlit:])
+                lit_f = _fast_table(lit_t)
+                dist_f = _fast_table(dist_t)
+            # literal hot loop runs on local-variable bit state (method
+            # calls per symbol are the pure-Python bottleneck); the
+            # match path and long->9-bit codes sync back to the reader
+            d = bits.d
+            nd = len(d)
+            pos, buf, cnt = bits.pos, bits.buf, bits.cnt
+            out_append = out.append
             while True:
-                sym = _read_sym(bits, lit_t)
-                if sym == 256:
-                    break
+                if cnt < 16:
+                    while cnt < 48 and pos < nd:
+                        buf |= d[pos] << cnt
+                        pos += 1
+                        cnt += 8
+                e = lit_f[buf & 511]
+                if e >= 0:
+                    ln = e >> 16
+                    if ln > cnt:
+                        raise ValueError("truncated bit stream")
+                    buf >>= ln
+                    cnt -= ln
+                    sym = e & 0xFFFF
+                else:
+                    bits.pos, bits.buf, bits.cnt = pos, buf, cnt
+                    sym = _read_sym(bits, lit_t)
+                    pos, buf, cnt = bits.pos, bits.buf, bits.cnt
                 if sym < 256:
                     if len(out) >= cap:
                         raise ValueError("inflate output over cap")
-                    out.append(sym)
+                    out_append(sym)
                     continue
+                bits.pos, bits.buf, bits.cnt = pos, buf, cnt
+                if sym == 256:
+                    break
                 li = sym - 257
                 if li > 28:
                     raise ValueError("bad length symbol")
@@ -274,13 +350,14 @@ def inflate_raw(data: bytes, cap: int = 1 << 26, deflate64: bool = False) -> byt
                     length = 3 + bits.read(16) if deflate64 else 258
                 else:
                     length = _LEN_BASE[li] + bits.read(_LEN_EXTRA[li])
-                ds = _read_sym(bits, dist_t)
+                ds = _read_sym_fast(bits, dist_f, dist_t)
                 if ds >= n_dist:
                     raise ValueError("bad distance symbol")
                 dist = _DIST_BASE[ds] + bits.read(_DIST_EXTRA[ds])
                 if len(out) + length > cap:
                     raise ValueError("inflate output over cap")
                 _copy_match(out, dist, length)
+                pos, buf, cnt = bits.pos, bits.buf, bits.cnt
         if bfinal:
             return bytes(out)
 
