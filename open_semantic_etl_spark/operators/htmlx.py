@@ -144,6 +144,8 @@ _MAGIC = (
     (b"\x04\x22\x4d\x18", "application/x-lz4"),
     (b"\xff\x06\x00\x00sNaPpY", "application/x-snappy-framed"),
     (b"WARC/", "application/warc"),
+    (b"\x00\x05\x16\x00", "application/applefile"),
+    (b"\x00\x05\x16\x07", "application/applefile"),
     (b"SQLite format 3\x00", "application/x-sqlite3"),
     (b"ARROW1\x00\x00", "application/vnd.apache.arrow.file"),
     (b"Obj\x01", "application/avro"),
@@ -194,6 +196,41 @@ def sniff_dbf(data: bytes) -> bool:
         return False
     # header = 32 + 32*nfields + 1 terminator (+263 VFP backlink)
     return (hdr - 33) % 32 == 0 or (hdr - 296) % 32 == 0
+
+def applesingle_fork(data: bytes) -> tuple[bytes | None, str | None]:
+    """AppleSingle/AppleDouble (RFC 1740) → (data fork, real name).
+
+    Tika's AppleSingleFileParser indexes the embedded file, so an
+    AppleSingle payload is transparent like a ``.gz`` member.  An
+    AppleDouble ``._`` sidecar has NO data-fork entry (it carries the
+    resource fork/Finder metadata only) and returns (None, name) —
+    the caller keeps the container label.  Raises ValueError on
+    malformed headers (the caller's degrade rule applies)."""
+    import struct
+
+    if len(data) < 26 or data[:3] != b"\x00\x05\x16":
+        raise ValueError("not an AppleSingle/AppleDouble file")
+    version = struct.unpack_from(">I", data, 4)[0]
+    if version not in (0x00010000, 0x00020000):
+        raise ValueError("bad AppleSingle version")
+    n = struct.unpack_from(">H", data, 24)[0]
+    if n > 64:
+        raise ValueError("implausible AppleSingle entry count")
+    fork: bytes | None = None
+    name: str | None = None
+    for i in range(n):
+        at = 26 + 12 * i
+        if at + 12 > len(data):
+            raise ValueError("truncated AppleSingle entry table")
+        eid, off, ln = struct.unpack_from(">III", data, at)
+        if off + ln > len(data):
+            raise ValueError("AppleSingle entry out of bounds")
+        if eid == 1:  # data fork
+            fork = data[off : off + ln]
+        elif eid == 3:  # real name
+            name = data[off : off + ln].decode("utf-8", "replace").strip()
+    return fork, name
+
 
 #: transparently-decompressed single-member formats (Tika's
 #: CompressorParser behavior: a .html.gz indexes as its inner html)
@@ -748,6 +785,23 @@ def extract_html(data: bytes | None, _depth: int = 0) -> dict:
                 # WARC members stay containers for the warc-explode path
                 return extract_html(inner, _depth + 1)
             res["content_type"] = sniffed
+            return res
+        if sniffed == "application/applefile" and _depth < 2:
+            # AppleSingle embeds the real file as its data fork (Tika
+            # AppleSingleFileParser); AppleDouble "._" sidecars carry
+            # metadata only and keep the container label
+            try:
+                fork, real_name = applesingle_fork(data)
+            except ValueError:
+                fork, real_name = None, None
+            if fork:
+                inner = extract_html(fork, _depth + 1)
+                if not inner["title"] and real_name:
+                    inner["title"] = real_name
+                return inner
+            res["content_type"] = sniffed
+            if real_name:
+                res["title"] = real_name
             return res
         from open_semantic_etl_spark.operators.media import (
             OCR_IMAGE_TYPES,

@@ -924,3 +924,69 @@ def test_fb2_extraction_and_routing():
     )
     d = extract_fb2(noisy)
     assert d["content"] == "Absatz eins.\nAbsatz zwei."
+
+
+# ---------------------------------------------------------------------------
+# AppleSingle / AppleDouble (RFC 1740 — Tika AppleSingleFileParser)
+# ---------------------------------------------------------------------------
+
+
+def _applesingle(entries, magic=b"\x00\x05\x16\x00"):
+    import struct
+
+    head = magic + struct.pack(">I", 0x00020000) + b"\x00" * 16
+    head += struct.pack(">H", len(entries))
+    off = 26 + 12 * len(entries)
+    table = b""
+    blob = b""
+    for eid, payload in entries:
+        table += struct.pack(">III", eid, off, len(payload))
+        blob += payload
+        off += len(payload)
+    return head + table + blob
+
+
+def test_applesingle_unwraps_data_fork():
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+
+    html = b"<html><title>Inner Doc</title><body><p>Apple payload.</p></body></html>"
+    data = _applesingle([(1, html), (3, b"report.html")])
+    res = extract_html(data)
+    assert res["ok"]
+    assert res["title"] == "Inner Doc"
+    assert "Apple payload." in res["content"]
+    # untitled inner document falls back to the real-name entry
+    data2 = _applesingle([(3, b"notes.txt"), (1, b"plain words only here")])
+    res2 = extract_html(data2)
+    assert res2["title"] == "notes.txt"
+    assert "plain words only here" in res2["content"]
+
+
+def test_appledouble_sidecar_keeps_container_label():
+    from open_semantic_etl_spark.operators.htmlx import extract_html
+
+    # AppleDouble: finder info + name, NO data fork
+    data = _applesingle(
+        [(9, b"\x00" * 32), (3, b"photo.jpg")], magic=b"\x00\x05\x16\x07"
+    )
+    res = extract_html(data)
+    assert res["content_type"] == "application/applefile"
+    assert res["title"] == "photo.jpg"
+    assert not res["content"]
+
+
+def test_applesingle_malformed_degrades():
+    from open_semantic_etl_spark.operators.htmlx import (
+        applesingle_fork,
+        extract_html,
+    )
+    import pytest as _pytest
+    import struct
+
+    # entry table pointing past EOF
+    bad = (b"\x00\x05\x16\x00" + struct.pack(">I", 0x00020000) + b"\x00" * 16
+           + struct.pack(">H", 1) + struct.pack(">III", 1, 9999, 50))
+    with _pytest.raises(ValueError):
+        applesingle_fork(bad)
+    res = extract_html(bad)  # total function: degrade, don't throw
+    assert res["content_type"] == "application/applefile"
