@@ -679,9 +679,14 @@ def _parse_asf(data: bytes) -> dict:
         if osize < 24:
             break
         body = data[pos + 24 : pos + osize]
-        if guid == _ASF_FILE_PROPS and len(body) >= 64:
-            play_100ns = int.from_bytes(body[40:48], "little")
-            preroll_ms = int.from_bytes(body[56:64], "little")
+        if guid == _ASF_FILE_PROPS and len(body) >= 68:
+            # [MS-ASF] 2.3.2: when Flags bit 0 (Broadcast Flag) is set
+            # the Play/Send Duration and File Size fields "shall be
+            # ignored" — live captures leave garbage there (r4 review:
+            # an all-FF duration parsed to ~58,000 years)
+            if not int.from_bytes(body[64:68], "little") & 1:
+                play_100ns = int.from_bytes(body[40:48], "little")
+                preroll_ms = int.from_bytes(body[56:64], "little")
         elif guid == _ASF_STREAM_PROPS and len(body) >= 54:
             stype = body[0:16]
             ts_len = int.from_bytes(body[40:44], "little")
@@ -1421,11 +1426,13 @@ def build_asf(duration_ms: int, w: int = 0, h: int = 0,
         return guid + struct.pack("<Q", 24 + len(body)) + body
 
     subs = []
-    fp = (
+    fp = (  # 80-byte body per [MS-ASF] 2.3.2 (r4 review: the old 76-byte
+        # form omitted Maximum Bitrate and only our own parser took it)
         b"\x00" * 16 + struct.pack("<QQQ", 0, 0, 0)
         + struct.pack("<Q", (duration_ms + 500) * 10_000)
         + struct.pack("<Q", 0) + struct.pack("<Q", 500)  # preroll 500 ms
-        + struct.pack("<I", 2) + struct.pack("<II", 0, 0)
+        + struct.pack("<I", 2)  # flags: seekable, NOT broadcast
+        + struct.pack("<III", 0, 0, 0)  # min/max packet size, max bitrate
     )
     subs.append(obj(_ASF_FILE_PROPS, fp))
     if w and h:

@@ -63,18 +63,19 @@ _ZIP_MAX_DEPTH = 8               # zip-in-zip nesting
 
 
 def _walk_pairs(
-    members: list,
+    members,  # iterable of (name, payload) — lists and generators both
     base_id: str,
     container: str,
     _depth: int,
-    _budget: list[int] | None,
+    _budget: list[int],
 ) -> list[dict]:
     """shared (name, payload) → member-row loop for the native archive
     readers (7z/iso/rar/cab/arj): zip-tier id scheme, byte budget with
     a 64 B minimum charge (a million empty members cannot spin the
-    worker), oversized-member skip, nesting dispatch."""
-    if _budget is None:
-        _budget = [ZIP_MAX_ARCHIVE_BYTES]
+    worker), oversized-member skip, nesting dispatch.  ``_budget`` is
+    required: every caller initializes it first because the reader
+    itself needs ``_budget[0]`` as its decode cap (r4 review: the old
+    None-default here was dead code)."""
     out: list[dict] = []
     for name, payload in members:
         if len(payload) > min(ZIP_MAX_MEMBER_BYTES, _budget[0]):

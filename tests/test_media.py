@@ -530,3 +530,61 @@ def test_extract_html_routes_media():
 
     r = extract_html(_gzip.compress(build_png(5, 6, {"Title": "Z"})))
     assert r["content_type"] == "image/png" and r["title"] == "Z"
+
+
+def test_asf_hand_assembled_spec_literal():
+    """[MS-ASF] literal bytes assembled field-by-field from the spec
+    tables, NOT via build_asf — a shared writer/reader offset mistake
+    cannot hide here (the .Z hand-packed-stream rule)."""
+    import struct
+
+    hdr_guid = bytes.fromhex("3026b2758e66cf11a6d900aa0062ce6c")
+    fp_guid = bytes.fromhex("a1dcab8c47a9cf118ee400c00c205365")
+    cd_guid = bytes.fromhex("3326b2758e66cf11a6d900aa0062ce6c")
+
+    # File Properties: 80-byte body laid out per 2.3.2
+    fp_body = (
+        b"\x11" * 16                                   # File ID
+        + struct.pack("<Q", 4096)                      # File Size
+        + struct.pack("<Q", 0)                         # Creation Date
+        + struct.pack("<Q", 7)                         # Data Packets Count
+        + struct.pack("<Q", 125_000_000)               # Play Duration: 12.5 s
+        + struct.pack("<Q", 120_000_000)               # Send Duration
+        + struct.pack("<Q", 2_500)                     # Preroll: 2500 ms
+        + struct.pack("<I", 0x02)                      # Flags: seekable
+        + struct.pack("<I", 100) + struct.pack("<I", 100)
+        + struct.pack("<I", 64_000)                    # Maximum Bitrate
+    )
+    fp = fp_guid + struct.pack("<Q", 24 + len(fp_body)) + fp_body
+    title = "Spec Literal".encode("utf-16-le") + b"\x00\x00"
+    author = "Author X".encode("utf-16-le") + b"\x00\x00"
+    cd_body = struct.pack("<HHHHH", len(title), len(author), 0, 0, 0) + title + author
+    cd = cd_guid + struct.pack("<Q", 24 + len(cd_body)) + cd_body
+    objs = fp + cd
+    data = (hdr_guid + struct.pack("<Q", 30 + len(objs))
+            + struct.pack("<I", 2) + b"\x01\x02" + objs)
+    r = extract_media(data)
+    assert r["ok"]
+    # 12.5 s play duration minus 2.5 s preroll = 10 s exactly
+    assert r["duration_ms"] == 10_000
+    assert r["title"] == "Spec Literal"
+    assert r["author"] == "Author X"
+
+
+def test_asf_broadcast_flag_ignores_duration():
+    """[MS-ASF] 2.3.2: Broadcast Flag set -> Play Duration is garbage
+    and shall be ignored (r4 review: all-FF parsed to ~58,000 years)."""
+    import struct
+
+    from open_semantic_etl_spark.operators.media import build_asf
+
+    data = bytearray(build_asf(30_000, w=320, h=240))
+    fp_guid = bytes.fromhex("a1dcab8c47a9cf118ee400c00c205365")
+    at = bytes(data).index(fp_guid)
+    body = at + 24
+    data[body + 40 : body + 48] = b"\xff" * 8  # garbage play duration
+    data[body + 64 : body + 68] = struct.pack("<I", 0x03)  # broadcast|seekable
+    r = extract_media(bytes(data))
+    assert r["ok"]  # video stream still parses
+    assert r["width"] == 320
+    assert r["duration_ms"] is None  # ignored entirely per spec
