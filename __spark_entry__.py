@@ -453,9 +453,27 @@ WHERE len(w) > 0""",
         # from the Spark operators) and keyed per sf dir by a content
         # checksum of the input table.
         "minhash_lsh": """
-SELECT id_a, id_b, est_jaccard
-FROM read_parquet('/root/repo/goldens/minhash_lsh.parquet')
-WHERE _key = (SELECT SUM(n_chars) FROM documents)""",
+WITH g AS (
+  SELECT id_a, id_b, est_jaccard
+  FROM read_parquet('/root/repo/goldens/minhash_lsh.parquet')
+  WHERE _key = (SELECT SUM(n_chars) FROM documents)
+), m AS (
+  -- incremental probe: even ids are the index, odd ids the new batch;
+  -- a band collision is a property of the PAIR, so the cross-parity
+  -- subset of the whole-corpus golden IS the probe result
+  SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS id_a,
+         CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_b,
+         est_jaccard
+  FROM g WHERE (id_a % 2) != (id_b % 2)
+)
+SELECT id_a, id_b, est_jaccard, 'batch' AS kind FROM g
+UNION ALL
+SELECT id_a, id_b, est_jaccard, 'probe' FROM m
+UNION ALL
+SELECT NULL, d.doc_id, NULL, 'novel'
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = d.doc_id)""",
         "simhash": """
 SELECT doc_id, simhash
 FROM read_parquet('/root/repo/goldens/simhash.parquet')

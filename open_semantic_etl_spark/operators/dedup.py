@@ -202,6 +202,31 @@ def minhash_signature(text: Column, num_hashes: int = 64, shingle_n: int = 3) ->
     return udf(text)
 
 
+def _band_table(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, sig) → (_id, band, bh): one row per LSH band, band hash =
+    xxhash64 over the signature slice — the ~20 B/row key-only shape
+    every LSH shuffle in this module carries (never the signature)."""
+    rows = num_hashes // bands
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bh"),
+        ),
+    )
+    return sig.select("_id", F.explode(band_arr).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -226,7 +251,6 @@ def lsh_candidate_pairs(
     so MinHash is computed once per doc; when omitted, the signature
     plan is evaluated per join branch (fine at test scale).
     """
-    rows = num_hashes // bands
     sig = signatures
     if sig is None:
         sig = df.select(
@@ -235,22 +259,7 @@ def lsh_candidate_pairs(
         )
     else:
         sig = sig.select(F.col(id_col).alias("_id"), F.col("sig"))
-    # one nested expression: band b → hash of its signature slice
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                F.array_join(
-                    F.transform(F.slice(F.col("sig"), b * rows + 1, rows), lambda v: v.cast("string")),
-                    ",",
-                )
-            ).alias("bh"),
-        ),
-    )
-    exploded = sig.select("_id", F.explode(band_arr).alias("bb")).select(
-        "_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    exploded = _band_table(sig, num_hashes, bands)
     # one short-key shuffle: bucket-join on (band, band_hash)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -271,6 +280,124 @@ def lsh_candidate_pairs(
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH: persisted band index, probe-new-batch-against-corpus
+# ---------------------------------------------------------------------------
+#
+# The 100 TB dedup problem is incremental: each ingest batch must dedup
+# against the ENTIRE existing corpus without recomputing it.  The index
+# is two append-only parquet tables:
+#
+#   <path>/bands/_bb=<k>/…   (_id, band, bh)  hive-partitioned on
+#                            _bb = pmod(xxhash64(bh), n_buckets)
+#   <path>/sigs/_sb=<k>/…    (_id, sig)       partitioned on
+#                            _sb = pmod(xxhash64(_id), n_buckets)
+#
+# Probe shape: the batch's band table joins index bands on (band, bh) —
+# key-only shuffle, ~20 B/row, the same trim as lsh_candidate_pairs;
+# `_bb` rides along so the parquet scan partition-prunes when the probe
+# batch is small relative to n_buckets (and Spark's dynamic partition
+# pruning applies when it is selective).  Signatures rejoin ONLY the
+# candidate pair set (candidates ≪ corpus → AQE broadcasts them; the
+# index signature table never shuffles).  Appends touch only the
+# buckets the new batch hashes into — the merge_by_url bucket-pruning
+# rule applied to the dedup index.
+
+
+def build_lsh_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+    mode: str = "append",
+) -> None:
+    """persist (or extend) the LSH index with this batch's bands and
+    signatures.  ``n_buckets`` sizing follows the checkpoint rule:
+    buckets ≈ index_bytes / target_rewrite_unit."""
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    bands_df = _band_table(sig, num_hashes, bands).withColumn(
+        "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
+    )
+    bands_df.write.mode(mode).partitionBy("_bb").parquet(f"{index_path}/bands")
+    sig.withColumn(
+        "_sb", F.pmod(F.xxhash64("_id"), F.lit(n_buckets))
+    ).write.mode(mode).partitionBy("_sb").parquet(f"{index_path}/sigs")
+
+
+def probe_lsh_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """dedup a new batch against the persisted index WITHOUT touching
+    the corpus text: → (index_id, probe_id, est_jaccard, matched).
+
+    One row per (index doc, probe doc) band collision pair (deduped on
+    the id pair before signatures rejoin), plus one ``matched=false``
+    row (null index_id/est_jaccard) for every novel probe doc — the
+    keep-set of an incremental ingest."""
+    spark = df.sparkSession
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    )
+    probe_bands = _band_table(sig, num_hashes, bands).withColumn(
+        "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
+    )
+    idx_bands = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("_id").alias("_iid"), "band", "bh", "_bb"
+    )
+    # key-only pair join; _bb in the key lets the scan partition-prune
+    pairs = (
+        probe_bands.join(idx_bands, on=["_bb", "band", "bh"], how="inner")
+        .select(F.col("_iid").alias("index_id"), F.col("_id").alias("probe_id"))
+        .distinct()
+    )
+    idx_sigs = spark.read.parquet(f"{index_path}/sigs").select(
+        F.col("_id").alias("index_id"), F.col("sig").alias("sig_i")
+    )
+    probe_sigs = sig.select(F.col("_id").alias("probe_id"), F.col("sig").alias("sig_p"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_i", "sig_p", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    )
+    dups = (
+        pairs.join(idx_sigs, "index_id")
+        .join(probe_sigs, "probe_id")
+        .select(
+            "index_id",
+            "probe_id",
+            est.alias("est_jaccard"),
+            F.lit(True).alias("matched"),
+        )
+    )
+    novel = (
+        df.select(F.col(id_col).alias("probe_id"))
+        .join(pairs.select("probe_id").distinct(), "probe_id", "left_anti")
+        .select(
+            F.lit(None).cast("long").alias("index_id"),
+            "probe_id",
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(False).alias("matched"),
+        )
+    )
+    return dups.select("index_id", "probe_id", "est_jaccard", "matched").unionByName(
+        novel
     )
 
 

@@ -373,12 +373,47 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (xxhash64 family — rows-only vs oracle;
-    recall proven against exact Jaccard in tests/test_dedup.py)."""
-    from open_semantic_etl_spark.operators.dedup import lsh_candidate_pairs
+    """MinHash-LSH, both modes kind-tagged under one oracle:
+
+    ``batch`` — whole-corpus candidate pairs (lsh_candidate_pairs).
+    ``probe``/``novel`` — the INCREMENTAL path: even doc_ids build a
+    persisted band index (build_lsh_index, bucket-partitioned), odd
+    doc_ids probe it (probe_lsh_index) without touching corpus text;
+    collisions carry (index_id→id_a, probe_id→id_b, est_jaccard) and
+    novel probe docs a null-id_a row.  The DuckDB twin derives both
+    modes from the same numpy golden: band collision is a property of
+    the PAIR, independent of which set each doc sits in."""
+    import hashlib
+
+    from open_semantic_etl_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_candidate_pairs,
+        probe_lsh_index,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return lsh_candidate_pairs(docs, text_col="text", id_col="doc_id")
+    batch = lsh_candidate_pairs(docs, text_col="text", id_col="doc_id").withColumn(
+        "kind", F.lit("batch")
+    )
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    index_path = f"/tmp/spark_graft_lsh_index_{key}"
+    build_lsh_index(
+        docs.filter(F.col("doc_id") % 2 == 0), index_path, mode="overwrite"
+    )
+    probed = probe_lsh_index(docs.filter(F.col("doc_id") % 2 == 1), index_path)
+    probe_rows = probed.filter(F.col("matched")).select(
+        F.col("index_id").alias("id_a"),
+        F.col("probe_id").alias("id_b"),
+        "est_jaccard",
+        F.lit("probe").alias("kind"),
+    )
+    novel_rows = probed.filter(~F.col("matched")).select(
+        F.lit(None).cast("long").alias("id_a"),
+        F.col("probe_id").alias("id_b"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+        F.lit("novel").alias("kind"),
+    )
+    return batch.unionByName(probe_rows).unionByName(novel_rows)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

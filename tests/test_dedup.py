@@ -620,3 +620,58 @@ def test_exact_substring_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_incremental_lsh_probe_matches_batch_relation(spark, corpus, tmp_path):
+    """probe-against-index must reproduce exactly the cross-set subset
+    of the whole-corpus band-collision relation (the property the
+    driver oracle derives from the golden), and novel = complement."""
+    idx_docs = corpus.filter(F.col("doc_id") % 2 == 0)
+    probe_docs = corpus.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lsh_index")
+    D.build_lsh_index(idx_docs, path, mode="overwrite")
+    probed = D.probe_lsh_index(probe_docs, path).collect()
+
+    batch = D.lsh_candidate_pairs(corpus).collect()
+    want = {
+        (r.id_a if r.id_a % 2 == 0 else r.id_b,
+         r.id_b if r.id_a % 2 == 0 else r.id_a): r.est_jaccard
+        for r in batch
+        if (r.id_a % 2) != (r.id_b % 2)
+    }
+    got = {(r.index_id, r.probe_id): r.est_jaccard for r in probed if r.matched}
+    assert got == want
+    novel = {r.probe_id for r in probed if not r.matched}
+    matched_probe = {p for _, p in got}
+    all_probe = {r.doc_id for r in probe_docs.collect()}
+    assert novel == all_probe - matched_probe
+    assert all(r.index_id is None and r.est_jaccard is None
+               for r in probed if not r.matched)
+
+
+def test_incremental_lsh_append_extends_index(spark, corpus, tmp_path):
+    """a second batch appends: the probe then collides with members of
+    BOTH builds (the append-only ingest flow)."""
+    path = str(tmp_path / "idx")
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 0), path, mode="overwrite")
+    probe = corpus.filter(F.col("doc_id") == 2)  # near-dup of 0 and of 7
+    first = {r.index_id for r in D.probe_lsh_index(probe, path).collect() if r.matched}
+    assert first == {0}
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 7), path)  # append
+    second = {r.index_id for r in D.probe_lsh_index(probe, path).collect() if r.matched}
+    assert second == {0, 7}
+
+
+def test_incremental_lsh_probe_shuffle_carries_no_signatures(spark, corpus, tmp_path):
+    """the pair join must exchange only (_bb, band, bh, ids) — a sig
+    column riding that shuffle is the payload-shuffle anti-pattern the
+    r3 review caught in lsh_topk."""
+    path = str(tmp_path / "idx2")
+    D.build_lsh_index(corpus.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite")
+    plan = D.probe_lsh_index(
+        corpus.filter(F.col("doc_id") % 2 == 1), path
+    )._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "sig" not in m.group(1), m.group(0)
