@@ -56,8 +56,9 @@ zipfile cannot decode, inside the fused Arrow stage's existing byte
 budget, and never touch the plan.  The inflate engine carries a
 zlib-style 9-bit primary lookup table and a local-variable literal
 hot loop (~3 MB/s literal-heavy, ~60 MB/s match-heavy — a 256 MB
-Deflate64 member stays within one task's patience); Shrink/Implode
-stay simple bit loops, their members are historically small.
+Deflate64 member stays within one task's patience); implode's three
+trees ride the same fast table; Shrink stays a simple LZW loop, its
+members are historically small.
 """
 
 from __future__ import annotations
@@ -551,19 +552,25 @@ def explode_implode(
     minmatch = 3 if has_lit else 2
     pos = 0
     lit_t: dict | None = None
+    lit_f: list | None = None
     if has_lit:
         lit_t, pos = _read_sf_tree(data, pos, 256)
+        lit_f = _fast_table(lit_t)
     len_t, pos = _read_sf_tree(data, pos, 64)
     dist_t, pos = _read_sf_tree(data, pos, 64)
+    len_f = _fast_table(len_t)
+    dist_f = _fast_table(dist_t)
     bits = _Bits(data[pos:])
     out = bytearray()
     while len(out) < out_size:
         if bits.read(1):
-            out.append(_read_sym(bits, lit_t) if has_lit else bits.read(8))
+            out.append(
+                _read_sym_fast(bits, lit_f, lit_t) if has_lit else bits.read(8)
+            )
             continue
         dlow = bits.read(low_bits)
-        dist = ((_read_sym(bits, dist_t) << low_bits) | dlow) + 1
-        lsym = _read_sym(bits, len_t)
+        dist = ((_read_sym_fast(bits, dist_f, dist_t) << low_bits) | dlow) + 1
+        lsym = _read_sym_fast(bits, len_f, len_t)
         length = lsym + minmatch + (bits.read(8) if lsym == 63 else 0)
         if len(out) + length > out_size:
             length = out_size - len(out)  # size governs; CRC decides
