@@ -317,10 +317,20 @@ def build_lsh_index(
     shingle_n: int = 3,
     n_buckets: int = 64,
     mode: str = "append",
+    epoch: int | None = None,
 ) -> None:
     """persist (or extend) the LSH index with this batch's bands and
     signatures.  ``n_buckets`` sizing follows the checkpoint rule:
-    buckets ≈ index_bytes / target_rewrite_unit."""
+    buckets ≈ index_bytes / target_rewrite_unit.
+
+    ``epoch`` routes the write into a ``_epoch=<n>`` partition dir and
+    forces overwrite OF THAT DIR only — the foreachBatch idempotence
+    trick: a retried streaming epoch rewrites its own partition instead
+    of double-appending.  Pick one layout per index (all-epoch or
+    no-epoch); partition discovery cannot mix them."""
+    suffix = f"/_epoch={epoch}" if epoch is not None else ""
+    if epoch is not None:
+        mode = "overwrite"
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
@@ -328,10 +338,12 @@ def build_lsh_index(
     bands_df = _band_table(sig, num_hashes, bands).withColumn(
         "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
     )
-    bands_df.write.mode(mode).partitionBy("_bb").parquet(f"{index_path}/bands")
+    bands_df.write.mode(mode).partitionBy("_bb").parquet(
+        f"{index_path}/bands{suffix}"
+    )
     sig.withColumn(
         "_sb", F.pmod(F.xxhash64("_id"), F.lit(n_buckets))
-    ).write.mode(mode).partitionBy("_sb").parquet(f"{index_path}/sigs")
+    ).write.mode(mode).partitionBy("_sb").parquet(f"{index_path}/sigs{suffix}")
 
 
 def probe_lsh_index(
@@ -343,15 +355,33 @@ def probe_lsh_index(
     bands: int = 16,
     shingle_n: int = 3,
     n_buckets: int = 64,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """dedup a new batch against the persisted index WITHOUT touching
     the corpus text: → (index_id, probe_id, est_jaccard, matched).
 
+    ``exclude_epoch`` drops that ``_epoch`` partition from the probe —
+    a RETRIED streaming epoch must not collide with its own partial
+    write (stream_dedup_ingest passes the current epoch id).
+
     One row per (index doc, probe doc) band collision pair (deduped on
     the id pair before signatures rejoin), plus one ``matched=false``
     row (null index_id/est_jaccard) for every novel probe doc — the
-    keep-set of an incremental ingest."""
+    keep-set of an incremental ingest.  A missing/empty index (the
+    streaming bootstrap batch) yields all-novel."""
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    try:
+        idx_raw = spark.read.parquet(f"{index_path}/bands")
+    except Exception:  # AnalysisException: PATH_NOT_FOUND — empty index
+        return df.select(
+            F.lit(None).cast(id_type).alias("index_id"),
+            F.col(id_col).alias("probe_id"),
+            F.lit(None).cast("double").alias("est_jaccard"),
+            F.lit(False).alias("matched"),
+        )
+    if exclude_epoch is not None and "_epoch" in idx_raw.columns:
+        idx_raw = idx_raw.filter(F.col("_epoch") != exclude_epoch)
     sig = df.select(
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
@@ -359,16 +389,17 @@ def probe_lsh_index(
     probe_bands = _band_table(sig, num_hashes, bands).withColumn(
         "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
     )
-    idx_bands = spark.read.parquet(f"{index_path}/bands").select(
-        F.col("_id").alias("_iid"), "band", "bh", "_bb"
-    )
+    idx_bands = idx_raw.select(F.col("_id").alias("_iid"), "band", "bh", "_bb")
     # key-only pair join; _bb in the key lets the scan partition-prune
     pairs = (
         probe_bands.join(idx_bands, on=["_bb", "band", "bh"], how="inner")
         .select(F.col("_iid").alias("index_id"), F.col("_id").alias("probe_id"))
         .distinct()
     )
-    idx_sigs = spark.read.parquet(f"{index_path}/sigs").select(
+    idx_sigs = spark.read.parquet(f"{index_path}/sigs")
+    if exclude_epoch is not None and "_epoch" in idx_sigs.columns:
+        idx_sigs = idx_sigs.filter(F.col("_epoch") != exclude_epoch)
+    idx_sigs = idx_sigs.select(
         F.col("_id").alias("index_id"), F.col("sig").alias("sig_i")
     )
     probe_sigs = sig.select(F.col("_id").alias("probe_id"), F.col("sig").alias("sig_p"))
@@ -390,7 +421,7 @@ def probe_lsh_index(
         df.select(F.col(id_col).alias("probe_id"))
         .join(pairs.select("probe_id").distinct(), "probe_id", "left_anti")
         .select(
-            F.lit(None).cast("long").alias("index_id"),
+            F.lit(None).cast(id_type).alias("index_id"),
             "probe_id",
             F.lit(None).cast("double").alias("est_jaccard"),
             F.lit(False).alias("matched"),

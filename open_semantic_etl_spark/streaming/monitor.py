@@ -67,6 +67,81 @@ def stream_enrich(
     return writer.start()
 
 
+def stream_dedup_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+    n_buckets: int = 64,
+    max_files_per_trigger: int = 1,
+):
+    """streaming incremental dedup: each micro-batch probes the
+    persisted LSH band index, keeps only docs novel against the whole
+    already-ingested corpus AND within the batch, writes the keep-set,
+    and appends the keep-set's bands to the index.
+
+    Idempotence under foreachBatch retries: both the keep-set and the
+    index append land in ``_epoch=<id>`` partition dirs written with
+    overwrite — a replayed epoch rewrites its own partition (the same
+    trick the checkpoint merge uses for buckets).  Scale shape per
+    batch: probe = key-only band join against the bucket-partitioned
+    index (dedup.probe_lsh_index — corpus text never re-read), batch
+    self-dedup = lsh_candidate_pairs on the novel subset only.
+    Returns the StreamingQuery."""
+    import os
+
+    from open_semantic_etl_spark.operators.dedup import (
+        build_lsh_index,
+        lsh_candidate_pairs,
+        probe_lsh_index,
+    )
+
+    index_path = os.path.join(out_root, "lsh_index")
+    kept_root = os.path.join(out_root, "kept")
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # probed 3×
+        probed = probe_lsh_index(
+            batch_df, index_path, id_col="url", n_buckets=n_buckets,
+            exclude_epoch=epoch_id,
+        )
+        novel_ids = probed.filter(~F.col("matched")).select(
+            F.col("probe_id").alias("url")
+        )
+        novel = batch_df.join(novel_ids, "url")
+        # within-batch dedup: for every colliding pair keep the smaller
+        # url (deterministic; conservative on chains — cluster-resolve
+        # is dedup.dup_clusters when exactness matters)
+        drop = (
+            lsh_candidate_pairs(novel, text_col="text", id_col="url")
+            .select(F.col("id_b").alias("url"))
+            .distinct()
+        )
+        kept = novel.join(drop, "url", "left_anti").localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(f"{kept_root}/_epoch={epoch_id}")
+        build_lsh_index(
+            kept, index_path, id_col="url", n_buckets=n_buckets, epoch=epoch_id
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="10 seconds")
+    return writer.start()
+
+
 def windowed_event_metrics(events_stream: DataFrame) -> DataFrame:
     """watermarked 5-minute windows per event_type (late data tolerated
     up to 10 minutes) — the streaming-aggregation surface."""

@@ -134,3 +134,66 @@ def test_host_sessions_gap_below_watermark(spark, tmp_path):
     # host-a finalized with both rows (1-minute gap split? 10:00 vs
     # 10:05 is > gap → two sessions of 1 page each)
     assert ("host-a.org", 1) in done
+
+
+def test_stream_dedup_ingest_incremental(spark, tmp_path):
+    """two micro-batches through the streaming dedup ingest: batch 2's
+    near-dup of an already-indexed doc is dropped, its genuinely new
+    doc is kept, and the persisted index grows per epoch — the
+    incremental-corpus-dedup flow end to end."""
+    from datetime import datetime as _dt
+
+    from open_semantic_etl_spark.streaming.monitor import stream_dedup_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the silver moon "
+        "watches from the old wooden fence near the quiet river bank every "
+        "single morning before the sun rises over the green hills"
+    )
+    other = (
+        "completely different text about databases indexes and storage "
+        "engines for modern analytics workloads at scale"
+    )
+    third = (
+        "yet another unrelated document discussing climate research models "
+        "and long term ocean temperature measurement programs"
+    )
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    ts = _dt(2024, 1, 1)
+    land = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def row(u, t):
+        return (u, ts, None, t, "en")
+
+    # batch 1: two distinct docs + an intra-batch near-dup of base
+    _append(spark, land, schema, [
+        row("a://1", base), row("a://2", other),
+        row("a://3", base.replace("quick", "swift")),
+    ])
+    # batch 2 (second file → second epoch): near-dup of base + new doc
+    _append(spark, land, schema, [
+        row("b://1", base.replace("morning", "evening")), row("b://2", third),
+    ])
+    q = stream_dedup_ingest(spark, land, out, ck)
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(f"{out}/kept")
+    urls = {r.url for r in kept.select("url").collect()}
+    # a://1 kept, a://3 dropped within batch 1 (url-ordered keep rule);
+    # b://1 dropped against the index — regardless of which landing
+    # file formed epoch 0, exactly ONE base-variant survives overall
+    assert "a://2" in urls and "b://2" in urls
+    assert len(urls & {"a://1", "a://3", "b://1"}) == 1
+    assert kept.count() == 3
+
+    # the index accumulated exactly the kept docs across epochs
+    idx_ids = {r._id for r in spark.read.parquet(f"{out}/lsh_index/sigs").collect()}
+    assert idx_ids == urls
+
+    # replay with a fresh checkpoint (same epoch ids): the epoch-dir
+    # overwrite keeps the keep-set stable, no double rows
+    q2 = stream_dedup_ingest(spark, land, out, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out}/kept").count() == 3
