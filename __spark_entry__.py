@@ -30,7 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     doc_meta = clean_title+content_type_group+analysis_text,
     text_stats = text_quality+token_count+fingerprint+curation,
     path_mapping = path_facets+mapping_id,
-    ann = brute+lsh+ivf tagged by `method`,
+    ann = brute+lsh+ivf+pq tagged by `method`,
     ner = span-model+stanford-token paths tagged by `method`,
     rss_new_items = rss indexed-skip + sparql bindings walk tagged by
     `kind`, pst_explode = member tree + RFC-822 parse of .eml children,
@@ -267,6 +267,10 @@ WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)
 UNION ALL
 SELECT 'ivf' AS method, query_id, nbr_id, cos, rk
 FROM read_parquet('/root/repo/goldens/ann_ivf.parquet')
+WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)
+UNION ALL
+SELECT 'pq' AS method, query_id, nbr_id, cos, rk
+FROM read_parquet('/root/repo/goldens/ann_pq.parquet')
 WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)""",
         "paragraph_dedup": """
 WITH d AS (

@@ -317,3 +317,176 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "nbr_id", "cos", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (PQ) + ADC — the 100 TB memory-compression path
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """deterministic per-subspace Lloyd's codebooks, shape (m, ks, d/m),
+    trained on the L2-NORMALIZED bounded driver sample (Jégou et al.
+    2011 product quantization; the faiss recipe trains on O(100·ks)).
+
+    Same determinism contract as ``train_centroids`` per subspace —
+    init = first ``ks`` sample sub-vectors in id order, argmin
+    assignment (ties → lowest index), float64 ``np.mean`` update,
+    emptied cells keep their centroid, exactly ``iters`` rounds — so
+    the ann_pq golden (tools/gen_goldens.py, an independent
+    re-derivation) is bit-identical."""
+    rows = (
+        df.select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .orderBy("i")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(X) < ks:
+        raise ValueError(f"need >= {ks} vectors to train, got {len(X)}")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    dsub = dim // m
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:ks].copy()
+        for _ in range(iters):
+            assign = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_codes_expr(vec: Column, books: np.ndarray) -> Column:
+    """array<int> of m codebook ids (argmin per subspace over the
+    L2-normalized vector) — vectorized pandas UDF, codebooks ship once
+    per task in the closure.  The corpus compresses to m small ints
+    (32× at dim 64 / m 8 vs float64): THIS is what PQ buys at 10^12
+    rows — the vector column itself never has to be scanned again."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    B = books.astype(np.float64)
+    m, ks, dsub = B.shape
+    dim = m * dsub
+
+    def codes_batch(batch):
+        ok = np.fromiter(
+            (v is not None and len(v) == dim for v in batch),
+            dtype=bool, count=len(batch),
+        )
+        out = np.full(len(batch), None, dtype=object)
+        if ok.any():
+            M = np.array([np.asarray(v, dtype=np.float64) for v, g in zip(batch, ok) if g])
+            norms = np.sqrt((M * M).sum(axis=1))
+            norms[norms == 0] = 1.0
+            M = M / norms[:, None]
+            codes = np.empty((M.shape[0], m), dtype=np.int64)
+            for j in range(m):
+                S = M[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = (
+                    ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(-1).argmin(axis=1)
+                )
+            vals = np.empty(codes.shape[0], dtype=object)
+            vals[:] = [[int(c) for c in r] for r in codes]
+            out[ok] = vals
+        return pd.Series(out)
+
+    return F.pandas_udf(codes_batch, T.ArrayType(T.IntegerType()))(vec)
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k by cosine over the COMPRESSED corpus.
+
+    Corpus rows carry only their m-code array (one Arrow crossing);
+    each query precomputes its asymmetric-distance table on the driver
+    (m × ks doubles — tiny) and ships it through a broadcast join; the
+    JVM then folds ``Σ_j table[j][code_j]`` per row — no vector column
+    is read after encoding, nothing but (id, codes) ever shuffles, and
+    the scan side is O(m bytes)/row.  Scores are the normalized-space
+    approximation ``cos ≈ 1 − ½·Σ‖q_j − c_{code_j}‖²``; ranking ties
+    break on nbr_id like every other ANN path.  At 10^12 rows the code
+    column is written next to the corpus once and IVF cells compose in
+    front of this scan (ivf_topk) — the standard IVF-PQ split.
+    Recall vs the exact baseline: tests/test_dedup.py."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(df, m, ks, iters, sample, vec_col, id_col)
+    B = codebooks.astype(np.float64)
+    m, ks, dsub = B.shape
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("nbr_id"), pq_codes_expr(v, B).alias("codes")
+    ).filter(F.col("codes").isNotNull())
+
+    # per-query ADC tables, driver-built from the same normalized space
+    qrows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("i"), v.alias("q"))
+        .filter(F.col("q").isNotNull())
+        .orderBy("i")
+        .collect()
+    )
+    spark = df.sparkSession
+    qtabs = []
+    for r in qrows:
+        q = np.asarray(r["q"], dtype=np.float64)
+        n = np.sqrt((q * q).sum())
+        if n == 0:
+            n = 1.0
+        q = q / n
+        flat: list[float] = []
+        for j in range(m):
+            qj = q[j * dsub : (j + 1) * dsub]
+            flat.extend(float(x) for x in ((B[j] - qj[None, :]) ** 2).sum(-1))
+        qtabs.append((int(r["i"]), flat))
+    qdf = spark.createDataFrame(qtabs, "query_id long, qtab array<double>")
+
+    total = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("qtab"), j * ks + F.element_at(F.col("codes"), j + 1) + 1),
+    )
+    scored = (
+        base.join(F.broadcast(qdf))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(F.lit(1.0) - F.lit(0.5) * total, 4).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cos", "rk")
+    )

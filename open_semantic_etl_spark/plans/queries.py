@@ -440,13 +440,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """all three ANN strategies over the same queries in one result —
-    exact brute-force baseline (SQL-oracled), sign-LSH buckets and IVF
-    k-means cells (both golden-oracled); `method` tags the strategy."""
+    """all four ANN strategies over the same queries in one result —
+    exact brute-force baseline (SQL-oracled), sign-LSH buckets, IVF
+    k-means cells, and PQ/ADC over the compressed corpus (all three
+    approximations golden-oracled); `method` tags the strategy."""
     from open_semantic_etl_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
         lsh_topk,
+        pq_topk,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -454,7 +456,8 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = brute_force_topk(emb, query_ids=qids, k=5).withColumn("method", F.lit("brute"))
     l = lsh_topk(emb, query_ids=qids, k=5, dim=64).withColumn("method", F.lit("lsh"))
     i = ivf_topk(emb, query_ids=qids, k=5).withColumn("method", F.lit("ivf"))
-    return b.unionByName(l).unionByName(i).select(
+    p = pq_topk(emb, query_ids=qids, k=5).withColumn("method", F.lit("pq"))
+    return b.unionByName(l).unionByName(i).unionByName(p).select(
         "method", "query_id", "nbr_id", "cos", "rk"
     )
 

@@ -675,3 +675,37 @@ def test_incremental_lsh_probe_shuffle_carries_no_signatures(spark, corpus, tmp_
 
     for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "sig" not in m.group(1), m.group(0)
+
+
+def test_pq_topk_recall(spark, embeddings):
+    """PQ/ADC over the compressed corpus (dim 16, m=4, ks=8 → 4 codes
+    per vector) still recalls the planted 0.03-perturbation twins:
+    quantization error ≪ the gap between a twin and an unrelated
+    vector."""
+    brute = S.brute_force_topk(embeddings, query_ids=[0, 1, 2, 3, 4], k=1)
+    approx = S.pq_topk(embeddings, query_ids=[0, 1, 2, 3, 4], k=1, m=4, ks=8)
+    bt = {(r["query_id"], r["nbr_id"]) for r in brute.collect()}
+    at = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    assert len(bt & at) >= 4  # ≥80% recall@1
+
+
+def test_pq_codebooks_deterministic_and_dim_guard(spark, embeddings):
+    b1 = S.train_pq_codebooks(embeddings, m=4, ks=8, iters=3)
+    b2 = S.train_pq_codebooks(embeddings.repartition(5), m=4, ks=8, iters=3)
+    assert (b1 == b2).all()
+    with pytest.raises(ValueError, match="not divisible"):
+        S.train_pq_codebooks(embeddings, m=5, ks=8)
+
+
+def test_pq_scored_rows_carry_codes_not_vectors(spark, embeddings):
+    """the ADC scan reads m ints per row — the embedding column must
+    not appear downstream of the encode (the whole point of PQ at
+    10^12 rows), and no vector may ride an Exchange."""
+    import re as _re
+
+    plan = (
+        S.pq_topk(embeddings, query_ids=[0, 1], k=2, m=4, ks=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), m.group(0)

@@ -15,6 +15,7 @@ def test_goldens_match_generator():
     from tools.gen_goldens import (
         ann_ivf_golden,
         ann_lsh_golden,
+        ann_pq_golden,
         language_golden,
         minhash_lsh_golden,
         simhash_golden,
@@ -30,6 +31,7 @@ def test_goldens_match_generator():
         ("simhash", simhash_golden(docs), dkey),
         ("ann_lsh", ann_lsh_golden(emb), ekey),
         ("ann_ivf", ann_ivf_golden(emb), ekey),
+        ("ann_pq", ann_pq_golden(emb), ekey),
         ("language_detect", language_golden(docs), dkey),
         ("stratified_sample", stratified_sample_golden(docs), dkey),
     ):

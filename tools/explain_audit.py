@@ -315,6 +315,43 @@ def main() -> int:
         ],
     )
 
+    # 11b. incremental LSH probe: the band join against the PERSISTED
+    # index carries keys only, and the index scan exposes the _bb
+    # partition column for pruning/DPP; corpus text never appears
+    with tempfile.TemporaryDirectory() as idxroot:
+        from open_semantic_etl_spark.operators.dedup import (
+            build_lsh_index,
+            probe_lsh_index,
+        )
+
+        idx_path = idxroot + "/lsh"
+        build_lsh_index(
+            docs.filter("doc_id % 2 = 0"), idx_path, mode="overwrite"
+        )
+        probe = probe_lsh_index(docs.filter("doc_id % 2 = 1"), idx_path)
+        section(
+            "incremental LSH probe — key-only index join, no text read",
+            probe,
+            [
+                ("no sig column in any shuffle Exchange input", no_sig_in_shuffle),
+                (
+                    "index scan carries the _bb partition column",
+                    lambda p: "_bb" in p,
+                ),
+                (
+                    # the probe batch reads its own text once (map-side
+                    # signatures); no text column may ride an Exchange
+                    "no text column in any shuffle Exchange input",
+                    lambda p: not any(
+                        "text" in m.group(1)
+                        for m in re.finditer(
+                            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", p
+                        )
+                    ),
+                ),
+            ],
+        )
+
     # 12. delete_by_url: the rewrite frame (the ONLY scan the delete
     # plans — its count is Observation-collected on this same pass)
     # prunes to the touched _bucket partitions

@@ -240,6 +240,71 @@ def ann_ivf_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
 
 
 # ---------------------------------------------------------------------------
+# ANN: product quantization + ADC (spec: similarity.py train_pq_codebooks /
+# pq_topk — normalized sample, per-subspace Lloyd's with the train_centroids
+# determinism contract, cos ~= 1 - 0.5 * sum_j ||q_j - c_code_j||^2, the JVM
+# left-folds the per-subspace table values in j order)
+# ---------------------------------------------------------------------------
+
+def ann_pq_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
+                  m=8, ks=16, iters=5, sample=4096) -> pd.DataFrame:
+    emb = emb.sort_values("vec_id")
+    rows = [(int(i), [float(x) for x in v])
+            for i, v in zip(emb["vec_id"], emb["embedding"]) if v is not None]
+    ids = [i for i, _ in rows]
+    X = np.array([v for _, v in rows[:sample]], dtype=np.float64)
+    dim = X.shape[1]
+    dsub = dim // m
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = Xn[:, j * dsub:(j + 1) * dsub]
+        C = S[:ks].copy()
+        for _ in range(iters):
+            assign = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+
+    allX = np.array([v for _, v in rows], dtype=np.float64)
+    n2 = np.sqrt((allX * allX).sum(axis=1))
+    n2[n2 == 0] = 1.0
+    allXn = allX / n2[:, None]
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        S = allXn[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1).argmin(axis=1)
+    code_of = {i: codes[r] for r, i in enumerate(ids)}
+    vec_of = {i: allXn[r] for r, i in enumerate(ids)}
+
+    out = []
+    for q in query_ids:
+        if q not in vec_of:
+            continue
+        qv = vec_of[q]
+        tabs = [((books[j] - qv[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(-1)
+                for j in range(m)]
+        scored = []
+        for n in ids:
+            if n == q:
+                continue
+            acc = 0.0  # JVM aggregate() left fold in j order
+            for j in range(m):
+                acc = acc + float(tabs[j][code_of[n][j]])
+            scored.append((spark_round(1.0 - 0.5 * acc), n))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (cos, n) in enumerate(scored[:k], 1):
+            out.append((q, n, cos, rk))
+    return pd.DataFrame(out, columns=["query_id", "nbr_id", "cos", "rk"]).astype(
+        {"query_id": "int64", "nbr_id": "int64", "cos": "float64", "rk": "int32"}
+    )
+
+
+# ---------------------------------------------------------------------------
 # language id (spec: operators/langdetect.py stopword-profile scoring;
 # the word lists ARE the spec so they are imported as data, but the
 # scoring loop below is an independent per-language re-derivation)
@@ -331,8 +396,8 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
     sf_dirs = sf_dirs or SF_DIRS
     os.makedirs(out_dir, exist_ok=True)
     parts: dict[str, list[pd.DataFrame]] = {k: [] for k in
-        ("minhash_lsh", "simhash", "ann_lsh", "ann_ivf", "language_detect",
-         "stratified_sample")}
+        ("minhash_lsh", "simhash", "ann_lsh", "ann_ivf", "ann_pq",
+         "language_detect", "stratified_sample")}
     keys_seen: dict[str, set] = {"docs": set(), "emb": set()}
     for sf in sf_dirs:
         docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
@@ -348,6 +413,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
             ("simhash", simhash_golden(docs), dkey),
             ("ann_lsh", ann_lsh_golden(emb), ekey),
             ("ann_ivf", ann_ivf_golden(emb), ekey),
+            ("ann_pq", ann_pq_golden(emb), ekey),
             ("language_detect", language_golden(docs), dkey),
             ("stratified_sample", stratified_sample_golden(docs), dkey),
         ):
