@@ -853,3 +853,39 @@ def embedding_dup_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"), F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def compact_lsh_index(spark, index_path: str, n_buckets: int = 64) -> None:
+    """fold a streaming index's ``_epoch=<n>`` partitions into the flat
+    bucket layout ``build_lsh_index`` writes for batch use.
+
+    Thousands of micro-batch epochs mean thousands of tiny files per
+    bucket — the classic small-file problem; compaction rewrites each
+    table once (epoch column dropped, one shuffle on the partition key)
+    and swaps it in with the checkpoint tier's tmp+rename recipe, so a
+    crash leaves either the old epoch layout or the new flat one,
+    never a mix.  Run between streaming sessions (not concurrently
+    with stream_dedup_ingest — the retry-exclusion filter needs the
+    epoch column while a stream is live; post-compaction replays are
+    prevented by the stream's own checkpoint, which outlives the
+    layout change)."""
+    import os
+    import shutil
+    import uuid
+
+    for sub, part_col in (("bands", "_bb"), ("sigs", "_sb")):
+        path = f"{index_path}/{sub}"
+        df = spark.read.parquet(path)
+        if "_epoch" in df.columns:
+            df = df.drop("_epoch")
+        flat = df.repartition(n_buckets, F.col(part_col)).localCheckpoint(
+            eager=True  # materialize BEFORE the swap unlinks the source
+        )
+        # the checkpoint tier's tmp+rename recipe (_atomic_overwrite),
+        # on this table's own partition column
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        flat.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)

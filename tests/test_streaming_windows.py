@@ -197,3 +197,40 @@ def test_stream_dedup_ingest_incremental(spark, tmp_path):
     q2 = stream_dedup_ingest(spark, land, out, str(tmp_path / "ck2"))
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out}/kept").count() == 3
+
+
+def test_compact_lsh_index_preserves_probe_results(spark, tmp_path):
+    """compaction folds the epoch partitions into the flat bucket
+    layout; probes before and after must agree, the epoch column must
+    be gone, and file count per table must shrink to ~n_buckets."""
+    from open_semantic_etl_spark.operators.dedup import (
+        build_lsh_index,
+        compact_lsh_index,
+        probe_lsh_index,
+    )
+
+    texts = {
+        10: "the quick brown fox jumps over the lazy dog near the old fence",
+        11: "completely different text about storage engines and analytics",
+        12: "a third unrelated passage on climate and ocean measurement",
+    }
+    path = str(tmp_path / "idx")
+    for epoch, (i, t) in enumerate(texts.items()):
+        df = spark.createDataFrame([(i, t)], "doc_id long, text string")
+        build_lsh_index(df, path, epoch=epoch)
+    probe = spark.createDataFrame(
+        [(99, texts[10].replace("quick", "swift"))], "doc_id long, text string"
+    )
+    before = sorted(
+        (r.index_id, r.probe_id) for r in probe_lsh_index(probe, path).collect()
+        if r.matched
+    )
+    assert before  # the near-dup collides pre-compaction
+    compact_lsh_index(spark, path, n_buckets=4)
+    bands = spark.read.parquet(f"{path}/bands")
+    assert "_epoch" not in bands.columns
+    after = sorted(
+        (r.index_id, r.probe_id) for r in probe_lsh_index(probe, path).collect()
+        if r.matched
+    )
+    assert after == before
