@@ -318,6 +318,7 @@ def build_lsh_index(
     n_buckets: int = 64,
     mode: str = "append",
     epoch: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> None:
     """persist (or extend) the LSH index with this batch's bands and
     signatures.  ``n_buckets`` sizing follows the checkpoint rule:
@@ -326,24 +327,80 @@ def build_lsh_index(
     ``epoch`` routes the write into a ``_epoch=<n>`` partition dir and
     forces overwrite OF THAT DIR only — the foreachBatch idempotence
     trick: a retried streaming epoch rewrites its own partition instead
-    of double-appending.  Pick one layout per index (all-epoch or
-    no-epoch); partition discovery cannot mix them."""
+    of double-appending (valid WITHIN one stream checkpoint, whose
+    file→epoch assignment is stable; a fresh checkpoint over the same
+    landing data may assign files to different epochs).  Pick one
+    layout per index (all-epoch or no-epoch); partition discovery
+    cannot mix them.
+
+    The LSH family parameters are recorded in ``_lsh_meta.json`` on
+    first build and validated on every later build/probe: probing with
+    different num_hashes/bands/shingle_n/n_buckets would silently miss
+    collisions (r4 review).  ``signatures`` (``id_col, sig``) skips the
+    MinHash recompute when the caller already has them."""
+    meta = _lsh_index_meta(
+        index_path, num_hashes, bands, shingle_n, n_buckets, create=True
+    )
+    num_hashes, bands, shingle_n, n_buckets = meta
     suffix = f"/_epoch={epoch}" if epoch is not None else ""
     if epoch is not None:
         mode = "overwrite"
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    if signatures is None:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        )
+    else:
+        sig = signatures.select(F.col(id_col).alias("_id"), F.col("sig"))
+    # sigs FIRST: the bands dir doubles as the index-exists marker the
+    # probe checks, so a crash between the two writes must leave the
+    # marker absent, not a bands-without-sigs wedge (r4 review)
+    sig.withColumn(
+        "_sb", F.pmod(F.xxhash64("_id"), F.lit(n_buckets))
+    ).write.mode(mode).partitionBy("_sb").parquet(f"{index_path}/sigs{suffix}")
     bands_df = _band_table(sig, num_hashes, bands).withColumn(
         "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
     )
     bands_df.write.mode(mode).partitionBy("_bb").parquet(
         f"{index_path}/bands{suffix}"
     )
-    sig.withColumn(
-        "_sb", F.pmod(F.xxhash64("_id"), F.lit(n_buckets))
-    ).write.mode(mode).partitionBy("_sb").parquet(f"{index_path}/sigs{suffix}")
+
+
+def _lsh_index_meta(
+    index_path: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    n_buckets: int,
+    create: bool = False,
+) -> tuple[int, int, int, int]:
+    """read (or on first build, write) the index's recorded family
+    parameters; mismatching caller parameters raise rather than
+    silently probing the wrong band space."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_path, "_lsh_meta.json")
+    want = {
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "n_buckets": n_buckets,
+    }
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)
+        if stored != want:
+            raise ValueError(
+                f"LSH index at {index_path} was built with {stored}, "
+                f"called with {want} — collisions would be silently missed"
+            )
+        return tuple(stored[k] for k in ("num_hashes", "bands", "shingle_n", "n_buckets"))
+    if create:
+        os.makedirs(index_path, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(want, f)
+    return num_hashes, bands, shingle_n, n_buckets
 
 
 def probe_lsh_index(
@@ -356,6 +413,7 @@ def probe_lsh_index(
     shingle_n: int = 3,
     n_buckets: int = 64,
     exclude_epoch: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """dedup a new batch against the persisted index WITHOUT touching
     the corpus text: → (index_id, probe_id, est_jaccard, matched).
@@ -371,8 +429,16 @@ def probe_lsh_index(
     streaming bootstrap batch) yields all-novel."""
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType
+    _recover_lsh_compaction(index_path)
+    num_hashes, bands, shingle_n, n_buckets = _lsh_index_meta(
+        index_path, num_hashes, bands, shingle_n, n_buckets
+    )
     try:
+        # BOTH tables must load for the index to count as present: a
+        # crash mid-first-build can leave one without the other, and a
+        # wedged probe would block every streaming retry (r4 review)
         idx_raw = spark.read.parquet(f"{index_path}/bands")
+        idx_sigs_raw = spark.read.parquet(f"{index_path}/sigs")
     except Exception:  # AnalysisException: PATH_NOT_FOUND — empty index
         return df.select(
             F.lit(None).cast(id_type).alias("index_id"),
@@ -382,10 +448,13 @@ def probe_lsh_index(
         )
     if exclude_epoch is not None and "_epoch" in idx_raw.columns:
         idx_raw = idx_raw.filter(F.col("_epoch") != exclude_epoch)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    if signatures is None:
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+        )
+    else:
+        sig = signatures.select(F.col(id_col).alias("_id"), F.col("sig"))
     probe_bands = _band_table(sig, num_hashes, bands).withColumn(
         "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
     )
@@ -396,7 +465,7 @@ def probe_lsh_index(
         .select(F.col("_iid").alias("index_id"), F.col("_id").alias("probe_id"))
         .distinct()
     )
-    idx_sigs = spark.read.parquet(f"{index_path}/sigs")
+    idx_sigs = idx_sigs_raw
     if exclude_epoch is not None and "_epoch" in idx_sigs.columns:
         idx_sigs = idx_sigs.filter(F.col("_epoch") != exclude_epoch)
     idx_sigs = idx_sigs.select(
@@ -855,6 +924,26 @@ def embedding_dup_pairs(
     )
 
 
+def _recover_lsh_compaction(index_path: str) -> None:
+    """roll an interrupted compact_lsh_index back/forward: a table dir
+    that vanished mid-swap is restored from its ``__old_*`` sibling
+    (else the probe would silently treat a full corpus index as empty —
+    r4 review); leftover ``__tmp_*``/``__old_*`` staging dirs are
+    dropped.  Called at the top of every probe and compaction; pure
+    os-path checks when nothing is staged."""
+    import glob
+    import os
+    import shutil
+
+    for sub in ("bands", "sigs"):
+        path = f"{index_path}/{sub}"
+        olds = sorted(glob.glob(f"{path}__old_*"))
+        if olds and not os.path.isdir(path):
+            os.rename(olds.pop(), path)
+        for stale in olds + glob.glob(f"{path}__tmp_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def compact_lsh_index(spark, index_path: str, n_buckets: int = 64) -> None:
     """fold a streaming index's ``_epoch=<n>`` partitions into the flat
     bucket layout ``build_lsh_index`` writes for batch use.
@@ -862,27 +951,29 @@ def compact_lsh_index(spark, index_path: str, n_buckets: int = 64) -> None:
     Thousands of micro-batch epochs mean thousands of tiny files per
     bucket — the classic small-file problem; compaction rewrites each
     table once (epoch column dropped, one shuffle on the partition key)
-    and swaps it in with the checkpoint tier's tmp+rename recipe, so a
-    crash leaves either the old epoch layout or the new flat one,
-    never a mix.  Run between streaming sessions (not concurrently
-    with stream_dedup_ingest — the retry-exclusion filter needs the
-    epoch column while a stream is live; post-compaction replays are
-    prevented by the stream's own checkpoint, which outlives the
-    layout change)."""
+    and swaps it in with the checkpoint tier's tmp+rename recipe.
+    Crash windows are closed by ``_recover_lsh_compaction`` (run here
+    and by every probe): the rename gap restores the old layout, stale
+    staging dirs are reaped.  The two tables swap independently — a
+    crash between them leaves bands flat and sigs epoched, which both
+    readers handle (each checks for ``_epoch`` per table).  Run
+    between streaming sessions, not concurrently with
+    stream_dedup_ingest: the retry-exclusion filter needs the epoch
+    column while a stream is live, and within-checkpoint replays are
+    the only replays the epoch trick protects."""
     import os
     import shutil
     import uuid
 
+    _recover_lsh_compaction(index_path)
     for sub, part_col in (("bands", "_bb"), ("sigs", "_sb")):
         path = f"{index_path}/{sub}"
         df = spark.read.parquet(path)
         if "_epoch" in df.columns:
             df = df.drop("_epoch")
-        flat = df.repartition(n_buckets, F.col(part_col)).localCheckpoint(
-            eager=True  # materialize BEFORE the swap unlinks the source
-        )
-        # the checkpoint tier's tmp+rename recipe (_atomic_overwrite),
-        # on this table's own partition column
+        flat = df.repartition(n_buckets, F.col(part_col))
+        # tmp write reads the live dir (renames happen strictly after,
+        # so no checkpoint copy is needed), then the two renames swap
         tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
         flat.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
         old = f"{path}__old_{uuid.uuid4().hex[:8]}"

@@ -395,8 +395,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = lsh_candidate_pairs(docs, text_col="text", id_col="doc_id").withColumn(
         "kind", F.lit("batch")
     )
+    # PID-scoped path: concurrent driver/bench/pytest processes never
+    # race each other's overwrite (r4 review), and repeated invocations
+    # within one process reuse the same dir instead of leaking per rep
+    import os
+
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    index_path = f"/tmp/spark_graft_lsh_index_{key}"
+    index_path = f"/tmp/spark_graft_lsh_index_{key}_{os.getpid()}"
     build_lsh_index(
         docs.filter(F.col("doc_id") % 2 == 0), index_path, mode="overwrite"
     )

@@ -83,17 +83,29 @@ def stream_dedup_ingest(
 
     Idempotence under foreachBatch retries: both the keep-set and the
     index append land in ``_epoch=<id>`` partition dirs written with
-    overwrite — a replayed epoch rewrites its own partition (the same
-    trick the checkpoint merge uses for buckets).  Scale shape per
-    batch: probe = key-only band join against the bucket-partitioned
-    index (dedup.probe_lsh_index — corpus text never re-read), batch
+    overwrite, and the probe excludes the current epoch's own entries —
+    a replayed epoch rewrites its own partition (the same trick the
+    checkpoint merge uses for buckets).  This protects retries WITHIN
+    one stream checkpoint, whose file→epoch assignment is stable;
+    replaying the same landing data under a fresh checkpoint is a new
+    ingest, not a retry.  Scale shape per batch: MinHash signatures
+    are computed ONCE (localCheckpoint) and threaded through probe,
+    self-dedup, and the index append — the one-Python-crossing rule
+    applied to the batch; probe = key-only band join against the
+    bucket-partitioned index (corpus text never re-read); batch
     self-dedup = lsh_candidate_pairs on the novel subset only.
+    Semantics notes: duplicate urls within a batch collapse to one row
+    first (re-crawl landing files), and empty-text docs share the
+    all-zero signature, so they form ONE dup class — the first
+    text-less page wins, the rest drop (run quality filtering ahead
+    of ingest if empty docs should not dedup together).
     Returns the StreamingQuery."""
     import os
 
     from open_semantic_etl_spark.operators.dedup import (
         build_lsh_index,
         lsh_candidate_pairs,
+        minhash_signature,
         probe_lsh_index,
     )
 
@@ -107,10 +119,14 @@ def stream_dedup_ingest(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)  # probed 3×
+        batch_df = batch_df.dropDuplicates(["url"]).localCheckpoint(eager=True)
+        # ONE MinHash pass per batch; everything downstream reuses it
+        sigs = batch_df.select(
+            "url", minhash_signature(F.col("text")).alias("sig")
+        ).localCheckpoint(eager=True)
         probed = probe_lsh_index(
             batch_df, index_path, id_col="url", n_buckets=n_buckets,
-            exclude_epoch=epoch_id,
+            exclude_epoch=epoch_id, signatures=sigs,
         )
         novel_ids = probed.filter(~F.col("matched")).select(
             F.col("probe_id").alias("url")
@@ -120,14 +136,18 @@ def stream_dedup_ingest(
         # url (deterministic; conservative on chains — cluster-resolve
         # is dedup.dup_clusters when exactness matters)
         drop = (
-            lsh_candidate_pairs(novel, text_col="text", id_col="url")
+            lsh_candidate_pairs(
+                novel, text_col="text", id_col="url",
+                signatures=sigs.join(novel_ids, "url"),
+            )
             .select(F.col("id_b").alias("url"))
             .distinct()
         )
         kept = novel.join(drop, "url", "left_anti").localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(f"{kept_root}/_epoch={epoch_id}")
         build_lsh_index(
-            kept, index_path, id_col="url", n_buckets=n_buckets, epoch=epoch_id
+            kept, index_path, id_col="url", n_buckets=n_buckets, epoch=epoch_id,
+            signatures=sigs.join(kept.select("url"), "url"),
         )
 
     writer = (

@@ -709,3 +709,45 @@ def test_pq_scored_rows_carry_codes_not_vectors(spark, embeddings):
     )
     for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1), m.group(0)
+
+
+def test_incremental_lsh_meta_guards_family_params(spark, corpus, tmp_path):
+    """probing with different LSH family parameters than the build
+    would silently miss collisions — the recorded meta raises instead
+    (r4 review)."""
+    path = str(tmp_path / "idx_meta")
+    D.build_lsh_index(corpus, path, mode="overwrite")
+    with pytest.raises(ValueError, match="silently missed"):
+        D.probe_lsh_index(corpus, path, n_buckets=32)
+    with pytest.raises(ValueError, match="silently missed"):
+        D.build_lsh_index(corpus, path, bands=8)
+
+
+def test_incremental_lsh_partial_first_build_is_empty_index(spark, corpus, tmp_path):
+    """a crash mid-first-build can leave one table without the other;
+    the probe must treat that as an empty index (all novel), not wedge
+    every streaming retry (r4 review).  Writes sigs first so the
+    bands dir doubles as the exists-marker."""
+    import shutil
+
+    path = str(tmp_path / "idx_partial")
+    D.build_lsh_index(corpus, path, mode="overwrite")
+    shutil.rmtree(f"{path}/sigs")  # simulate the crash window
+    probed = D.probe_lsh_index(corpus.limit(2), path).collect()
+    assert all(not r.matched for r in probed)
+
+
+def test_compaction_crash_window_recovers(spark, corpus, tmp_path):
+    """simulated crash between the two swap renames: the live dir is
+    gone, only __old_ remains — the next probe must restore it, not
+    treat a full corpus index as empty (r4 review)."""
+    import os
+
+    path = str(tmp_path / "idx_crash")
+    D.build_lsh_index(corpus, path, mode="overwrite")
+    os.rename(f"{path}/bands", f"{path}/bands__old_deadbeef")
+    probe = corpus.filter(F.col("doc_id") == 1)  # exact dup of 0
+    got = {r.index_id for r in D.probe_lsh_index(probe, path).collect() if r.matched}
+    assert 0 in got  # index restored, collision found
+    assert os.path.isdir(f"{path}/bands")
+    assert not os.path.isdir(f"{path}/bands__old_deadbeef")

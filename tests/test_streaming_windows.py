@@ -167,15 +167,28 @@ def test_stream_dedup_ingest_incremental(spark, tmp_path):
     def row(u, t):
         return (u, ts, None, t, "en")
 
+    import glob as _glob
+    import os as _os
+
+    def _stamp(t):
+        for f in _glob.glob(land + "/*.parquet"):
+            if abs(_os.path.getmtime(f) - 1_000_000_000) > 300:
+                _os.utime(f, (t, t))
+
     # batch 1: two distinct docs + an intra-batch near-dup of base
     _append(spark, land, schema, [
         row("a://1", base), row("a://2", other),
         row("a://3", base.replace("quick", "swift")),
     ])
-    # batch 2 (second file → second epoch): near-dup of base + new doc
+    _stamp(1_000_000_000)
+    # batch 2 (second file → second epoch): near-dup of base + new doc.
+    # mtimes pin the file→epoch order — the epoch-overwrite idempotence
+    # below holds only when the replay assigns files identically, and
+    # FileStreamSource orders by mtime (r4 review)
     _append(spark, land, schema, [
         row("b://1", base.replace("morning", "evening")), row("b://2", third),
     ])
+    _stamp(1_000_000_100)
     q = stream_dedup_ingest(spark, land, out, ck)
     q.awaitTermination(120)
 
@@ -234,3 +247,22 @@ def test_compact_lsh_index_preserves_probe_results(spark, tmp_path):
         if r.matched
     )
     assert after == before
+
+
+def test_stream_dedup_ingest_collapses_repeated_urls(spark, tmp_path):
+    """the same url twice in one landing file (re-crawl) must collapse
+    to ONE kept row, not multiply through the novel join (r4 review)."""
+    from datetime import datetime as _dt
+
+    from open_semantic_etl_spark.streaming.monitor import stream_dedup_ingest
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    ts = _dt(2024, 1, 1)
+    land = str(tmp_path / "landing")
+    t = "some unique page text about re-crawled documents and landing files"
+    _append(spark, land, schema, [("r://1", ts, None, t, "en"),
+                                  ("r://1", ts, None, t, "en")])
+    q = stream_dedup_ingest(spark, land, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    kept = spark.read.parquet(f"{tmp_path}/out/kept")
+    assert kept.count() == 1
