@@ -405,3 +405,77 @@ def with_quality_clf(
         "clf_score",
         F.round(let(whitespace_tokens(F.lower(F.col(text_col))), score), 6),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    dim: int = 256,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Adds ``dsir_weight_d``: hashed n-gram importance log-ratio —
+    DSIR (Xie et al. 2023, data selection via importance resampling).
+    ``target_cond`` marks the in-domain slice; each doc scores
+    ``Σ_f [ln p_target(f) − ln p_raw(f)]`` over its hashed unigram +
+    bigram features (add-``smoothing`` estimates).  Docs resembling
+    the target slice score high; downstream sampling keeps
+    proportionally (stratified_sample / top_k_per_key compose).
+
+    Scale shape: phase 1 aggregates feature counts with ONE shuffle on
+    int bucket keys (≤ ``dim`` groups, map-side partial agg) and
+    collects O(dim) rows to the driver — the IVF-trainer pattern;
+    phase 2 is map-only JVM Column algebra with the log-ratio table as
+    a plan literal (the quality-clf weight-vector pattern), so corpus
+    text is read but never shuffled.  Bucketing is md5-based
+    (single-sourced with the DuckDB oracle, like clf_score); empty
+    docs score NULL."""
+    import math
+
+    from open_semantic_etl_spark.functions.binding import let
+
+    def bucket_arr(toks: Column) -> Column:
+        bis = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            F.concat(toks, bis),
+            lambda f: (
+                F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long") % dim
+            ).cast("int"),
+        )
+
+    fcol = let(whitespace_tokens(F.lower(F.col(text_col))), bucket_arr)
+    counts = (
+        df.select(target_cond.cast("long").alias("t"), F.explode(fcol).alias("b"))
+        .groupBy("b")
+        .agg(F.sum("t").alias("nt"), F.count("*").alias("nr"))
+        .collect()
+    )
+    tgt = [smoothing] * dim
+    raw = [smoothing] * dim
+    for r in counts:
+        tgt[r["b"]] += float(r["nt"])
+        raw[r["b"]] += float(r["nr"])
+    tt, tr = sum(tgt), sum(raw)
+    ratio = [math.log(tgt[b] / tt) - math.log(raw[b] / tr) for b in range(dim)]
+    rarr = F.array(*[F.lit(float(v)) for v in ratio])
+
+    def weight(toks: Column) -> Column:
+        feats = bucket_arr(toks)
+        total = F.aggregate(
+            feats,
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(rarr, (b + 1).cast("int")),
+        )
+        return F.when(F.size(feats) > 0, F.round(total, 4))
+
+    return df.withColumn(
+        "dsir_weight_d", let(whitespace_tokens(F.lower(F.col(text_col))), weight)
+    )

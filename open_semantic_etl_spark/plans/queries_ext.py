@@ -981,14 +981,17 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     host map with one planted hot host (every even doc) — the skew
     shape the two-phase salted top-k exists for."""
     from open_semantic_etl_spark.functions.skew import stratified_sample, top_k_per_key
+    from open_semantic_etl_spark.operators.textstats import dsir_importance
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
     host = (
         F.when(F.col("doc_id") % 2 == 0, F.lit("hot.example.org"))
         .otherwise(F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string"),
                             F.lit(".example.org")))
     )
-    d = docs.select("doc_id", "lang", host.alias("host_s"))
+    d = docs.select("doc_id", "lang", "text", host.alias("host_s"))
     out = top_k_per_key(d, "host_s", k=20, order_col="doc_id", id_col="doc_id")
     # corpus-mixing quotas: rates mirrored in tools/gen_goldens.py
     # SAMPLE_RATES — the golden re-derives the xxhash64 draw
@@ -997,25 +1000,57 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, "lang", {"en": 0.9, "de": 0.5, "fr": 0.25},
         id_col="doc_id", default_rate=0.1,
     )
-    return out.select("doc_id", "host_s", "kept_i", "sampled_i")
+    # DSIR importance vs the doc_id%10 "in-domain" slice — same doc
+    # grain, so it rides the host_cap oracle (md5 bucketing is the
+    # single-sourced spec both engines derive independently)
+    out = dsir_importance(out, F.col("doc_id") % 10 == 0)
+    return out.select("doc_id", "host_s", "kept_i", "sampled_i", "dsir_weight_d")
 
 
-SQL_HOST_CAP = """
+_DSIR_DIM = 256
+
+SQL_HOST_CAP = f"""
 WITH d AS (
   SELECT doc_id,
     CASE WHEN doc_id % 2 = 0 THEN 'hot.example.org'
          ELSE 'h' || (doc_id % 13) || '.example.org' END AS host_s
   FROM documents
+), toks AS (
+  SELECT doc_id, (doc_id % 10 = 0)::int AS t,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lt
+  FROM documents
+), feats AS (
+  SELECT doc_id, t,
+         lt || (CASE WHEN len(lt) >= 2
+                THEN list_transform(range(1, len(lt)), i -> lt[i] || ' ' || lt[i+1])
+                ELSE [] END) AS fs
+  FROM toks
+), pf AS (
+  SELECT doc_id, t,
+         ((('0x' || substr(md5(f), 1, 15))::UBIGINT % {_DSIR_DIM})::int) AS b
+  FROM feats, unnest(fs) AS u(f)
+), c AS (
+  SELECT b, sum(t) AS nt, count(*) AS nr FROM pf GROUP BY b
+), tot AS (
+  SELECT sum(nt) + {_DSIR_DIM} AS tt, sum(nr) + {_DSIR_DIM} AS tr FROM c
+), ratio AS (
+  SELECT b, ln((nt + 1.0) / (SELECT tt FROM tot))
+            - ln((nr + 1.0) / (SELECT tr FROM tot)) AS lr
+  FROM c
+), w AS (
+  SELECT pf.doc_id, round(sum(r.lr), 4) AS dsir_weight_d
+  FROM pf JOIN ratio r USING (b) GROUP BY pf.doc_id
 )
 SELECT d.doc_id, d.host_s,
        (row_number() OVER (PARTITION BY d.host_s ORDER BY d.doc_id, d.doc_id) <= 20)::int AS kept_i,
-       g.sampled_i
+       g.sampled_i, w.dsir_weight_d
 FROM d
 LEFT JOIN (
   SELECT doc_id, sampled_i
   FROM read_parquet('/root/repo/goldens/stratified_sample.parquet')
   WHERE _key = (SELECT SUM(n_chars) FROM documents)
 ) g USING (doc_id)
+LEFT JOIN w USING (doc_id)
 """
 
 

@@ -751,3 +751,26 @@ def test_compaction_crash_window_recovers(spark, corpus, tmp_path):
     assert 0 in got  # index restored, collision found
     assert os.path.isdir(f"{path}/bands")
     assert not os.path.isdir(f"{path}/bands__old_deadbeef")
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """docs sharing the target slice's vocabulary must outscore
+    off-domain docs; empty docs score NULL; weights deterministic."""
+    rows = (
+        [(i, "quantum physics research on entanglement and decoherence theory")
+         for i in range(4)]
+        + [(10 + i, "quantum entanglement decoherence experiments in physics labs")
+           for i in range(4)]
+        + [(20 + i, "celebrity gossip fashion trends red carpet photos tonight")
+           for i in range(4)]
+        + [(30, "")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TS.dsir_importance(df, F.col("doc_id") < 10)  # physics = target
+    got = {r.doc_id: r.dsir_weight_d for r in out.collect()}
+    assert got[30] is None
+    # physics-adjacent docs (10-13) score above the gossip docs (20-23)
+    assert min(got[i] for i in (10, 11, 12, 13)) > max(got[i] for i in (20, 21, 22, 23))
+    out2 = {r.doc_id: r.dsir_weight_d
+            for r in TS.dsir_importance(df.repartition(7), F.col("doc_id") < 10).collect()}
+    assert got == out2  # partitioning-independent
