@@ -31,6 +31,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_stats = text_quality+token_count+fingerprint+curation,
     path_mapping = path_facets+mapping_id,
     ann = brute+lsh+ivf+pq tagged by `method`,
+    minhash_lsh = batch pairs + incremental index probe tagged by `kind`,
+    host_cap = per-host cap + stratified sampling + DSIR weight columns,
     ner = span-model+stanford-token paths tagged by `method`,
     rss_new_items = rss indexed-skip + sparql bindings walk tagged by
     `kind`, pst_explode = member tree + RFC-822 parse of .eml children,
