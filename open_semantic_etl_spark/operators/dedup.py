@@ -338,8 +338,12 @@ def build_lsh_index(
     different num_hashes/bands/shingle_n/n_buckets would silently miss
     collisions (r4 review).  ``signatures`` (``id_col, sig``) skips the
     MinHash recompute when the caller already has them."""
+    _recover_lsh_compaction(index_path)  # an append directly after a
+    # crashed compaction would otherwise recreate the live dir and let
+    # the next probe's recovery DELETE the __old_* full-corpus copy
     meta = _lsh_index_meta(
-        index_path, num_hashes, bands, shingle_n, n_buckets, create=True
+        index_path, num_hashes, bands, shingle_n, n_buckets, create=True,
+        refresh=(mode == "overwrite" and epoch is None),
     )
     num_hashes, bands, shingle_n, n_buckets = meta
     suffix = f"/_epoch={epoch}" if epoch is not None else ""
@@ -373,10 +377,15 @@ def _lsh_index_meta(
     shingle_n: int,
     n_buckets: int,
     create: bool = False,
+    refresh: bool = False,
 ) -> tuple[int, int, int, int]:
     """read (or on first build, write) the index's recorded family
     parameters; mismatching caller parameters raise rather than
-    silently probing the wrong band space."""
+    silently probing the wrong band space.  ``refresh`` (full-table
+    overwrite builds) re-records the caller's parameters — the one
+    legitimate re-parameterization path.  The write is tmp+os.replace
+    so a crash mid-write can never wedge later probes on a truncated
+    JSON (r4 review)."""
     import json
     import os
 
@@ -387,9 +396,29 @@ def _lsh_index_meta(
         "shingle_n": shingle_n,
         "n_buckets": n_buckets,
     }
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            stored = json.load(f)
+
+    def write() -> None:
+        os.makedirs(index_path, exist_ok=True)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(want, f)
+        os.replace(tmp, meta_path)
+
+    if os.path.exists(meta_path) and not refresh:
+        try:
+            with open(meta_path) as f:
+                stored = json.load(f)
+        except ValueError:
+            # torn write from a crashed pre-fix build: a build
+            # self-heals (it owns the params); a probe fails LOUDLY —
+            # guessing the family silently misses collisions
+            if create:
+                write()
+                stored = want
+            else:
+                raise ValueError(
+                    f"corrupt _lsh_meta.json at {index_path} — rebuild the index"
+                ) from None
         if stored != want:
             raise ValueError(
                 f"LSH index at {index_path} was built with {stored}, "
@@ -397,9 +426,7 @@ def _lsh_index_meta(
             )
         return tuple(stored[k] for k in ("num_hashes", "bands", "shingle_n", "n_buckets"))
     if create:
-        os.makedirs(index_path, exist_ok=True)
-        with open(meta_path, "w") as f:
-            json.dump(want, f)
+        write()
     return num_hashes, bands, shingle_n, n_buckets
 
 
@@ -433,13 +460,19 @@ def probe_lsh_index(
     num_hashes, bands, shingle_n, n_buckets = _lsh_index_meta(
         index_path, num_hashes, bands, shingle_n, n_buckets
     )
+    from pyspark.errors import AnalysisException
+
     try:
         # BOTH tables must load for the index to count as present: a
         # crash mid-first-build can leave one without the other, and a
-        # wedged probe would block every streaming retry (r4 review)
+        # wedged probe would block every streaming retry (r4 review).
+        # Only plan-time AnalysisException (missing path / no footers
+        # to infer from, e.g. an all-empty-epoch layout) means "empty
+        # index" — runtime read errors on real data still raise, else
+        # a corrupt index would silently admit every duplicate.
         idx_raw = spark.read.parquet(f"{index_path}/bands")
         idx_sigs_raw = spark.read.parquet(f"{index_path}/sigs")
-    except Exception:  # AnalysisException: PATH_NOT_FOUND — empty index
+    except AnalysisException:
         return df.select(
             F.lit(None).cast(id_type).alias("index_id"),
             F.col(id_col).alias("probe_id"),

@@ -407,12 +407,16 @@ def with_quality_clf(
     )
 
 
+DSIR_DIM = 256  # hashed feature space — single-sourced with the SQL twin
+DSIR_SMOOTHING = 1.0  # add-k estimate smoothing, ditto
+
+
 def dsir_importance(
     df: DataFrame,
     target_cond: Column,
     text_col: str = "text",
-    dim: int = 256,
-    smoothing: float = 1.0,
+    dim: int = DSIR_DIM,
+    smoothing: float = DSIR_SMOOTHING,
 ) -> DataFrame:
     """Adds ``dsir_weight_d``: hashed n-gram importance log-ratio —
     DSIR (Xie et al. 2023, data selection via importance resampling).
@@ -468,13 +472,17 @@ def dsir_importance(
     rarr = F.array(*[F.lit(float(v)) for v in ratio])
 
     def weight(toks: Column) -> Column:
-        feats = bucket_arr(toks)
-        total = F.aggregate(
-            feats,
-            F.lit(0.0),
-            lambda acc, b: acc + F.element_at(rarr, (b + 1).cast("int")),
-        )
-        return F.when(F.size(feats) > 0, F.round(total, 4))
+        def score(feats: Column) -> Column:
+            total = F.aggregate(
+                feats,
+                F.lit(0.0),
+                lambda acc, b: acc + F.element_at(rarr, (b + 1).cast("int")),
+            )
+            return F.when(F.size(feats) > 0, F.round(total, 4))
+
+        # let-bound: size() and aggregate() would otherwise each
+        # re-evaluate the md5-per-feature subtree (the CLAUDE.md rule)
+        return let(bucket_arr(toks), score)
 
     return df.withColumn(
         "dsir_weight_d", let(whitespace_tokens(F.lower(F.col(text_col))), weight)

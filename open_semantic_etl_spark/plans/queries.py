@@ -407,12 +407,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within one process reuse the same dir instead of leaking per rep
     import os
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    # the key fingerprints the INPUT CONTENT (file sizes+mtimes), not
+    # just the path: regenerated fixture data must never hit a stale
+    # cached index (r4 review); pid-scoping still rules out races
+    fp = "|".join(
+        f"{n}:{st.st_size}:{st.st_mtime_ns}"
+        for n in sorted(os.listdir(f"{sf_dir}"))
+        if n.startswith("documents")
+        for st in [os.stat(os.path.join(sf_dir, n))]
+    )
+    key = hashlib.sha1(f"{sf_dir}|{fp}".encode()).hexdigest()[:16]
     index_path = f"/tmp/spark_graft_lsh_index_{key}_{os.getpid()}"
     even = F.col("doc_id") % 2 == 0
-    # build once per (sf, process): the production incremental shape
-    # pays the index build once and probes per batch, so steady reps
-    # measure the probe; the cold rep carries the build
+    # build once per (content, process): the production incremental
+    # shape pays the index build once and probes per batch, so steady
+    # reps measure the probe; the cold rep carries the build
     marker = os.path.join(index_path, "_complete")
     if not os.path.exists(marker):
         build_lsh_index(

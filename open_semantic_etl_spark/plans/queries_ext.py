@@ -1007,7 +1007,10 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "host_s", "kept_i", "sampled_i", "dsir_weight_d")
 
 
-_DSIR_DIM = 256
+from open_semantic_etl_spark.operators.textstats import (  # noqa: E402
+    DSIR_DIM as _DSIR_DIM,
+    DSIR_SMOOTHING as _DSIR_SMOOTH,
+)
 
 SQL_HOST_CAP = f"""
 WITH d AS (
@@ -1032,10 +1035,10 @@ WITH d AS (
 ), c AS (
   SELECT b, sum(t) AS nt, count(*) AS nr FROM pf GROUP BY b
 ), tot AS (
-  SELECT sum(nt) + {_DSIR_DIM} AS tt, sum(nr) + {_DSIR_DIM} AS tr FROM c
+  SELECT sum(nt) + {_DSIR_DIM} * {_DSIR_SMOOTH!r} AS tt, sum(nr) + {_DSIR_DIM} * {_DSIR_SMOOTH!r} AS tr FROM c
 ), ratio AS (
-  SELECT b, ln((nt + 1.0) / (SELECT tt FROM tot))
-            - ln((nr + 1.0) / (SELECT tr FROM tot)) AS lr
+  SELECT b, ln((nt + {_DSIR_SMOOTH!r}) / (SELECT tt FROM tot))
+            - ln((nr + {_DSIR_SMOOTH!r}) / (SELECT tr FROM tot)) AS lr
   FROM c
 ), w AS (
   SELECT pf.doc_id, round(sum(r.lr), 4) AS dsir_weight_d

@@ -774,3 +774,40 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     out2 = {r.doc_id: r.dsir_weight_d
             for r in TS.dsir_importance(df.repartition(7), F.col("doc_id") < 10).collect()}
     assert got == out2  # partitioning-independent
+
+
+def test_lsh_overwrite_reparameterizes_and_meta_self_heals(spark, corpus, tmp_path):
+    """a full overwrite build may change family params (it rewrites
+    everything, meta included); a torn meta file self-heals on build
+    and fails loudly on probe (r4 review, both found in the meta
+    guard's first cut)."""
+    path = str(tmp_path / "idx_meta2")
+    D.build_lsh_index(corpus, path, mode="overwrite")
+    # re-parameterize via overwrite: allowed, meta refreshed
+    D.build_lsh_index(corpus, path, mode="overwrite", bands=8)
+    with pytest.raises(ValueError, match="silently missed"):
+        D.probe_lsh_index(corpus, path)  # default bands=16 now mismatches
+    assert D.probe_lsh_index(corpus, path, bands=8).count() > 0
+    # torn meta: probe raises loudly, overwrite build heals
+    with open(f"{path}/_lsh_meta.json", "w") as f:
+        f.write('{"num_hash')  # truncated write
+    with pytest.raises(ValueError, match="corrupt"):
+        D.probe_lsh_index(corpus, path, bands=8)
+    D.build_lsh_index(corpus, path, mode="overwrite", bands=8)
+    assert D.probe_lsh_index(corpus, path, bands=8).count() > 0
+
+
+def test_build_after_crashed_compaction_recovers_first(spark, corpus, tmp_path):
+    """an append arriving after a crashed compaction swap must restore
+    the __old_* full-corpus dir BEFORE writing — otherwise the next
+    probe's recovery deletes it, silently unindexing the whole corpus
+    (r4 review)."""
+    import os
+
+    path = str(tmp_path / "idx_crash2")
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 0), path, mode="overwrite")
+    os.rename(f"{path}/bands", f"{path}/bands__old_cafe")  # crashed swap
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 4), path)  # append
+    probe = corpus.filter(F.col("doc_id") == 1)  # exact dup of 0
+    got = {r.index_id for r in D.probe_lsh_index(probe, path).collect() if r.matched}
+    assert 0 in got  # doc 0's bands survived the crash + append
