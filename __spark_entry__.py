@@ -273,6 +273,10 @@ WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)
 UNION ALL
 SELECT 'pq' AS method, query_id, nbr_id, cos, rk
 FROM read_parquet('/root/repo/goldens/ann_pq.parquet')
+WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)
+UNION ALL
+SELECT 'ivfpq' AS method, query_id, nbr_id, cos, rk
+FROM read_parquet('/root/repo/goldens/ann_ivfpq.parquet')
 WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)""",
         "paragraph_dedup": """
 WITH d AS (
@@ -318,6 +322,25 @@ WITH clf_f AS (
            )) / len(feats)))), 6)
          END AS clf_score
   FROM clf_f
+), clf_tf AS (
+  -- trained classifier: re-derive the hashed-NB log-odds weights from
+  -- the same labeled table (the DSIR ln-ratio twin pattern)
+  SELECT doc_id, (doc_id % 10 = 0)::int AS t,
+         ((('0x' || substr(md5(f), 1, 15))::UBIGINT % {_CLF_DIM})::int) AS b
+  FROM clf_f, unnest(feats) AS u(f)
+), cc AS (
+  SELECT b, sum(t) AS np, count(*) AS nr FROM clf_tf GROUP BY b
+), ctot AS (
+  SELECT sum(np) + {_CLF_DIM} * 1.0 AS tp,
+         sum(nr - np) + {_CLF_DIM} * 1.0 AS tn FROM cc
+), cw AS (
+  SELECT b, ln((np + 1.0) / (SELECT tp FROM ctot))
+           - ln((nr - np + 1.0) / (SELECT tn FROM ctot)) AS w
+  FROM cc
+), clf_t AS (
+  SELECT clf_tf.doc_id,
+         round(1.0 / (1.0 + exp(-(sum(cw.w) / count(*)))), 4) AS clf_trained_d
+  FROM clf_tf JOIN cw USING (b) GROUP BY clf_tf.doc_id
 ), t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
@@ -393,7 +416,7 @@ WITH clf_f AS (
          sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
   FROM g10_c GROUP BY doc_id
 )
-SELECT doc_id, clf.clf_score, n AS n_tokens,
+SELECT doc_id, clf.clf_score, clf_t.clf_trained_d, n AS n_tokens,
        CASE WHEN n > 0 THEN round((chars - (n - 1))::double / n, 4) ELSE 0.0 END AS mean_word_len,
        CASE WHEN n > 0 THEN round(n_stop::double / n, 4) ELSE 0.0 END AS stopword_ratio,
        CASE WHEN chars > 0 THEN round(n_punct::double / chars, 4) ELSE 0.0 END AS punct_ratio,
@@ -425,6 +448,7 @@ LEFT JOIN g4 USING (doc_id)
 LEFT JOIN g5 USING (doc_id)
 LEFT JOIN g10 USING (doc_id)
 LEFT JOIN clf USING (doc_id)
+LEFT JOIN clf_t USING (doc_id)
 )""" + _CURATION_TAIL,
         "sentences": """
 WITH d AS (

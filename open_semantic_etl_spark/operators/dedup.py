@@ -349,6 +349,29 @@ def build_lsh_index(
     suffix = f"/_epoch={epoch}" if epoch is not None else ""
     if epoch is not None:
         mode = "overwrite"
+    if not (mode == "overwrite" and epoch is None):
+        # an append must match the table's physical layout: mixing
+        # ``_epoch=`` dirs with the flat bucket layout makes partition
+        # discovery raise "Conflicting directory structures" on every
+        # later read — and a probe that swallowed that error would
+        # report ALL docs novel and admit every duplicate (r5 review).
+        # Refuse the write instead of corrupting the layout.
+        for sub in ("bands", "sigs"):
+            state = _lsh_table_state(f"{index_path}/{sub}")
+            if epoch is not None and state == "flat":
+                raise ValueError(
+                    f"LSH index {sub} table at {index_path} has the flat "
+                    "(batch/compacted) layout; an _epoch append would corrupt "
+                    "partition discovery. After compact_lsh_index, continue "
+                    "with non-epoch appends (dedup_ingest_batch) or stream "
+                    "into a fresh index path."
+                )
+            if epoch is None and state == "epoch":
+                raise ValueError(
+                    f"LSH index {sub} table at {index_path} has the "
+                    "_epoch streaming layout; a flat append would corrupt "
+                    "partition discovery. Run compact_lsh_index first."
+                )
     if signatures is None:
         sig = df.select(
             F.col(id_col).alias("_id"),
@@ -460,25 +483,26 @@ def probe_lsh_index(
     num_hashes, bands, shingle_n, n_buckets = _lsh_index_meta(
         index_path, num_hashes, bands, shingle_n, n_buckets
     )
-    from pyspark.errors import AnalysisException
-
-    try:
-        # BOTH tables must load for the index to count as present: a
-        # crash mid-first-build can leave one without the other, and a
-        # wedged probe would block every streaming retry (r4 review).
-        # Only plan-time AnalysisException (missing path / no footers
-        # to infer from, e.g. an all-empty-epoch layout) means "empty
-        # index" — runtime read errors on real data still raise, else
-        # a corrupt index would silently admit every duplicate.
-        idx_raw = spark.read.parquet(f"{index_path}/bands")
-        idx_sigs_raw = spark.read.parquet(f"{index_path}/sigs")
-    except AnalysisException:
+    # BOTH tables must hold data for the index to count as present: a
+    # crash mid-first-build can leave one without the other, and a
+    # wedged probe would block every streaming retry (r4 review).  The
+    # presence test is a direct filesystem check, NOT a caught
+    # AnalysisException: a mixed flat/_epoch layout raises the same
+    # exception class at plan time ("Conflicting directory structures"),
+    # and swallowing it would silently report every doc novel and admit
+    # every duplicate (r5 review).  Any read error on real data raises.
+    if (
+        _lsh_table_state(f"{index_path}/bands") in ("absent", "empty")
+        or _lsh_table_state(f"{index_path}/sigs") in ("absent", "empty")
+    ):
         return df.select(
             F.lit(None).cast(id_type).alias("index_id"),
             F.col(id_col).alias("probe_id"),
             F.lit(None).cast("double").alias("est_jaccard"),
             F.lit(False).alias("matched"),
         )
+    idx_raw = spark.read.parquet(f"{index_path}/bands")
+    idx_sigs_raw = spark.read.parquet(f"{index_path}/sigs")
     if exclude_epoch is not None and "_epoch" in idx_raw.columns:
         idx_raw = idx_raw.filter(F.col("_epoch") != exclude_epoch)
     if signatures is None:
@@ -518,6 +542,12 @@ def probe_lsh_index(
             est.alias("est_jaccard"),
             F.lit(True).alias("matched"),
         )
+        # a crash between a non-epoch append's sigs and bands writes
+        # leaves orphan sig rows the retry re-appends; the duplicate
+        # (_id, sig) rows would fan each collision out to N rows here.
+        # Dedup on the PAIR (candidates ≪ corpus — cheap), not on the
+        # full sig table (r5 review).
+        .dropDuplicates(["index_id", "probe_id"])
     )
     novel = (
         df.select(F.col(id_col).alias("probe_id"))
@@ -957,6 +987,29 @@ def embedding_dup_pairs(
     )
 
 
+def _lsh_table_state(path: str) -> str:
+    """physical layout of one index table dir: ``absent`` (no dir),
+    ``empty`` (dir holds no parquet data files — e.g. an all-empty-epoch
+    streaming bootstrap), ``flat`` (data, no ``_epoch=`` partition
+    dirs — the batch/compacted layout), ``epoch`` (data under
+    ``_epoch=`` dirs — the streaming layout).  Pure os-path checks; the
+    build guard and the probe's empty-index test both key off this so a
+    mixed layout is refused/raised instead of read as empty."""
+    import os
+
+    if not os.path.isdir(path):
+        return "absent"
+    has_data = any(
+        f.endswith(".parquet")
+        for _d, _s, files in os.walk(path)
+        for f in files
+    )
+    if not has_data:
+        return "empty"
+    epoched = any(n.startswith("_epoch=") for n in os.listdir(path))
+    return "epoch" if epoched else "flat"
+
+
 def _recover_lsh_compaction(index_path: str) -> None:
     """roll an interrupted compact_lsh_index back/forward: a table dir
     that vanished mid-swap is restored from its ``__old_*`` sibling
@@ -968,13 +1021,298 @@ def _recover_lsh_compaction(index_path: str) -> None:
     import os
     import shutil
 
-    for sub in ("bands", "sigs"):
+    from open_semantic_etl_spark.plans.checkpoint import recover_swaps
+
+    for sub, part_col in (("bands", "_bb"), ("sigs", "_sb")):
         path = f"{index_path}/{sub}"
         olds = sorted(glob.glob(f"{path}__old_*"))
         if olds and not os.path.isdir(path):
             os.rename(olds.pop(), path)
         for stale in olds + glob.glob(f"{path}__tmp_*"):
             shutil.rmtree(stale, ignore_errors=True)
+        # also roll forward any interrupted per-bucket delete swap
+        # (delete_from_lsh_index parks post-delete bucket dirs in a
+        # sibling __swap dir — same recovery as the checkpoint merge)
+        recover_swaps(path, part_col=part_col)
+    # roll staged-COMPLETE batch appends forward (dedup_ingest_batch
+    # crashed between _STAGED and the marker publish).  Un-staged
+    # ``__batch_*`` dirs are left alone: they are either a concurrent
+    # in-flight writer's staging or dead weight the next ingest of that
+    # batch_id discards itself — deleting them here would race a live
+    # writer.
+    for staging in glob.glob(f"{index_path}/__batch_*"):
+        if os.path.isfile(os.path.join(staging, "_STAGED")):
+            batch_id = os.path.basename(staging)[len("__batch_"):]
+            _commit_batch_staging(
+                index_path, staging, f"{index_path}/_batches/{batch_id}"
+            )
+
+
+def _lsh_batch_paths(index_path: str, batch_id: str) -> tuple[str, str]:
+    """(staging dir, committed marker dir) for one ingest batch."""
+    return (
+        f"{index_path}/__batch_{batch_id}",
+        f"{index_path}/_batches/{batch_id}",
+    )
+
+
+def _commit_batch_staging(index_path: str, staging: str, marker: str) -> None:
+    """roll a fully-staged batch append (``_STAGED`` present) forward:
+    move each staged parquet part file into its live bucket dir (names
+    are Spark-unique uuids, so a resumed move never double-lands a
+    file), then publish the kept-ids dir as the committed marker (one
+    atomic rename), then drop the staging dir.  Every step is
+    idempotent under crash-retry — the recovery path and the happy path
+    are the same code."""
+    import os
+    import shutil
+
+    for sub in ("bands", "sigs"):
+        src_root = os.path.join(staging, sub)
+        if not os.path.isdir(src_root):
+            continue
+        for d, _s, files in os.walk(src_root):
+            rel = os.path.relpath(d, src_root)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                dst_dir = os.path.join(index_path, sub, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(os.path.join(d, f), os.path.join(dst_dir, f))
+    if not os.path.isdir(marker):
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        os.rename(os.path.join(staging, "kept_ids"), marker)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def dedup_ingest_batch(
+    spark,
+    batch_df: DataFrame,
+    index_path: str,
+    batch_id: str | None = None,
+    text_col: str = "text",
+    id_col: str = "url",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+    _fail_after_stage: bool = False,
+) -> DataFrame:
+    """one-call incremental dedup ingest — the BATCH twin of
+    ``stream_dedup_ingest`` (streaming/monitor.py): dedup the batch
+    against the whole already-ingested corpus via the persisted band
+    index, dedup within the batch, append the keep-set to the index,
+    and return the kept rows.
+
+    Scale shape (identical to the streaming twin): ONE MinHash pass per
+    batch threads through probe, within-batch dedup and the index
+    append; the probe is a partition-pruned key-only band join (corpus
+    text never re-read); within-batch dedup keeps the smaller id of
+    each colliding pair.
+
+    Idempotence: pass ``batch_id`` (any string uniquely naming this
+    batch's CONTENT — a landing-file manifest hash, an ingest sequence
+    number).  The index append is then staged under
+    ``__batch_<id>`` and committed by moving part files into the live
+    bucket dirs, with the kept-id set published to ``_batches/<id>`` as
+    the commit marker (and audit trail).  Replaying a committed batch
+    returns the recorded keep-set without touching the index; a crash
+    anywhere — between the sigs and bands writes, mid-commit, before
+    the marker — either discards the un-staged attempt (recompute, the
+    live index was never touched) or rolls the staged commit forward
+    (every probe/build also rolls staged-complete batches forward via
+    ``_recover_lsh_compaction``).  Without ``batch_id`` the append is
+    direct (``build_lsh_index``): correct under crash-BEFORE-bands
+    retries (orphan sig rows are deduped at probe time) but a retry
+    after a COMPLETED append will re-ingest the batch against itself —
+    use ``batch_id`` whenever the caller retries.
+
+    ``_fail_after_stage`` is the crash-simulation hook (the
+    ``fail_before_checkpoint`` pattern, plans/checkpoint.py)."""
+    import os
+    import shutil
+
+    _recover_lsh_compaction(index_path)
+
+    def kept_rows(ids_path: str) -> DataFrame:
+        kept_ids = spark.read.parquet(ids_path).select(
+            F.col("_id").alias(id_col)
+        )
+        return batch_df.dropDuplicates([id_col]).join(kept_ids, id_col)
+
+    if batch_id is not None:
+        staging, marker = _lsh_batch_paths(index_path, batch_id)
+        if os.path.isdir(marker):
+            return kept_rows(marker)  # committed replay
+        if os.path.isfile(os.path.join(staging, "_STAGED")):
+            # staged-complete crash window: finish the commit, then
+            # return the RECORDED keep-set (recomputing would probe an
+            # index that may already hold part of this batch)
+            _commit_batch_staging(index_path, staging, marker)
+            return kept_rows(marker)
+        shutil.rmtree(staging, ignore_errors=True)  # partial stage
+
+    batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    sigs = batch.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
+    ).localCheckpoint(eager=True)
+    probed = probe_lsh_index(
+        batch, index_path, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        n_buckets=n_buckets, signatures=sigs,
+    )
+    novel_ids = probed.filter(~F.col("matched")).select(
+        F.col("probe_id").alias(id_col)
+    )
+    novel = batch.join(novel_ids, id_col)
+    drop = (
+        lsh_candidate_pairs(
+            novel, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            signatures=sigs.join(novel_ids, id_col),
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    kept = novel.join(drop, id_col, "left_anti").localCheckpoint(eager=True)
+    kept_sigs = sigs.join(kept.select(id_col), id_col).select(
+        F.col(id_col).alias("_id"), "sig"
+    )
+    if batch_id is None:
+        build_lsh_index(
+            kept, index_path, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            n_buckets=n_buckets,
+            signatures=kept_sigs.select(F.col("_id").alias(id_col), "sig"),
+        )
+        return kept
+    # staged append: all three writes land OUTSIDE the live tables, so
+    # a crash before _STAGED never perturbs the index
+    for sub in ("bands", "sigs"):
+        if _lsh_table_state(f"{index_path}/{sub}") == "epoch":
+            raise ValueError(
+                f"LSH index {sub} table at {index_path} has the _epoch "
+                "streaming layout; run compact_lsh_index before batch "
+                "ingest (the staged append writes the flat layout)."
+            )
+    meta = _lsh_index_meta(
+        index_path, num_hashes, bands, shingle_n, n_buckets, create=True
+    )
+    num_hashes, bands, shingle_n, n_buckets = meta
+    kept_sigs.withColumn(
+        "_sb", F.pmod(F.xxhash64("_id"), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("_sb").parquet(f"{staging}/sigs")
+    _band_table(kept_sigs, num_hashes, bands).withColumn(
+        "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
+    ).write.mode("overwrite").partitionBy("_bb").parquet(f"{staging}/bands")
+    kept.select(F.col(id_col).alias("_id")).write.mode("overwrite").parquet(
+        f"{staging}/kept_ids"
+    )
+    with open(os.path.join(staging, "_STAGED"), "w") as fh:
+        fh.write("ok")
+    if _fail_after_stage:
+        raise RuntimeError("simulated crash after staging, before commit")
+    _commit_batch_staging(index_path, staging, marker)
+    return kept
+
+
+def delete_from_lsh_index(spark, index_path: str, ids) -> None:
+    """remove documents from the persisted LSH index (takedowns,
+    recrawl-replaced urls, TTL expiry) — the DELETE twin of the
+    append-only build.
+
+    Bucket-pruned, the merge_by_url rule (plans/checkpoint.py:183)
+    applied to the index: a doc's sig lives in ``_sb =
+    pmod(xxhash64(id), n_buckets)`` and its band rows in the ``_bb``
+    buckets of its (sig-derived, deterministic) band hashes, so the
+    rewrite reads and swaps ONLY those buckets; untouched bucket files
+    stay byte-identical on disk.  Cost tracks the DELETE BATCH, not the
+    corpus.  Crash windows use the checkpoint tier's staged-swap
+    treatment (``__swap`` sibling dir + recover_swaps, rolled forward
+    by every probe/build via ``_recover_lsh_compaction``); bands swap
+    BEFORE sigs, and either half-state probes correctly (a band
+    collision without a sig row drops at the inner sig join, so a
+    half-deleted doc never resurfaces).  Requires the flat (batch /
+    compacted) layout — run ``compact_lsh_index`` on a streaming index
+    first (epoch partitions would make per-bucket swaps span epochs).
+
+    ``ids``: list of doc-id values, or a single-column DataFrame of
+    them.  Ids absent from the index are a no-op.
+    """
+    import os
+    import uuid
+
+    from open_semantic_etl_spark.plans.checkpoint import _swap_buckets
+
+    _recover_lsh_compaction(index_path)
+    import json
+
+    meta_path = os.path.join(index_path, "_lsh_meta.json")
+    with open(meta_path) as f:  # deleting from a non-index raises loudly
+        meta = json.load(f)
+    num_hashes, bands, n_buckets = (
+        meta["num_hashes"], meta["bands"], meta["n_buckets"]
+    )
+    for sub in ("bands", "sigs"):
+        state = _lsh_table_state(f"{index_path}/{sub}")
+        if state in ("absent", "empty"):
+            return  # nothing indexed yet — delete is a no-op
+        if state == "epoch":
+            raise ValueError(
+                f"LSH index {sub} table at {index_path} has the _epoch "
+                "streaming layout; run compact_lsh_index before deleting."
+            )
+    if isinstance(ids, DataFrame):
+        ids_df = ids.toDF("_del_id").dropDuplicates(["_del_id"])
+    else:
+        ids = list(ids)
+        if not ids:
+            return
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], ["_del_id"]
+        ).dropDuplicates(["_del_id"])
+    sig_buckets = [
+        r[0]
+        for r in ids_df.select(
+            F.pmod(F.xxhash64("_del_id"), F.lit(n_buckets)).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    sigs_path = f"{index_path}/sigs"
+    bands_path = f"{index_path}/bands"
+    touched_sigs = spark.read.parquet(sigs_path).filter(
+        F.col("_sb").isin(sig_buckets)
+    )
+    # the deleted docs' band rows are recomputed FROM THEIR SIGS
+    # (deterministic), so the touched _bb set is exact — no scan of the
+    # full bands table
+    del_sigs = touched_sigs.join(
+        F.broadcast(ids_df), touched_sigs["_id"] == ids_df["_del_id"]
+    ).select("_id", "sig")
+    del_bands = _band_table(del_sigs, num_hashes, bands).withColumn(
+        "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
+    )
+    band_buckets = [r[0] for r in del_bands.select("_bb").distinct().collect()]
+    if not band_buckets and not sig_buckets:
+        return
+    # bands first: once a doc's band rows are gone it can never match,
+    # whatever happens to its sig rows before the retry finishes
+    for path, part_col, buckets in (
+        (bands_path, "_bb", band_buckets),
+        (sigs_path, "_sb", sig_buckets),
+    ):
+        if not buckets:
+            continue
+        keep = (
+            spark.read.parquet(path)
+            .filter(F.col(part_col).isin(buckets))
+            .join(F.broadcast(ids_df), F.col("_id") == F.col("_del_id"), "left_anti")
+        )
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        keep.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+        _swap_buckets(tmp, path, buckets, part_col=part_col)
 
 
 def compact_lsh_index(spark, index_path: str, n_buckets: int = 64) -> None:

@@ -32,6 +32,22 @@ Scope and honesty notes:
   which cannot be derived; those files fail loudly (ValueError) rather
   than decode wrongly. ANSI (wVer 14/15) PSTs are rejected the same
   way.
+  Round-5 sourcing attempt (the r4 verdict's top ask): the sandbox was
+  searched for an independently-checkable copy of the [MS-PST] §5.1
+  mpbbCrypt tables — retrieved public content (SNIPPETS.md/PAPERS.md:
+  no hits for permute/mpbb), the reference tree (delegates to readpst,
+  carries no tables), and the container itself (no readpst/pffexport
+  binary, no libpff, no spec docs). None exists here. Writing the
+  table from memory fails both of the verdict's required pins: the
+  bijection check only validates that SOME permutation was written
+  (any misremembered transposition still passes), and a round-trip
+  fixture is circular when our own encoder necessarily uses the same
+  table. A wrong table decodes garbage "successfully" — exactly the
+  failure mode the do-not-guess rule exists for — so the loud seam
+  stays (the oracle-pinning standing rule: no independent oracle →
+  fail loudly). First action if the sandbox ever gains readpst/libpff
+  or the spec text: pin the table against that source and flip every
+  third pst_explode container to PERMUTE under the same green oracle.
 - Trailer signatures/CRCs are not validated (tolerant-reader policy,
   same as the PDF/CFB tiers): one poison document must yield an error
   row or partial tree, never a wrong-text or a task-killing exception.

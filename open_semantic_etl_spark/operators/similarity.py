@@ -412,6 +412,130 @@ def pq_codes_expr(vec: Column, books: np.ndarray) -> Column:
     return F.pandas_udf(codes_batch, T.ArrayType(T.IntegerType()))(vec)
 
 
+def _adc_query_tables(
+    df: DataFrame,
+    query_ids: list[int],
+    B: np.ndarray,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """per-query asymmetric-distance tables, driver-built from the
+    normalized query vectors (m × ks doubles each — tiny) as a
+    broadcast-able (query_id, qtab) frame. Shared by pq_topk and
+    ivfpq_topk; the flattening order (subspace-major) is part of the
+    golden contract."""
+    m, ks, dsub = B.shape
+    v = F.col(vec_col).cast("array<double>")
+    qrows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("i"), v.alias("q"))
+        .filter(F.col("q").isNotNull())
+        .orderBy("i")
+        .collect()
+    )
+    qtabs = []
+    for r in qrows:
+        q = np.asarray(r["q"], dtype=np.float64)
+        n = np.sqrt((q * q).sum())
+        if n == 0:
+            n = 1.0
+        q = q / n
+        flat: list[float] = []
+        for j in range(m):
+            qj = q[j * dsub : (j + 1) * dsub]
+            flat.extend(float(x) for x in ((B[j] - qj[None, :]) ** 2).sum(-1))
+        qtabs.append((int(r["i"]), flat))
+    return df.sparkSession.createDataFrame(qtabs, "query_id long, qtab array<double>")
+
+
+def _adc_score_topk(cands: DataFrame, m: int, ks: int, k: int) -> DataFrame:
+    """ADC fold + per-query top-k over (query_id, nbr_id, codes, qtab)
+    candidate rows — the shared tail of pq_topk / ivfpq_topk.  The JVM
+    folds ``Σ_j qtab[j·ks + code_j]`` per row; ranking ties break on
+    nbr_id like every ANN path."""
+    total = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("qtab"), j * ks + F.element_at(F.col("codes"), j + 1) + 1),
+    )
+    scored = cands.select(
+        "query_id",
+        "nbr_id",
+        F.round(F.lit(1.0) - F.lit(0.5) * total, 4).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "nbr_id", "cos", "rk")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 5,
+    sample: int = 4096,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF∘PQ — the composed 10^12-row production split the component
+    docstrings describe: an IVF coarse quantizer routes each query to
+    its ``nprobe`` nearest k-means cells, and within those cells the
+    scan is PQ/ADC over the m-byte compressed codes (plain PQ codes in
+    the cell, not residual-encoded — the simpler of the two standard
+    variants in Jégou et al. 2011 §IV).
+
+    Plan shape: the corpus encodes ONCE into (id, cell, codes) — at
+    scale that table is written next to the corpus, partitioned BY
+    ``cell`` so probing prunes partitions; here the cell filter plays
+    that role.  After encoding no vector column is read and nothing but
+    (id, cell, m codes) flows; the exploded query-cell pairs and the
+    per-query ADC tables both broadcast, so corpus rows never shuffle
+    at all (plan-asserted: no Exchange carries ``embedding``).
+    Encode cost is two Arrow crossings (cell UDF + code UDF) — a
+    one-time cost at ingest in the production layout.
+
+    Determinism matches the components exactly (same trainers, same
+    tie-breaks), so the ``ann_ivfpq`` golden (tools/gen_goldens.py) is
+    an independent bit-identical twin; recall vs brute force is tested
+    in tests/test_dedup.py."""
+    if centroids is None:
+        centroids = train_centroids(df, k_cells, iters, sample, vec_col, id_col)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(df, m, ks, iters, sample, vec_col, id_col)
+    B = codebooks.astype(np.float64)
+    m, ks, _dsub = B.shape
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("nbr_id"),
+        nearest_cells_expr(v, centroids, 1)[0].alias("cell"),
+        pq_codes_expr(v, B).alias("codes"),
+    ).filter(F.col("codes").isNotNull())
+    qex = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(nearest_cells_expr(v, centroids, nprobe)).alias("cell"),
+        )
+    )
+    qdf = _adc_query_tables(df, query_ids, B, vec_col, id_col)
+    cands = (
+        base.join(F.broadcast(qex), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+    )
+    return _adc_score_topk(cands, m, ks, k)
+
+
 def pq_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -440,53 +564,13 @@ def pq_topk(
     if codebooks is None:
         codebooks = train_pq_codebooks(df, m, ks, iters, sample, vec_col, id_col)
     B = codebooks.astype(np.float64)
-    m, ks, dsub = B.shape
+    m, ks, _dsub = B.shape
     v = F.col(vec_col).cast("array<double>")
     base = df.select(
         F.col(id_col).alias("nbr_id"), pq_codes_expr(v, B).alias("codes")
     ).filter(F.col("codes").isNotNull())
-
-    # per-query ADC tables, driver-built from the same normalized space
-    qrows = (
-        df.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("i"), v.alias("q"))
-        .filter(F.col("q").isNotNull())
-        .orderBy("i")
-        .collect()
+    qdf = _adc_query_tables(df, query_ids, B, vec_col, id_col)
+    cands = base.join(F.broadcast(qdf)).filter(
+        F.col("nbr_id") != F.col("query_id")
     )
-    spark = df.sparkSession
-    qtabs = []
-    for r in qrows:
-        q = np.asarray(r["q"], dtype=np.float64)
-        n = np.sqrt((q * q).sum())
-        if n == 0:
-            n = 1.0
-        q = q / n
-        flat: list[float] = []
-        for j in range(m):
-            qj = q[j * dsub : (j + 1) * dsub]
-            flat.extend(float(x) for x in ((B[j] - qj[None, :]) ** 2).sum(-1))
-        qtabs.append((int(r["i"]), flat))
-    qdf = spark.createDataFrame(qtabs, "query_id long, qtab array<double>")
-
-    total = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(F.col("qtab"), j * ks + F.element_at(F.col("codes"), j + 1) + 1),
-    )
-    scored = (
-        base.join(F.broadcast(qdf))
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            F.round(F.lit(1.0) - F.lit(0.5) * total, 4).alias("cos"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "nbr_id", "cos", "rk")
-    )
+    return _adc_score_topk(cands, m, ks, k)

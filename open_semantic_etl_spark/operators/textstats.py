@@ -353,7 +353,11 @@ def quality_clf_weights(dim: int = QUALITY_CLF_DIM) -> list[float]:
 
 
 def with_quality_clf(
-    df: DataFrame, text_col: str = "text", weights: list[float] | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    out_col: str = "clf_score",
+    round_to: int = 6,
 ) -> DataFrame:
     """Adds ``clf_score`` = sigmoid(mean weight of hashed features).
 
@@ -402,9 +406,83 @@ def with_quality_clf(
         )
 
     return df.withColumn(
-        "clf_score",
-        F.round(let(whitespace_tokens(F.lower(F.col(text_col))), score), 6),
+        out_col,
+        F.round(let(whitespace_tokens(F.lower(F.col(text_col))), score), round_to),
     )
+
+
+def _hashed_buckets(toks: Column, dim: int) -> Column:
+    """array<int> of hashed unigram+bigram feature buckets — the ONE
+    featurization spec shared by the DSIR estimator, the quality-clf
+    trainer and (via the same md5 formula) the clf scorer: bucket =
+    first 60 bits of md5(feature) mod dim, md5 precisely so the DuckDB
+    twin re-derives it independently
+    (``('0x' || substr(md5(f),1,15))::UBIGINT``)."""
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bis),
+        lambda f: (
+            F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long") % dim
+        ).cast("int"),
+    )
+
+
+def train_quality_clf(
+    df: DataFrame,
+    label_cond: Column,
+    text_col: str = "text",
+    dim: int | None = None,
+    smoothing: float = 1.0,
+) -> list[float]:
+    """one-pass closed-form quality-classifier trainer: hashed Naive
+    Bayes log-odds over labeled docs —
+    ``w_j = ln((pos_j + s)/(P + dim·s)) − ln((neg_j + s)/(N + dim·s))``
+    where pos_j/neg_j count bucket-``j`` feature occurrences in
+    positive/negative documents and P/N are the class totals.  The
+    returned vector threads straight into :func:`with_quality_clf`
+    (``weights=``): scoring stays the same map-only plan-literal
+    machinery, now with LEARNED weights.  Featurization is
+    :func:`_hashed_buckets` — identical to the scorer's md5 spec, so a
+    DuckDB twin re-derives the trained weights bit-exactly from the
+    same labeled table (the DSIR pattern, q_host_cap oracle).
+
+    Scale shape (same as :func:`dsir_importance`): ONE shuffle on int
+    bucket keys (≤ ``dim`` groups, map-side partial agg) and an O(dim)
+    driver collect; training cost is one corpus pass however large the
+    corpus.  Reference bar: the reference engine has no model-based
+    quality gate (SURVEY §2 LLM-ops addendum); semantics follow the
+    fastText-style hashing-trick classifier (Joulin et al. 2016) with
+    closed-form NB log-odds instead of SGD."""
+    import math
+
+    from open_semantic_etl_spark.functions.binding import let
+
+    dim = dim if dim is not None else QUALITY_CLF_DIM
+    fcol = let(
+        whitespace_tokens(F.lower(F.col(text_col))),
+        lambda t: _hashed_buckets(t, dim),
+    )
+    counts = (
+        df.select(label_cond.cast("long").alias("t"), F.explode(fcol).alias("b"))
+        .groupBy("b")
+        .agg(F.sum("t").alias("np"), F.count("*").alias("nr"))
+        .collect()
+    )
+    pos = [smoothing] * dim
+    neg = [smoothing] * dim
+    for r in counts:
+        pos[r["b"]] += float(r["np"])
+        neg[r["b"]] += float(r["nr"]) - float(r["np"])
+    tp, tn = sum(pos), sum(neg)
+    return [math.log(pos[b] / tp) - math.log(neg[b] / tn) for b in range(dim)]
 
 
 DSIR_DIM = 256  # hashed feature space — single-sourced with the SQL twin
@@ -439,21 +517,7 @@ def dsir_importance(
     from open_semantic_etl_spark.functions.binding import let
 
     def bucket_arr(toks: Column) -> Column:
-        bis = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return F.transform(
-            F.concat(toks, bis),
-            lambda f: (
-                F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long") % dim
-            ).cast("int"),
-        )
+        return _hashed_buckets(toks, dim)
 
     fcol = let(whitespace_tokens(F.lower(F.col(text_col))), bucket_arr)
     counts = (

@@ -124,11 +124,14 @@ def _swap_root(path: str) -> str:
     return f"{path}__swap"
 
 
-def recover_swaps(path: str) -> None:
+def recover_swaps(path: str, part_col: str = "_bucket") -> None:
     """roll an interrupted _swap_buckets forward: a bucket whose live
     dir went missing mid-swap is restored from its staged post-merge
     copy (``new__*``); stale stage/old leftovers are dropped. Called at
-    the top of every merge/rewrite so replay-after-crash converges."""
+    the top of every merge/rewrite so replay-after-crash converges.
+    ``part_col`` names the hive partition column of the bucket dirs —
+    the LSH index delete path reuses this machinery for its ``_bb`` /
+    ``_sb`` layouts."""
     sw = _swap_root(path)
     if not os.path.isdir(sw):
         return
@@ -136,7 +139,7 @@ def recover_swaps(path: str) -> None:
         full = os.path.join(sw, name)
         parts = name.split("__", 2)
         if len(parts) == 3 and parts[0] == "new":
-            dst = os.path.join(path, f"_bucket={parts[1]}")
+            dst = os.path.join(path, f"{part_col}={parts[1]}")
             if not os.path.isdir(dst):
                 os.rename(full, dst)
                 continue
@@ -144,7 +147,9 @@ def recover_swaps(path: str) -> None:
     shutil.rmtree(sw, ignore_errors=True)
 
 
-def _swap_buckets(tmp: str, path: str, buckets: list[int]) -> None:
+def _swap_buckets(
+    tmp: str, path: str, buckets: list[int], part_col: str = "_bucket"
+) -> None:
     """move tmp's bucket dirs over path's — only touched buckets change;
     a bucket absent from tmp (all rows deleted) is removed.
 
@@ -157,8 +162,8 @@ def _swap_buckets(tmp: str, path: str, buckets: list[int]) -> None:
     os.makedirs(sw, exist_ok=True)
     token = uuid.uuid4().hex[:8]
     for b in buckets:
-        src = os.path.join(tmp, f"_bucket={b}")
-        dst = os.path.join(path, f"_bucket={b}")
+        src = os.path.join(tmp, f"{part_col}={b}")
+        dst = os.path.join(path, f"{part_col}={b}")
         stage = os.path.join(sw, f"new__{b}__{token}")
         old = os.path.join(sw, f"old__{b}__{token}")
         if os.path.isdir(src):

@@ -622,6 +622,69 @@ def test_exact_substring_matches_bruteforce(spark):
     assert got == expect
 
 
+def test_exact_substring_spans_n50_equals_brute_lce(spark):
+    """Lee et al. 2021 §3.2 operating point (min-match 50 tokens): the
+    positional-gram island merge must equal a brute-force
+    longest-common-EXTENSION twin — for every pair of corpus positions,
+    extend the match as far as it goes; matches ≥ n mark their full
+    extent.  The twin shares no code or algorithm with the operator
+    (extension-based, not gram-hash-based), so agreement pins the
+    semantics: gram-coverage == union of repeated substrings of
+    length ≥ n."""
+    from open_semantic_etl_spark.operators.dedup import exact_substring_spans
+
+    n = 50
+    shared60 = [f"s{i}" for i in range(60)]
+    shared49 = [f"t{i}" for i in range(49)]  # below threshold
+    rep55 = [f"r{i}" for i in range(55)]
+    tokd = {
+        0: [f"u{i}" for i in range(20)] + shared60 + [f"u{20+i}" for i in range(20)],
+        1: [f"v{i}" for i in range(10)] + shared60 + [f"v{10+i}" for i in range(20)] + shared49,
+        2: [f"w{i}" for i in range(10)] + shared49 + [f"w{10+i}" for i in range(10)],
+        3: rep55 + [f"x{i}" for i in range(10)] + rep55,  # within-doc repeat
+        4: [f"y{i}" for i in range(80)],  # unique
+        5: shared60[:30] + ["z0"] + shared60[30:],  # split → pieces < n
+    }
+    docs = [(i, " ".join(w)) for i, w in tokd.items()]
+
+    # brute twin: all-pairs longest common extension
+    occ = [(i, p) for i, w in tokd.items() for p in range(len(w))]
+    covered = {i: set() for i in tokd}
+    for ai in range(len(occ)):
+        i, pi = occ[ai]
+        for bi in range(ai + 1, len(occ)):
+            j, pj = occ[bi]
+            if i == j and pi == pj:
+                continue
+            m = 0
+            wi, wj = tokd[i], tokd[j]
+            while (
+                pi + m < len(wi) and pj + m < len(wj) and wi[pi + m] == wj[pj + m]
+            ):
+                m += 1
+            if m >= n:
+                covered[i].update(range(pi, pi + m))
+                covered[j].update(range(pj, pj + m))
+    expect = {}
+    for i, w in tokd.items():
+        spans, prev = 0, None
+        for tok in sorted(covered[i]):
+            if prev is None or tok > prev + 1:
+                spans += 1
+            prev = tok
+        expect[i] = (len(covered[i]), spans)
+    assert expect[0] == (60, 1) and expect[2] == (0, 0)  # fixture sanity
+    assert expect[3] == (110, 2) and expect[5] == (0, 0)
+
+    got = {
+        r["doc_id"]: (r["dup_tokens"], r["dup_spans"])
+        for r in exact_substring_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"), n=n
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_incremental_lsh_probe_matches_batch_relation(spark, corpus, tmp_path):
     """probe-against-index must reproduce exactly the cross-set subset
     of the whole-corpus band-collision relation (the property the
@@ -687,6 +750,33 @@ def test_pq_topk_recall(spark, embeddings):
     bt = {(r["query_id"], r["nbr_id"]) for r in brute.collect()}
     at = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
     assert len(bt & at) >= 4  # ≥80% recall@1
+
+
+def test_ivfpq_topk_recall(spark, embeddings):
+    """the composed IVF∘PQ path still recalls the planted twins: cell
+    routing prunes the scan and quantization error stays below the
+    twin/unrelated gap."""
+    brute = S.brute_force_topk(embeddings, query_ids=[0, 1, 2, 3, 4], k=1)
+    approx = S.ivfpq_topk(
+        embeddings, query_ids=[0, 1, 2, 3, 4], k=1, m=4, ks=8, nprobe=4
+    )
+    bt = {(r["query_id"], r["nbr_id"]) for r in brute.collect()}
+    at = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    assert len(bt & at) >= 4  # ≥80% recall@1
+
+
+def test_ivfpq_candidates_subset_of_probed_cells(spark, embeddings):
+    """every IVF∘PQ result must come from the query's probed cells, and
+    no Exchange may carry the embedding column (the corpus flows as
+    (id, cell, codes) only after encoding)."""
+    import re as _re
+
+    plan = (
+        S.ivfpq_topk(embeddings, query_ids=[0, 1], k=2, m=4, ks=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), m.group(0)
 
 
 def test_pq_codebooks_deterministic_and_dim_guard(spark, embeddings):
@@ -776,6 +866,33 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert got == out2  # partitioning-independent
 
 
+def test_train_quality_clf_separates_target_class(spark):
+    """closed-form hashed-NB training: held-out docs sharing the
+    positive class's vocabulary must outscore negative-like docs, and
+    the learned weights must be partitioning-independent (the same
+    determinism contract as DSIR)."""
+    rows = (
+        [(i, "peer reviewed research methodology with careful citations and rigorous analysis")
+         for i in range(4)]
+        + [(10 + i, "clickbait listicle you won't believe these shocking celebrity secrets")
+           for i in range(4)]
+        # held-out: class vocabulary, ids outside the training label rule
+        + [(20, "rigorous peer reviewed analysis citations methodology research")]
+        + [(21, "shocking celebrity clickbait secrets listicle believe")]
+        + [(30, "")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = TS.train_quality_clf(df, F.col("doc_id") < 10)
+    assert len(w) == TS.QUALITY_CLF_DIM
+    w2 = TS.train_quality_clf(df.repartition(7), F.col("doc_id") < 10)
+    assert w == w2
+    out = TS.with_quality_clf(df, "text", weights=w, out_col="s", round_to=4)
+    got = {r.doc_id: r.s for r in out.collect()}
+    assert got[30] is None
+    assert min(got[i] for i in (0, 1, 2, 3)) > 0.5 > max(got[i] for i in (10, 11, 12, 13))
+    assert got[20] > 0.5 > got[21]  # held-out separation
+
+
 def test_lsh_overwrite_reparameterizes_and_meta_self_heals(spark, corpus, tmp_path):
     """a full overwrite build may change family params (it rewrites
     everything, meta included); a torn meta file self-heals on build
@@ -795,6 +912,229 @@ def test_lsh_overwrite_reparameterizes_and_meta_self_heals(spark, corpus, tmp_pa
         D.probe_lsh_index(corpus, path, bands=8)
     D.build_lsh_index(corpus, path, mode="overwrite", bands=8)
     assert D.probe_lsh_index(corpus, path, bands=8).count() > 0
+
+
+def test_lsh_layout_mix_refused_on_build(spark, corpus, tmp_path):
+    """an epoch append into a flat (batch/compacted) table — or a flat
+    append into an epoched one — would corrupt partition discovery for
+    every later read; build refuses instead (r5 review)."""
+    flat = str(tmp_path / "idx_flat")
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 0), flat, mode="overwrite")
+    with pytest.raises(ValueError, match="flat"):
+        D.build_lsh_index(corpus.filter(F.col("doc_id") == 4), flat, epoch=0)
+    epo = str(tmp_path / "idx_epoch")
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 0), epo, epoch=0)
+    with pytest.raises(ValueError, match="compact_lsh_index"):
+        D.build_lsh_index(corpus.filter(F.col("doc_id") == 4), epo)
+    # epoch-into-epoch and a full overwrite both stay legal
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 4), epo, epoch=1)
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 4), epo, mode="overwrite")
+
+
+def test_lsh_probe_raises_on_conflicting_layout(spark, corpus, tmp_path):
+    """a probe over an already-corrupt mixed flat/_epoch layout must
+    RAISE, not silently report every doc novel (the exact failure the
+    old blanket AnalysisException catch hid — r5 review)."""
+    path = str(tmp_path / "idx_mixed")
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 0), path, mode="overwrite")
+    # corrupt the layout the way the pre-guard epoch append did
+    bands = spark.read.parquet(f"{path}/bands")
+    bands.write.mode("overwrite").partitionBy("_bb").parquet(
+        f"{path}/bands/_epoch=3"
+    )
+    with pytest.raises(Exception, match="[Cc]onflicting"):
+        D.probe_lsh_index(corpus.filter(F.col("doc_id") == 1), path).collect()
+
+
+def test_lsh_orphan_sig_rows_do_not_duplicate_matches(spark, corpus, tmp_path):
+    """a crash between a non-epoch append's sigs and bands writes leaves
+    orphan sig rows the retry re-appends; the duplicate (_id, sig) rows
+    must not fan each collision out to multiple matched rows
+    (r5 review)."""
+    path = str(tmp_path / "idx_orphan")
+    D.build_lsh_index(corpus.filter(F.col("doc_id") == 0), path, mode="overwrite")
+    sigs = spark.read.parquet(f"{path}/sigs")
+    sigs.write.mode("append").partitionBy("_sb").parquet(f"{path}/sigs")
+    probed = D.probe_lsh_index(corpus.filter(F.col("doc_id") == 1), path).collect()
+    matched = [(r.index_id, r.probe_id) for r in probed if r.matched]
+    assert matched == [(0, 1)]  # one row, not two
+
+
+def _index_file_hashes(root):
+    import hashlib
+    import os
+
+    out = {}
+    for sub in ("bands", "sigs"):
+        for d, _s, fs in os.walk(f"{root}/{sub}"):
+            for f in fs:
+                p = os.path.join(d, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_delete_from_lsh_index_removes_doc_and_prunes_buckets(spark, corpus, tmp_path):
+    """delete → probe no longer matches the removed doc; every file in
+    a bucket the deleted doc did NOT touch stays byte-identical (the
+    merge_by_url bucket-pruning contract applied to the index)."""
+    import os
+
+    path = str(tmp_path / "idx_del")
+    D.build_lsh_index(corpus, path, mode="overwrite")
+    probe = corpus.filter(F.col("doc_id") == 1)
+    before = {r.index_id for r in D.probe_lsh_index(probe, path).collect() if r.matched}
+    assert 0 in before and 2 in before
+    # independent read-side derivation of the buckets doc 0 occupies
+    doc0_bb = {
+        r[0]
+        for r in spark.read.parquet(f"{path}/bands")
+        .filter(F.col("_id") == 0).select("_bb").distinct().collect()
+    }
+    doc0_sb = {
+        r[0]
+        for r in spark.read.parquet(f"{path}/sigs")
+        .filter(F.col("_id") == 0).select("_sb").distinct().collect()
+    }
+    snap = _index_file_hashes(path)
+    D.delete_from_lsh_index(spark, path, [0])
+    after = {r.index_id for r in D.probe_lsh_index(probe, path).collect() if r.matched}
+    assert after == before - {0}
+    assert 0 not in {
+        r[0] for r in spark.read.parquet(f"{path}/sigs").select("_id").collect()
+    }
+    now = _index_file_hashes(path)
+    touched = {f"bands/_bb={b}" for b in doc0_bb} | {f"sigs/_sb={b}" for b in doc0_sb}
+    for rel in set(snap) | set(now):
+        bucket_dir = os.path.dirname(rel)
+        if bucket_dir in touched:
+            continue
+        assert snap.get(rel) == now.get(rel), f"untouched bucket file changed: {rel}"
+
+
+def test_delete_from_lsh_index_edge_cases(spark, corpus, tmp_path):
+    """absent ids are a no-op; DataFrame input works; epoch layout is
+    refused; a path that is not an index raises loudly."""
+    path = str(tmp_path / "idx_del2")
+    with pytest.raises(FileNotFoundError):
+        D.delete_from_lsh_index(spark, str(tmp_path / "nonexistent"), [0])
+    D.build_lsh_index(corpus, path, mode="overwrite")
+    snap = _index_file_hashes(path)
+    D.delete_from_lsh_index(spark, path, [999999])  # not indexed
+    assert _index_file_hashes(path) == snap
+    ids_df = spark.createDataFrame([(4,)], "doc_id long")
+    D.delete_from_lsh_index(spark, path, ids_df)
+    assert 4 not in {
+        r[0] for r in spark.read.parquet(f"{path}/sigs").select("_id").collect()
+    }
+    epo = str(tmp_path / "idx_del_epoch")
+    D.build_lsh_index(corpus, epo, epoch=0)
+    with pytest.raises(ValueError, match="compact_lsh_index"):
+        D.delete_from_lsh_index(spark, epo, [0])
+
+
+def test_delete_crash_window_recovers(spark, corpus, tmp_path):
+    """simulated crash mid bucket swap (live dir gone, staged new copy
+    parked in __swap): the next probe rolls the swap forward and the
+    delete holds."""
+    import os
+
+    path = str(tmp_path / "idx_del3")
+    D.build_lsh_index(corpus, path, mode="overwrite")
+    # stage a real delete, then recreate the crash window by hand:
+    D.delete_from_lsh_index(spark, path, [0])
+    bb = [
+        d for d in os.listdir(f"{path}/bands") if d.startswith("_bb=")
+    ][0]
+    sw = f"{path}/bands__swap"
+    os.makedirs(sw, exist_ok=True)
+    os.rename(f"{path}/bands/{bb}", f"{sw}/new__{bb.split('=')[1]}__feed")
+    probe = corpus.filter(F.col("doc_id") == 1)
+    got = D.probe_lsh_index(probe, path)
+    assert got.count() > 0  # plan built fine post-recovery
+    assert os.path.isdir(f"{path}/bands/{bb}")
+    assert not os.path.isdir(sw)
+
+
+def test_dedup_ingest_batch_flow_and_committed_replay(spark, corpus, tmp_path):
+    """the productized batch-ingest API: batch 2's dups against batch 1
+    drop, novel docs append; replaying a COMMITTED batch_id returns the
+    recorded keep-set without growing the index."""
+    path = str(tmp_path / "ing")
+    b1 = corpus.filter(F.col("doc_id").isin([0, 4]))
+    k1 = D.dedup_ingest_batch(spark, b1, path, batch_id="b1", id_col="doc_id")
+    assert {r.doc_id for r in k1.collect()} == {0, 4}
+    # 1 = exact dup of 0, 2 = near dup of 0, 5 = novel
+    b2 = corpus.filter(F.col("doc_id").isin([1, 2, 5]))
+    k2 = D.dedup_ingest_batch(spark, b2, path, batch_id="b2", id_col="doc_id")
+    assert {r.doc_id for r in k2.collect()} == {5}
+    n_bands = spark.read.parquet(f"{path}/bands").count()
+    k2b = D.dedup_ingest_batch(spark, b2, path, batch_id="b2", id_col="doc_id")
+    assert {r.doc_id for r in k2b.collect()} == {5}
+    assert spark.read.parquet(f"{path}/bands").count() == n_bands
+
+
+def test_dedup_ingest_batch_within_batch_dedup(spark, corpus, tmp_path):
+    """colliding docs within one batch keep the smaller id (the
+    stream_dedup_ingest rule)."""
+    path = str(tmp_path / "ing2")
+    b = corpus.filter(F.col("doc_id").isin([0, 1, 4]))  # 1 dups 0
+    k = D.dedup_ingest_batch(spark, b, path, batch_id="x", id_col="doc_id")
+    assert {r.doc_id for r in k.collect()} == {0, 4}
+
+
+def test_dedup_ingest_batch_crash_resume(spark, corpus, tmp_path):
+    """crash after staging, before commit: the retry rolls the staged
+    append forward and returns the RECORDED keep-set; the index holds
+    the batch exactly once.  A PARTIAL staging (the crash window
+    between the staged sigs and bands writes) is discarded and
+    recomputed — the live index was never touched."""
+    import os
+
+    path = str(tmp_path / "ing3")
+    b1 = corpus.filter(F.col("doc_id").isin([0, 4]))
+    D.dedup_ingest_batch(spark, b1, path, batch_id="b1", id_col="doc_id")
+    bands_before = spark.read.parquet(f"{path}/bands").count()
+    b2 = corpus.filter(F.col("doc_id").isin([1, 5]))
+    with pytest.raises(RuntimeError, match="simulated"):
+        D.dedup_ingest_batch(
+            spark, b2, path, batch_id="b2", id_col="doc_id",
+            _fail_after_stage=True,
+        )
+    # staged but not committed: live index untouched
+    assert spark.read.parquet(f"{path}/bands").count() == bands_before
+    k2 = D.dedup_ingest_batch(spark, b2, path, batch_id="b2", id_col="doc_id")
+    assert {r.doc_id for r in k2.collect()} == {5}
+    assert not os.path.isdir(f"{path}/__batch_b2")
+    sig_ids = [r[0] for r in spark.read.parquet(f"{path}/sigs").select("_id").collect()]
+    assert sorted(sig_ids) == [0, 4, 5]  # exactly once each
+    # partial staging (no _STAGED) is discarded and recomputed
+    os.makedirs(f"{path}/__batch_b3/sigs", exist_ok=True)
+    b3 = corpus.filter(F.col("doc_id").isin([7]))  # near dup of 0
+    k3 = D.dedup_ingest_batch(spark, b3, path, batch_id="b3", id_col="doc_id")
+    assert k3.count() == 0  # 7 collides with indexed 0
+    assert not os.path.isdir(f"{path}/__batch_b3")
+
+
+def test_dedup_ingest_batch_staged_commit_rolled_forward_by_probe(
+    spark, corpus, tmp_path
+):
+    """a staged-complete batch left by a crash is committed by the NEXT
+    index operation (probe/build run _recover_lsh_compaction), so the
+    keep-set becomes visible without the original caller retrying."""
+    path = str(tmp_path / "ing4")
+    b1 = corpus.filter(F.col("doc_id").isin([0]))
+    with pytest.raises(RuntimeError, match="simulated"):
+        D.dedup_ingest_batch(
+            spark, b1, path, batch_id="b1", id_col="doc_id",
+            _fail_after_stage=True,
+        )
+    probe = corpus.filter(F.col("doc_id") == 1)  # exact dup of 0
+    got = {r.index_id for r in D.probe_lsh_index(probe, path, id_col="doc_id").collect() if r.matched}
+    assert got == {0}  # the staged batch was committed before probing
+    import os
+
+    assert os.path.isdir(f"{path}/_batches/b1")
 
 
 def test_build_after_crashed_compaction_recovers_first(spark, corpus, tmp_path):

@@ -14,6 +14,7 @@ GOLD = "/root/repo/goldens"
 def test_goldens_match_generator():
     from tools.gen_goldens import (
         ann_ivf_golden,
+        ann_ivfpq_golden,
         ann_lsh_golden,
         ann_pq_golden,
         language_golden,
@@ -32,6 +33,7 @@ def test_goldens_match_generator():
         ("ann_lsh", ann_lsh_golden(emb), ekey),
         ("ann_ivf", ann_ivf_golden(emb), ekey),
         ("ann_pq", ann_pq_golden(emb), ekey),
+        ("ann_ivfpq", ann_ivfpq_golden(emb), ekey),
         ("language_detect", language_golden(docs), dkey),
         ("stratified_sample", stratified_sample_golden(docs), dkey),
     ):

@@ -479,6 +479,22 @@ def main() -> int:
         ],
     )
 
+    # 15c. IVF∘PQ: after the one-time encode the corpus flows as
+    # (id, cell, m codes) — the probed-cell join and the per-query ADC
+    # tables both broadcast, so corpus rows reach the top-k window
+    # without the embedding ever riding an Exchange
+    from open_semantic_etl_spark.operators.similarity import ivfpq_topk
+
+    ivfpq = ivfpq_topk(emb, query_ids=list(range(10)), k=5, m=4, ks=8)
+    section(
+        "ann IVF-PQ — cell route + ADC scan, codes-only after encode",
+        ivfpq,
+        [
+            ("no vector column in any shuffle Exchange input", no_vec_in_shuffle),
+            ("cell probe + ADC tables join as BroadcastHashJoin", lambda p: "BroadcastHashJoin" in p),
+        ],
+    )
+
     # 16. paragraph dedup: the frequency count shuffles 128-bit hashes
     # only; the doc text never rides an exchange (the dup-hit set joins
     # back as the small side)

@@ -305,6 +305,90 @@ def ann_pq_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
 
 
 # ---------------------------------------------------------------------------
+# ANN: IVF ∘ PQ (spec: similarity.py ivfpq_topk — IVF coarse routing on
+# RAW vectors exactly as ann_ivf, plain PQ codes within the probed cells
+# exactly as ann_pq; candidates = union of the query's nprobe cells,
+# scored by the same ADC left-fold)
+# ---------------------------------------------------------------------------
+
+def ann_ivfpq_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
+                     k_cells=16, nprobe=4, m=8, ks=16, iters=5,
+                     sample=4096) -> pd.DataFrame:
+    emb = emb.sort_values("vec_id")
+    ids = [int(v) for v in emb["vec_id"]]
+    vecs = {i: [float(x) for x in v] for i, v in zip(ids, emb["embedding"])}
+
+    # IVF coarse quantizer: trained on RAW vectors (ann_ivf contract)
+    X = np.array([vecs[i] for i in ids[:sample]], dtype=np.float64)
+    C = X[:k_cells].copy()
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        for c in range(k_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    allX = np.array([vecs[i] for i in ids], dtype=np.float64)
+    dists = ((allX[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    cell = dists.argmin(axis=1)
+    by_cell: dict[int, list[int]] = {}
+    for i, c in zip(ids, cell):
+        by_cell.setdefault(int(c), []).append(i)
+    probe = np.argsort(dists, axis=1, kind="stable")[:, :nprobe]
+    probe_of = {i: [int(c) for c in row] for i, row in zip(ids, probe)}
+
+    # PQ codebooks + codes: NORMALIZED space (ann_pq contract)
+    dim = X.shape[1]
+    dsub = dim // m
+    norms = np.sqrt((X * X).sum(axis=1))
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = Xn[:, j * dsub:(j + 1) * dsub]
+        Cb = S[:ks].copy()
+        for _ in range(iters):
+            assign = ((S[:, None, :] - Cb[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    Cb[c] = members.mean(axis=0)
+        books[j] = Cb
+    n2 = np.sqrt((allX * allX).sum(axis=1))
+    n2[n2 == 0] = 1.0
+    allXn = allX / n2[:, None]
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        S = allXn[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(-1).argmin(axis=1)
+    code_of = {i: codes[r] for r, i in enumerate(ids)}
+    qvec_of = {i: allXn[r] for r, i in enumerate(ids)}
+
+    out = []
+    for q in query_ids:
+        if q not in qvec_of:
+            continue
+        qv = qvec_of[q]
+        tabs = [((books[j] - qv[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(-1)
+                for j in range(m)]
+        cands = set()
+        for c in probe_of[q]:
+            cands.update(by_cell.get(c, ()))
+        cands.discard(q)
+        scored = []
+        for n in sorted(cands):
+            acc = 0.0  # JVM aggregate() left fold in j order
+            for j in range(m):
+                acc = acc + float(tabs[j][code_of[n][j]])
+            scored.append((spark_round(1.0 - 0.5 * acc), n))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (cos, n) in enumerate(scored[:k], 1):
+            out.append((q, n, cos, rk))
+    return pd.DataFrame(out, columns=["query_id", "nbr_id", "cos", "rk"]).astype(
+        {"query_id": "int64", "nbr_id": "int64", "cos": "float64", "rk": "int32"}
+    )
+
+
+# ---------------------------------------------------------------------------
 # language id (spec: operators/langdetect.py stopword-profile scoring;
 # the word lists ARE the spec so they are imported as data, but the
 # scoring loop below is an independent per-language re-derivation)
@@ -397,7 +481,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     parts: dict[str, list[pd.DataFrame]] = {k: [] for k in
         ("minhash_lsh", "simhash", "ann_lsh", "ann_ivf", "ann_pq",
-         "language_detect", "stratified_sample")}
+         "ann_ivfpq", "language_detect", "stratified_sample")}
     keys_seen: dict[str, set] = {"docs": set(), "emb": set()}
     for sf in sf_dirs:
         docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
@@ -414,6 +498,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
             ("ann_lsh", ann_lsh_golden(emb), ekey),
             ("ann_ivf", ann_ivf_golden(emb), ekey),
             ("ann_pq", ann_pq_golden(emb), ekey),
+            ("ann_ivfpq", ann_ivfpq_golden(emb), ekey),
             ("language_detect", language_golden(docs), dkey),
             ("stratified_sample", stratified_sample_golden(docs), dkey),
         ):
