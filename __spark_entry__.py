@@ -341,6 +341,32 @@ WITH clf_f AS (
   SELECT clf_tf.doc_id,
          round(1.0 / (1.0 + exp(-(sum(cw.w) / count(*)))), 4) AS clf_trained_d
   FROM clf_tf JOIN cw USING (b) GROUP BY clf_tf.doc_id
+), lmt AS (
+  -- hashed bigram LM perplexity (CCNet filter shape): model trained
+  -- on the doc_id%10 reference slice, re-derived here from the same
+  -- table — ln count tables + per-doc fold, like the NB trainer above
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lt
+  FROM documents
+), lm_pairs AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(lt[i]), 1, 15))::UBIGINT % {_CLF_DIM})::int) AS c,
+         ((('0x' || substr(md5(lt[i] || ' ' || lt[i+1]), 1, 15))::UBIGINT % {_CLF_DIM})::int) AS b
+  FROM lmt, unnest(range(1, len(lt))) AS r(i)
+  WHERE len(lt) >= 2
+), lm_cb AS (
+  SELECT b, count(*) AS n FROM lm_pairs WHERE doc_id % 10 = 0 GROUP BY b
+), lm_cc AS (
+  SELECT c, count(*) AS n FROM lm_pairs WHERE doc_id % 10 = 0 GROUP BY c
+), lm AS (
+  SELECT p.doc_id,
+         round(exp(-(sum(ln(coalesce(cb.n, 0) + 1.0)
+                        - ln(coalesce(cc.n, 0) + {_CLF_DIM} * 1.0))
+                    / count(*))), 4) AS lm_ppl_d
+  FROM lm_pairs p
+  LEFT JOIN lm_cb cb USING (b)
+  LEFT JOIN lm_cc cc USING (c)
+  GROUP BY p.doc_id
 ), t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks,
@@ -416,7 +442,7 @@ WITH clf_f AS (
          sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
   FROM g10_c GROUP BY doc_id
 )
-SELECT doc_id, clf.clf_score, clf_t.clf_trained_d, n AS n_tokens,
+SELECT doc_id, clf.clf_score, clf_t.clf_trained_d, lm.lm_ppl_d, n AS n_tokens,
        CASE WHEN n > 0 THEN round((chars - (n - 1))::double / n, 4) ELSE 0.0 END AS mean_word_len,
        CASE WHEN n > 0 THEN round(n_stop::double / n, 4) ELSE 0.0 END AS stopword_ratio,
        CASE WHEN chars > 0 THEN round(n_punct::double / chars, 4) ELSE 0.0 END AS punct_ratio,
@@ -449,6 +475,7 @@ LEFT JOIN g5 USING (doc_id)
 LEFT JOIN g10 USING (doc_id)
 LEFT JOIN clf USING (doc_id)
 LEFT JOIN clf_t USING (doc_id)
+LEFT JOIN lm USING (doc_id)
 )""" + _CURATION_TAIL,
         "sentences": """
 WITH d AS (

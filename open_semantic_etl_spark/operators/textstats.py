@@ -485,6 +485,134 @@ def train_quality_clf(
     return [math.log(pos[b] / tp) - math.log(neg[b] / tn) for b in range(dim)]
 
 
+def _md5_bucket(f: Column, dim: int) -> Column:
+    """int bucket of one feature string — the md5 formula every hashed
+    estimator here shares with its DuckDB twin."""
+    return (
+        F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long") % dim
+    ).cast("int")
+
+
+def _bigram_pair_buckets(toks: Column, dim: int) -> Column:
+    """array<struct<c:int,b:int>> — one element per adjacent token
+    pair: ``c`` = bucket of the context unigram, ``b`` = bucket of the
+    joined bigram.  The LM trainer counts both sides from this ONE
+    array (single explode, single int-key shuffle) and the scorer
+    folds over it."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                _md5_bucket(F.element_at(toks, i), dim).alias("c"),
+                _md5_bucket(
+                    F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                    dim,
+                ).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<c:int,b:int>>"))
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    dim: int = 256,
+    smoothing: float = 1.0,
+) -> tuple[list[float], list[float]]:
+    """one-pass hashed bigram language model — the in-engine stand-in
+    for CCNet's Wikipedia-trained KenLM perplexity filter (Wenzek et
+    al. 2020): ``p(w2|w1) = (C_bi(b) + s) / (C_ctx(c) + s·dim)`` over
+    md5-hashed buckets.  Returns ``(A, B)`` with ``A[b] = ln(C_bi(b)+s)``
+    and ``B[c] = ln(C_ctx(c)+s·dim)`` — the two plan-literal arrays
+    :func:`with_lm_perplexity` folds over.
+
+    Train on a REFERENCE corpus slice (CCNet uses Wikipedia); score
+    everything; high perplexity = unlike the reference.  Scale shape
+    (the DSIR/NB pattern): both count tables come from ONE exploded
+    (kind, bucket) pass — a single int-key shuffle into ≤ 2·dim groups
+    with map-side partial agg — and an O(dim) driver collect; scoring
+    is map-only JVM Column algebra.  md5 bucketing is single-sourced
+    with the DuckDB twin, which re-derives the trained tables (ln
+    counts) bit-compatibly at the oracle's 4 dp rounding."""
+    import math
+
+    from open_semantic_etl_spark.functions.binding import let
+
+    pairs_arr = let(
+        whitespace_tokens(F.lower(F.col(text_col))),
+        lambda t: _bigram_pair_buckets(t, dim),
+    )
+    # one explode → (kind, bucket) rows: kind 0 counts the bigram
+    # bucket, kind 1 the context bucket — one shuffle covers both
+    counts = (
+        df.select(F.explode(pairs_arr).alias("p"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("k"), F.col("p.b").alias("u")),
+                    F.struct(F.lit(1).alias("k"), F.col("p.c").alias("u")),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.k", "e.u")
+        .count()
+        .collect()
+    )
+    cbi = [0] * dim
+    cctx = [0] * dim
+    for r in counts:
+        (cbi if r["k"] == 0 else cctx)[r["u"]] += int(r["count"])
+    A = [math.log(cbi[b] + smoothing) for b in range(dim)]
+    B = [math.log(cctx[c] + smoothing * dim) for c in range(dim)]
+    return A, B
+
+
+def with_lm_perplexity(
+    df: DataFrame,
+    model: tuple[list[float], list[float]],
+    text_col: str = "text",
+    out_col: str = "lm_ppl_d",
+    round_to: int = 4,
+) -> DataFrame:
+    """Adds hashed-bigram-LM perplexity:
+    ``ppl = exp(−(1/N) Σ_i [A[b_i] − B[c_i]])`` over the doc's adjacent
+    token pairs — the CCNet head/middle/tail quality signal.  Map-only:
+    the two log-count tables ride the plan as literal arrays (the
+    quality-clf pattern), the pair array is let-bound so the tokenizer
+    and the md5 bucketing run once per row.  Docs with < 2 tokens score
+    NULL."""
+    from open_semantic_etl_spark.functions.binding import let
+
+    A, B = model
+    dim = len(A)
+    arrA = F.array(*[F.lit(float(x)) for x in A])
+    arrB = F.array(*[F.lit(float(x)) for x in B])
+
+    def score(pairs: Column) -> Column:
+        total = F.aggregate(
+            pairs,
+            F.lit(0.0),
+            lambda acc, p: acc
+            + F.element_at(arrA, p["b"] + 1)
+            - F.element_at(arrB, p["c"] + 1),
+        )
+        return F.when(
+            F.size(pairs) > 0,
+            F.round(F.exp(-(total / F.size(pairs))), round_to),
+        )
+
+    return df.withColumn(
+        out_col,
+        let(
+            whitespace_tokens(F.lower(F.col(text_col))),
+            lambda t: let(_bigram_pair_buckets(t, dim), score),
+        ),
+    )
+
+
 DSIR_DIM = 256  # hashed feature space — single-sourced with the SQL twin
 DSIR_SMOOTHING = 1.0  # add-k estimate smoothing, ditto
 

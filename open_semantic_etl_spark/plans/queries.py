@@ -678,9 +678,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%10 'reference-quality' slice — the DSIR pattern, so the
     DuckDB twin re-derives the LEARNED weights bit-exactly)."""
     from open_semantic_etl_spark.operators.textstats import (
+        train_bigram_lm,
         train_quality_clf,
         with_curation,
         with_fingerprint,
+        with_lm_perplexity,
         with_quality,
         with_quality_clf,
         with_repetition,
@@ -705,13 +707,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for st in [os.stat(os.path.join(sf_dir, n))]
     )
     if fp not in _CLF_TRAINED_MEMO:
-        _CLF_TRAINED_MEMO[fp] = train_quality_clf(docs, F.col("doc_id") % 10 == 0)
+        _CLF_TRAINED_MEMO[fp] = (
+            train_quality_clf(docs, F.col("doc_id") % 10 == 0),
+            # bigram LM trained on the same reference-quality slice —
+            # the CCNet perplexity-filter shape (score all, train ref)
+            train_bigram_lm(docs.filter(F.col("doc_id") % 10 == 0)),
+        )
+    clf_w, lm = _CLF_TRAINED_MEMO[fp]
     out = with_quality_clf(
-        out, "text", weights=_CLF_TRAINED_MEMO[fp],
-        out_col="clf_trained_d", round_to=4,
+        out, "text", weights=clf_w, out_col="clf_trained_d", round_to=4
     )
+    out = with_lm_perplexity(out, lm)
     return out.select(
-        "doc_id", "clf_score", "clf_trained_d",
+        "doc_id", "clf_score", "clf_trained_d", "lm_ppl_d",
         "n_tokens", "mean_word_len", "stopword_ratio",
         "punct_ratio", "digit_ratio", "repetition_ratio", "quality_score",
         "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens", "fp_md5",
