@@ -28,9 +28,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     50 rows, so same-grain single-operator queries are consolidated
     (scalar_extracts = emails+phones+hashtags+iban+law+money,
     doc_meta = clean_title+content_type_group+analysis_text,
-    text_stats = text_quality+token_count+fingerprint+curation,
+    text_stats = text_quality+token_count+fingerprint+curation +
+    the IN-ENGINE-TRAINED hashed-NB classifier (clf_trained_d) and
+    bigram-LM perplexity (lm_ppl_d) — both models trained inside the
+    query and re-derived by the DuckDB twin,
     path_mapping = path_facets+mapping_id,
-    ann = brute+lsh+ivf+pq tagged by `method`,
+    ann = brute+lsh+ivf+pq+ivfpq tagged by `method`,
     minhash_lsh = batch pairs + incremental index probe tagged by `kind`,
     host_cap = per-host cap + stratified sampling + DSIR weight columns,
     ner = span-model+stanford-token paths tagged by `method`,

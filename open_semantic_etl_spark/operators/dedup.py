@@ -1010,6 +1010,62 @@ def _lsh_table_state(path: str) -> str:
     return "epoch" if epoched else "flat"
 
 
+def semdedup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_cells: int = 16,
+    threshold: float = 0.9,
+    iters: int = 5,
+    sample: int = 4096,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate PAIRS via
+    k-means clustering + within-cluster pairwise cosine — the
+    embedding-space analogue of MinHash dedup, catching paraphrases and
+    re-encodings no lexical method sees.  Returns ``(id_a, id_b,
+    cos)`` with ``id_a < id_b`` and ``cos ≥ threshold``; compose with
+    :func:`dup_clusters` for the keep-one-per-cluster delete set (the
+    paper keeps the member farthest from the centroid; min-id is the
+    deterministic stand-in here, applied by the cluster resolve).
+
+    Scale shape: the ONLY all-pairs work is within a cluster —
+    O(Σ|cell|²) total, the algorithm's own cost model (the paper runs
+    k ∝ N so cells stay bounded); the cell co-location shuffle carries
+    each vector exactly once, keyed by cell.  At 10^12 rows the corpus
+    is written partitioned BY cell once (the IVF layout — same
+    quantizer, same table) and each cell's pair scan runs
+    partition-local with no further exchange.  The coarse quantizer is
+    the shared deterministic trainer (similarity.train_centroids), so
+    the ``semdedup`` golden (tools/gen_goldens.py) re-derives cells,
+    pairs, and left-fold cosines bit-identically."""
+    from open_semantic_etl_spark.operators.similarity import (
+        nearest_cells_expr,
+        train_centroids,
+    )
+
+    if centroids is None:
+        centroids = train_centroids(df, k_cells, iters, sample, vec_col, id_col)
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        v.alias("v"),
+        nearest_cells_expr(v, centroids, 1)[0].alias("cell"),
+    ).filter(F.col("cell").isNotNull())
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cos, 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _recover_lsh_compaction(index_path: str) -> None:
     """roll an interrupted compact_lsh_index back/forward: a table dir
     that vanished mid-swap is restored from its ``__old_*`` sibling
@@ -1135,6 +1191,15 @@ def dedup_ingest_batch(
     _recover_lsh_compaction(index_path)
 
     def kept_rows(ids_path: str) -> DataFrame:
+        if not any(
+            f.endswith(".parquet")
+            for _d, _s, fs in os.walk(ids_path)
+            for f in fs
+        ):
+            # an all-duplicate batch records an EMPTY keep-set; some
+            # writers emit no parquet footer for zero rows, which would
+            # make the replay read fail schema inference
+            return batch_df.dropDuplicates([id_col]).limit(0)
         kept_ids = spark.read.parquet(ids_path).select(
             F.col("_id").alias(id_col)
         )
@@ -1272,7 +1337,7 @@ def delete_from_lsh_index(spark, index_path: str, ids) -> None:
         ids_df = spark.createDataFrame(
             [(i,) for i in ids], ["_del_id"]
         ).dropDuplicates(["_del_id"])
-    sig_buckets = [
+    cand_buckets = [
         r[0]
         for r in ids_df.select(
             F.pmod(F.xxhash64("_del_id"), F.lit(n_buckets)).alias("b")
@@ -1282,16 +1347,20 @@ def delete_from_lsh_index(spark, index_path: str, ids) -> None:
     ]
     sigs_path = f"{index_path}/sigs"
     bands_path = f"{index_path}/bands"
-    touched_sigs = spark.read.parquet(sigs_path).filter(
-        F.col("_sb").isin(sig_buckets)
+    cand_sigs = spark.read.parquet(sigs_path).filter(
+        F.col("_sb").isin(cand_buckets)
     )
-    # the deleted docs' band rows are recomputed FROM THEIR SIGS
-    # (deterministic), so the touched _bb set is exact — no scan of the
-    # full bands table
-    del_sigs = touched_sigs.join(
-        F.broadcast(ids_df), touched_sigs["_id"] == ids_df["_del_id"]
-    ).select("_id", "sig")
-    del_bands = _band_table(del_sigs, num_hashes, bands).withColumn(
+    del_sigs = cand_sigs.join(
+        F.broadcast(ids_df), cand_sigs["_id"] == ids_df["_del_id"]
+    ).select("_id", "sig", "_sb")
+    # rewrite only buckets where deleted rows ACTUALLY exist — ids not
+    # in the index must leave every file byte-identical, not churn
+    # their would-be bucket (cand_buckets only prunes the lookup scan).
+    # The deleted docs' band rows are recomputed FROM THEIR SIGS
+    # (deterministic), so the touched _bb set is exact too — no scan of
+    # the full bands table.
+    sig_buckets = [r[0] for r in del_sigs.select("_sb").distinct().collect()]
+    del_bands = _band_table(del_sigs.select("_id", "sig"), num_hashes, bands).withColumn(
         "_bb", F.pmod(F.xxhash64("bh"), F.lit(n_buckets))
     )
     band_buckets = [r[0] for r in del_bands.select("_bb").distinct().collect()]

@@ -1950,19 +1950,40 @@ FROM documents
 
 
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from open_semantic_etl_spark.operators.dedup import embedding_dup_pairs
+    """embedding near-dup, both strategies kind-tagged under one
+    oracle: ``brute`` = exact all-pairs on a small id block (the
+    verification path, SQL twin); ``semdedup`` = SemDeDup (Abbas et
+    al. 2023) over the WHOLE table — k-means cells + within-cell
+    pairwise cosine (numpy-golden twin; the cell partition makes it
+    the scale path: all-pairs work only within bounded clusters)."""
+    from open_semantic_etl_spark.operators.dedup import (
+        embedding_dup_pairs,
+        semdedup_pairs,
+    )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 40)
-    return embedding_dup_pairs(emb, vec_col="embedding", id_col="vec_id", threshold=0.2)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = embedding_dup_pairs(
+        emb.filter(F.col("vec_id") < 40),
+        vec_col="embedding", id_col="vec_id", threshold=0.2,
+    ).withColumn("kind", F.lit("brute"))
+    # threshold 0.3: the synthetic embeddings top out at cos ~0.48
+    # (test fixtures plant 0.99 twins; testdata does not), so 0.3 makes
+    # the golden non-trivial at every sf
+    sd = semdedup_pairs(emb, threshold=0.3).withColumn("kind", F.lit("semdedup"))
+    return brute.unionByName(sd).select("kind", "id_a", "id_b", "cos")
 
 
 SQL_NEARDUP_EMBEDDING = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 40)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+SELECT 'brute' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS cos
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.v, b.v), 4) >= 0.2
+UNION ALL
+SELECT 'semdedup' AS kind, id_a, id_b, cos
+FROM read_parquet('/root/repo/goldens/semdedup.parquet')
+WHERE _key = (SELECT SUM(label) * 1000003 + COUNT(*) FROM embeddings)
 """
 
 

@@ -779,6 +779,25 @@ def test_ivfpq_candidates_subset_of_probed_cells(spark, embeddings):
         assert "embedding" not in m.group(1), m.group(0)
 
 
+def test_semdedup_pairs_subset_of_brute_and_recalls_twins(spark, embeddings):
+    """SemDeDup's cell partition can only REMOVE pairs relative to the
+    exact all-pairs scan (never add), and the planted 0.03-perturbation
+    twins land in the same cell (quantization error ≪ twin distance),
+    so they all survive."""
+    brute = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_dup_pairs(embeddings, threshold=0.9).collect()
+    }
+    sd = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.semdedup_pairs(embeddings, threshold=0.9).collect()
+    }
+    assert set(sd) <= set(brute)
+    assert all(brute[p] == sd[p] for p in sd)  # identical scores
+    twins = {p for p, c in brute.items() if c >= 0.99}
+    assert twins and twins <= set(sd)  # every planted twin pair found
+
+
 def test_pq_codebooks_deterministic_and_dim_guard(spark, embeddings):
     b1 = S.train_pq_codebooks(embeddings, m=4, ks=8, iters=3)
     b2 = S.train_pq_codebooks(embeddings.repartition(5), m=4, ks=8, iters=3)
@@ -1043,7 +1062,10 @@ def test_delete_from_lsh_index_edge_cases(spark, corpus, tmp_path):
     path = str(tmp_path / "idx_del2")
     with pytest.raises(FileNotFoundError):
         D.delete_from_lsh_index(spark, str(tmp_path / "nonexistent"), [0])
-    D.build_lsh_index(corpus, path, mode="overwrite")
+    # n_buckets=4 so every bucket holds rows: deleting an absent id
+    # must leave even its would-be bucket byte-identical (the rewrite
+    # keys on where deleted rows EXIST, not where they would hash)
+    D.build_lsh_index(corpus, path, mode="overwrite", n_buckets=4)
     snap = _index_file_hashes(path)
     D.delete_from_lsh_index(spark, path, [999999])  # not indexed
     assert _index_file_hashes(path) == snap
@@ -1106,6 +1128,22 @@ def test_dedup_ingest_batch_within_batch_dedup(spark, corpus, tmp_path):
     b = corpus.filter(F.col("doc_id").isin([0, 1, 4]))  # 1 dups 0
     k = D.dedup_ingest_batch(spark, b, path, batch_id="x", id_col="doc_id")
     assert {r.doc_id for r in k.collect()} == {0, 4}
+
+
+def test_dedup_ingest_batch_all_dup_batch_replays_empty(spark, corpus, tmp_path):
+    """a batch that is entirely duplicate records an EMPTY keep-set;
+    replaying that committed batch_id must return zero rows, not crash
+    on schema inference over a footer-less marker dir."""
+    path = str(tmp_path / "ing5")
+    D.dedup_ingest_batch(
+        spark, corpus.filter(F.col("doc_id") == 0), path,
+        batch_id="b1", id_col="doc_id",
+    )
+    dup_batch = corpus.filter(F.col("doc_id") == 1)  # exact dup of 0
+    k = D.dedup_ingest_batch(spark, dup_batch, path, batch_id="b2", id_col="doc_id")
+    assert k.count() == 0
+    k2 = D.dedup_ingest_batch(spark, dup_batch, path, batch_id="b2", id_col="doc_id")
+    assert k2.count() == 0  # committed replay of the empty keep-set
 
 
 def test_dedup_ingest_batch_crash_resume(spark, corpus, tmp_path):

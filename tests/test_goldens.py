@@ -19,6 +19,7 @@ def test_goldens_match_generator():
         ann_pq_golden,
         language_golden,
         minhash_lsh_golden,
+        semdedup_golden,
         simhash_golden,
         stratified_sample_golden,
     )
@@ -34,6 +35,7 @@ def test_goldens_match_generator():
         ("ann_ivf", ann_ivf_golden(emb), ekey),
         ("ann_pq", ann_pq_golden(emb), ekey),
         ("ann_ivfpq", ann_ivfpq_golden(emb), ekey),
+        ("semdedup", semdedup_golden(emb), ekey),
         ("language_detect", language_golden(docs), dkey),
         ("stratified_sample", stratified_sample_golden(docs), dkey),
     ):

@@ -389,6 +389,48 @@ def ann_ivfpq_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup pairs (spec: dedup.py semdedup_pairs — ann_ivf's trained
+# cells, within-cell all-pairs left-fold cosine >= threshold)
+# ---------------------------------------------------------------------------
+
+def semdedup_golden(emb: pd.DataFrame, k_cells=16, threshold=0.3,
+                    iters=5, sample=4096) -> pd.DataFrame:
+    emb = emb.sort_values("vec_id")
+    ids = [int(v) for v in emb["vec_id"]]
+    vecs = {i: [float(x) for x in v] for i, v in zip(ids, emb["embedding"])}
+    X = np.array([vecs[i] for i in ids[:sample]], dtype=np.float64)
+    C = X[:k_cells].copy()
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        for c in range(k_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    allX = np.array([vecs[i] for i in ids], dtype=np.float64)
+    cell = ((allX[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+    by_cell: dict[int, list[int]] = {}
+    for i, c in zip(ids, cell):
+        by_cell.setdefault(int(c), []).append(i)
+
+    def cosine(a, b):
+        dot = left_fold_dot(a, b)
+        return dot / (left_fold_dot(a, a) ** 0.5 * left_fold_dot(b, b) ** 0.5)
+
+    out = []
+    for members in by_cell.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cs = spark_round(cosine(vecs[ms[x]], vecs[ms[y]]))
+                if cs >= threshold:
+                    out.append((ms[x], ms[y], cs))
+    out.sort()
+    return pd.DataFrame(out, columns=["id_a", "id_b", "cos"]).astype(
+        {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+    )
+
+
+# ---------------------------------------------------------------------------
 # language id (spec: operators/langdetect.py stopword-profile scoring;
 # the word lists ARE the spec so they are imported as data, but the
 # scoring loop below is an independent per-language re-derivation)
@@ -481,7 +523,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     parts: dict[str, list[pd.DataFrame]] = {k: [] for k in
         ("minhash_lsh", "simhash", "ann_lsh", "ann_ivf", "ann_pq",
-         "ann_ivfpq", "language_detect", "stratified_sample")}
+         "ann_ivfpq", "semdedup", "language_detect", "stratified_sample")}
     keys_seen: dict[str, set] = {"docs": set(), "emb": set()}
     for sf in sf_dirs:
         docs = pq.read_table(f"{sf}/documents.parquet").to_pandas()
@@ -499,6 +541,7 @@ def main(out_dir: str = OUT_DIR, sf_dirs: list[str] | None = None) -> None:
             ("ann_ivf", ann_ivf_golden(emb), ekey),
             ("ann_pq", ann_pq_golden(emb), ekey),
             ("ann_ivfpq", ann_ivfpq_golden(emb), ekey),
+            ("semdedup", semdedup_golden(emb), ekey),
             ("language_detect", language_golden(docs), dkey),
             ("stratified_sample", stratified_sample_golden(docs), dkey),
         ):
