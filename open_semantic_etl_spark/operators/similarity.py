@@ -472,6 +472,29 @@ def _adc_score_topk(cands: DataFrame, m: int, ks: int, k: int) -> DataFrame:
     )
 
 
+def encode_corpus(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE corpus pass → ``(nbr_id, cell, codes)``: the IVF cell id and
+    the PQ code array together — the table a production deployment
+    writes next to the corpus at ingest (partitioned BY ``cell``) so
+    every later query is pure code-table scan.  ``pq_topk`` and
+    ``ivfpq_topk`` accept it via ``encoded=`` and then never touch the
+    vector column at all; without it they encode inline (fine for
+    one-shot use, wasteful across repeated queries)."""
+    B = codebooks.astype(np.float64)
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("nbr_id"),
+        nearest_cells_expr(v, centroids, 1)[0].alias("cell"),
+        pq_codes_expr(v, B).alias("codes"),
+    ).filter(F.col("codes").isNotNull())
+
+
 def ivfpq_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -486,6 +509,7 @@ def ivfpq_topk(
     sample: int = 4096,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF∘PQ — the composed 10^12-row production split the component
     docstrings describe: an IVF coarse quantizer routes each query to
@@ -515,11 +539,11 @@ def ivfpq_topk(
     B = codebooks.astype(np.float64)
     m, ks, _dsub = B.shape
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(
-        F.col(id_col).alias("nbr_id"),
-        nearest_cells_expr(v, centroids, 1)[0].alias("cell"),
-        pq_codes_expr(v, B).alias("codes"),
-    ).filter(F.col("codes").isNotNull())
+    base = (
+        encoded.select("nbr_id", "cell", "codes")
+        if encoded is not None
+        else encode_corpus(df, centroids, B, vec_col, id_col)
+    )
     qex = (
         df.filter(F.col(id_col).isin(query_ids))
         .select(
@@ -547,6 +571,7 @@ def pq_topk(
     iters: int = 5,
     sample: int = 4096,
     codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by cosine over the COMPRESSED corpus.
 
@@ -566,9 +591,12 @@ def pq_topk(
     B = codebooks.astype(np.float64)
     m, ks, _dsub = B.shape
     v = F.col(vec_col).cast("array<double>")
-    base = df.select(
-        F.col(id_col).alias("nbr_id"), pq_codes_expr(v, B).alias("codes")
-    ).filter(F.col("codes").isNotNull())
+    if encoded is not None:
+        base = encoded.select("nbr_id", "codes")
+    else:
+        base = df.select(
+            F.col(id_col).alias("nbr_id"), pq_codes_expr(v, B).alias("codes")
+        ).filter(F.col("codes").isNotNull())
     qdf = _adc_query_tables(df, query_ids, B, vec_col, id_col)
     cands = base.join(F.broadcast(qdf)).filter(
         F.col("nbr_id") != F.col("query_id")
