@@ -382,8 +382,19 @@ WITH clf_f AS (
            lower(x)))) AS n_stop,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-         len(list_distinct(toks)) AS n_dist
+         len(list_distinct(toks)) AS n_dist,
+         len(list_filter(toks, x -> regexp_matches(x, '[A-Za-zÀ-ÿ]'))) AS n_alpha,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS n_symbols
   FROM t
+), gop AS (
+  SELECT doc_id,
+         count(*) AS nl,
+         count(*) FILTER (WHERE l[1] IN ('-', '*', '•', '●')) AS bullets,
+         count(*) FILTER (WHERE l LIKE '%...' OR l LIKE '%…') AS ell
+  FROM (SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS l
+        FROM t)
+  GROUP BY doc_id
 ), line_u AS (
   SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '')) AS l
   FROM t
@@ -468,7 +479,11 @@ SELECT doc_id, clf.clf_score, clf_t.clf_trained_d, lm.lm_ppl_d, n AS n_tokens,
        coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g3.top::double / chars) END, 4), 0.0) AS top3gram_char_frac,
        coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g4.top::double / chars) END, 4), 0.0) AS top4gram_char_frac,
        coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g5.dup::double / chars) END, 4), 0.0) AS dup5gram_char_frac,
-       coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g10.dup::double / chars) END, 4), 0.0) AS dup10gram_char_frac
+       coalesce(round(CASE WHEN chars > 0 THEN least(1.0, g10.dup::double / chars) END, 4), 0.0) AS dup10gram_char_frac,
+       coalesce(round(CASE WHEN gop.nl > 0 THEN gop.bullets::double / gop.nl END, 4), 0.0) AS bullet_line_frac,
+       coalesce(round(CASE WHEN gop.nl > 0 THEN gop.ell::double / gop.nl END, 4), 0.0) AS ellipsis_line_frac,
+       CASE WHEN n > 0 THEN round(n_alpha::double / n, 4) ELSE 0.0 END AS alpha_word_frac,
+       CASE WHEN n > 0 THEN round(n_symbols::double / n, 4) ELSE 0.0 END AS symbol_word_ratio
 FROM s
 LEFT JOIN ls USING (doc_id)
 LEFT JOIN g2 USING (doc_id)
@@ -476,6 +491,7 @@ LEFT JOIN g3 USING (doc_id)
 LEFT JOIN g4 USING (doc_id)
 LEFT JOIN g5 USING (doc_id)
 LEFT JOIN g10 USING (doc_id)
+LEFT JOIN gop USING (doc_id)
 LEFT JOIN clf USING (doc_id)
 LEFT JOIN clf_t USING (doc_id)
 LEFT JOIN lm USING (doc_id)

@@ -206,6 +206,54 @@ def with_repetition(
 #: Gopher-style drop rules (Rae et al. 2021 table A1, adapted to the
 #: char-ratio signals computed above): rule name → fails when true.
 #: Thresholds are the public recipe's; callers can override the dict.
+def with_gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """the remaining Gopher document-level signals (Rae et al. 2021,
+    table A1) beyond the repetition tier — pure Column algebra, zero
+    shuffle, zero Python:
+
+    - ``bullet_line_frac``: trimmed non-empty lines starting with a
+      bullet glyph (- * • ●) / lines;
+    - ``ellipsis_line_frac``: lines ending with ``...`` or ``…`` /
+      lines;
+    - ``alpha_word_frac``: whitespace tokens containing at least one
+      alphabetic character / tokens (Gopher keeps docs ≥ 0.80);
+    - ``symbol_word_ratio``: occurrences of the Gopher symbol set
+      (``#``, ``...``, ``…``) / tokens.
+
+    Line and token definitions are shared with the repetition/quality
+    tiers (trimmed non-empty lines; whitespace_tokens), and the
+    alphabetic class is the same ``[A-Za-zÀ-ÿ]`` the BPE-ish counter
+    uses — single-sourced with the DuckDB oracle."""
+    t = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    nl = F.size(lines)
+    bullets = F.size(
+        F.filter(
+            lines, lambda l: F.substring(l, 1, 1).isin("-", "*", "•", "●")
+        )
+    )
+    ell = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    toks = whitespace_tokens(t)
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+    symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"(\.\.\.|…)")
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 4
+    )
+    return (
+        df.withColumn("bullet_line_frac", frac(bullets, nl))
+        .withColumn("ellipsis_line_frac", frac(ell, nl))
+        .withColumn("alpha_word_frac", frac(alpha, n))
+        .withColumn("symbol_word_ratio", frac(symbols, n))
+    )
+
+
 CURATION_RULES: dict[str, str] = {
     "tokens": "n_ws_tokens < 50 OR n_ws_tokens > 100000",
     "word_len": "mean_word_len < 3 OR mean_word_len > 10",
@@ -219,6 +267,11 @@ CURATION_RULES: dict[str, str] = {
         " OR top4gram_char_frac > 0.16"
     ),
     "dup_ngram": "dup5gram_char_frac > 0.15 OR dup10gram_char_frac > 0.10",
+    # Gopher table A1 line/word rules (with_gopher_signals)
+    "bullets": "bullet_line_frac > 0.90",
+    "ellipsis": "ellipsis_line_frac > 0.30",
+    "alpha_words": "alpha_word_frac < 0.80",
+    "symbols": "symbol_word_ratio > 0.10",
 }
 
 
@@ -249,6 +302,8 @@ def with_curation(
         df = with_quality(df, text_col)
     if "dup_line_frac" not in df.columns:
         df = with_repetition(df, text_col)
+    if "bullet_line_frac" not in df.columns:
+        df = with_gopher_signals(df, text_col)
     if lang_col is not None:
         # IS NULL kept explicit: `x NOT IN (...)` is NULL (not true)
         # for NULL x, which would FAIL OPEN — an undetected-language

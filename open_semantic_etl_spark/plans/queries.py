@@ -714,6 +714,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_clf,
         with_curation,
         with_fingerprint,
+        with_gopher_signals,
         with_lm_perplexity,
         with_quality,
         with_quality_clf,
@@ -724,6 +725,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     out = with_fingerprint(with_token_counts(with_quality(docs, "text"), "text"), "text")
     out = with_repetition(out, "text")
+    out = with_gopher_signals(out, "text")
     out = with_curation(out, "text")
     out = with_quality_clf(out, "text")
     # train once per (process, input content): the production shape
@@ -758,6 +760,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_line_frac", "dup_line_char_frac",
         "top2gram_char_frac", "top3gram_char_frac", "top4gram_char_frac",
         "dup5gram_char_frac", "dup10gram_char_frac",
+        "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "symbol_word_ratio",
         "keep_i", "drop_reasons_s",
     )
 

@@ -338,6 +338,33 @@ def test_curation_verdict(spark):
     assert r2 == sorted(r2)
 
 
+def test_gopher_signals_and_rules(spark):
+    """Gopher table A1 line/word signals: bullet- and ellipsis-heavy
+    docs and symbol/non-alpha-dominated docs fire their rules; a normal
+    doc fires none of the four."""
+    good = " ".join(f"the word{i}alpha" for i in range(60))
+    rows = [
+        (1, good),
+        (2, "\n".join(f"- item {i}" for i in range(10))),      # bullets
+        (3, "\n".join(f"line {i} goes on..." for i in range(10))),  # ellipsis
+        (4, " ".join("12345" for _ in range(60))),             # no alpha words
+        (5, ("yes # no # " * 30).strip()),                     # symbol-heavy
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TS.with_curation(df, "text").collect()}
+    for rule, doc in (("bullets", 2), ("ellipsis", 3), ("alpha_words", 4), ("symbols", 5)):
+        assert rule in out[doc]["drop_reasons_s"].split(","), (rule, doc)
+    gone = {"bullets", "ellipsis", "alpha_words", "symbols"}
+    assert not gone & set(out[1]["drop_reasons_s"].split(","))
+    sig = {r["doc_id"]: r for r in TS.with_gopher_signals(df, "text").collect()}
+    assert sig[2]["bullet_line_frac"] == 1.0
+    assert sig[3]["ellipsis_line_frac"] == 1.0
+    assert sig[4]["alpha_word_frac"] == 0.0
+    assert sig[5]["symbol_word_ratio"] == 0.5
+    assert sig[6]["bullet_line_frac"] == 0.0 and sig[6]["alpha_word_frac"] == 0.0
+
+
 def test_curation_lang_gate(spark):
     rows = [(1, "x " * 60, "en"), (2, "x " * 60, "xx")]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
