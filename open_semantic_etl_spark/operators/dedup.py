@@ -1282,6 +1282,44 @@ def dedup_ingest_batch(
     return kept
 
 
+def expire_lsh_batches(spark, index_path: str, batch_ids: list[str]) -> None:
+    """TTL / retention sweep: remove whole ingest batches from the
+    index.  Each ``_batches/<id>`` marker (written by
+    ``dedup_ingest_batch``) records exactly the doc ids that batch
+    contributed, so expiry is ``delete_from_lsh_index`` over the union
+    of the named batches' keep-sets, then the markers drop.  Marker
+    removal comes AFTER the delete: a crash in between re-runs the
+    (idempotent) delete on retry, whereas the opposite order would
+    leak the rows forever.  Unknown batch ids raise — silently
+    expiring nothing would defeat a retention requirement."""
+    import os
+    import shutil
+
+    markers = []
+    for bid in batch_ids:
+        marker = f"{index_path}/_batches/{bid}"
+        if not os.path.isdir(marker):
+            raise FileNotFoundError(
+                f"no committed batch marker {marker} — nothing recorded "
+                "for this batch_id (wrong id, or the batch never committed)"
+            )
+        markers.append(marker)
+    ids = None
+    for marker in markers:
+        if not any(
+            f.endswith(".parquet")
+            for _d, _s, fs in os.walk(marker)
+            for f in fs
+        ):
+            continue  # all-duplicate batch: empty keep-set, nothing indexed
+        part = spark.read.parquet(marker).select("_id")
+        ids = part if ids is None else ids.unionByName(part)
+    if ids is not None:
+        delete_from_lsh_index(spark, index_path, ids)
+    for marker in markers:
+        shutil.rmtree(marker, ignore_errors=True)
+
+
 def delete_from_lsh_index(spark, index_path: str, ids) -> None:
     """remove documents from the persisted LSH index (takedowns,
     recrawl-replaced urls, TTL expiry) — the DELETE twin of the

@@ -1173,6 +1173,37 @@ def test_dedup_ingest_batch_all_dup_batch_replays_empty(spark, corpus, tmp_path)
     assert k2.count() == 0  # committed replay of the empty keep-set
 
 
+def test_expire_lsh_batches_ttl_sweep(spark, corpus, tmp_path):
+    """retention: expiring a committed batch removes exactly its docs
+    from the index (probe stops matching them, other batches survive),
+    drops its marker, and an unknown batch_id raises."""
+    import os
+
+    path = str(tmp_path / "ttl")
+    D.dedup_ingest_batch(
+        spark, corpus.filter(F.col("doc_id") == 0), path,
+        batch_id="old", id_col="doc_id",
+    )
+    D.dedup_ingest_batch(
+        spark, corpus.filter(F.col("doc_id") == 4), path,
+        batch_id="new", id_col="doc_id",
+    )
+    probe = corpus.filter(F.col("doc_id") == 1)  # exact dup of 0
+    assert any(
+        r.matched for r in D.probe_lsh_index(probe, path, id_col="doc_id").collect()
+    )
+    D.expire_lsh_batches(spark, path, ["old"])
+    assert not any(
+        r.matched for r in D.probe_lsh_index(probe, path, id_col="doc_id").collect()
+    )
+    assert not os.path.isdir(f"{path}/_batches/old")
+    assert os.path.isdir(f"{path}/_batches/new")
+    sig_ids = [r[0] for r in spark.read.parquet(f"{path}/sigs").select("_id").collect()]
+    assert sig_ids == [4]  # the other batch survives
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        D.expire_lsh_batches(spark, path, ["ghost"])
+
+
 def test_dedup_ingest_batch_crash_resume(spark, corpus, tmp_path):
     """crash after staging, before commit: the retry rolls the staged
     append forward and returns the RECORDED keep-set; the index holds
