@@ -53,8 +53,9 @@ large enough that per-job fixed costs [session bring-up, stage
 scheduling, final reduce] amortize as they would on a 100 TB run;
 at 100k rows they dominate the 32-core time and understate scaling),
 SPARK_GRAFT_SCALING=0 to skip scaling runs, SPARK_GRAFT_QUIET_MIN /
-SPARK_GRAFT_QUIET_TRIES for the quiet-window gate (the scaling capture
-reruns — up to TRIES full attempts — until its interleaved hw-ceiling
+SPARK_GRAFT_QUIET_TRIES / SPARK_GRAFT_QUIET_BUDGET for the
+quiet-window gate (the scaling capture reruns — up to TRIES full
+attempts within BUDGET seconds — until its interleaved hw-ceiling
 probe lands in the box's historical quiet band; every attempt is
 recorded under scaling.quiet_gate).
 """
@@ -404,6 +405,13 @@ def _hw_ceiling(low: int, high: int) -> dict:
 #: on the INDEPENDENT noise probe, never on the metric under test.
 QUIET_CEILING_MIN = float(os.environ.get("SPARK_GRAFT_QUIET_MIN", "0.72"))
 QUIET_TRIES = int(os.environ.get("SPARK_GRAFT_QUIET_TRIES", "3"))
+#: wall-clock budget for the WHOLE scaling phase: the first attempt
+#: always runs; another attempt starts only while the phase is under
+#: budget.  Guards the recording harness's own runtime — an ambient-
+#: slow window both fails the gate AND stretches each attempt (8→25
+#: min observed), so unbounded retries could triple the bench and
+#: outlive a driver timeout, losing the artifact entirely.
+QUIET_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "1800"))
 
 
 def _scaling_attempt(pages_path: str, low_cores: int, cpus: int) -> dict:
@@ -530,12 +538,16 @@ def main() -> None:
         # never by the metric under test).
         attempts = []
         chosen = None
+        t_phase = time.time()
         for _try in range(QUIET_TRIES):
             a = _scaling_attempt(pages_path, low_cores, cpus)
             attempts.append(a)
             if a["ceiling_eff"] >= QUIET_CEILING_MIN:
                 chosen = a
                 break
+            if time.time() - t_phase > QUIET_BUDGET_SEC:
+                break  # slow window stretches attempts too — stop before
+                # the whole bench outlives the recording harness
         quiet_passed = chosen is not None
         if chosen is None:
             chosen = max(attempts, key=lambda a: a["ceiling_eff"])
@@ -625,8 +637,9 @@ def main() -> None:
                 "note": (
                     "ceiling in historical quiet band; capture accepted"
                     if quiet_passed
-                    else f"{len(attempts)} attempts never found a quiet "
-                    f"window (ceiling < {QUIET_CEILING_MIN}); recorded the "
+                    else f"{len(attempts)} attempt(s) found no quiet window "
+                    f"(ceiling < {QUIET_CEILING_MIN}; retries bounded by the "
+                    f"{QUIET_BUDGET_SEC:.0f}s phase budget); recorded the "
                     "quietest attempt — treat raw as a lower bound"
                 ),
             },
