@@ -327,7 +327,15 @@ WITH clf_f AS (
   FROM clf_f
 ), clf_tf AS (
   -- trained classifier: re-derive the hashed-NB log-odds weights from
-  -- the same labeled table (the DSIR ln-ratio twin pattern)
+  -- the same labeled table (the DSIR ln-ratio twin pattern). Float
+  -- discipline note (same acceptance as dsir_weight_d since r4): the
+  -- two engines compute ln() independently and sum per-doc terms in
+  -- different orders, so agreement holds at the 4-dp round rather
+  -- than bit-exactly; a knife-edge doc (mean log-odds within ~1 ulp
+  -- of a .00005 boundary) COULD flip the last digit. Green at
+  -- sf0.001/sf0.01 across rounds; if it ever flips, quantize the
+  -- weights to 6 dp on both sides (the clf_score literal recipe)
+  -- before scoring.
   SELECT doc_id, (doc_id % 10 = 0)::int AS t,
          ((('0x' || substr(md5(f), 1, 15))::UBIGINT % {_CLF_DIM})::int) AS b
   FROM clf_f, unnest(feats) AS u(f)

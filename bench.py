@@ -551,7 +551,14 @@ def main() -> None:
         quiet_passed = chosen is not None
         if chosen is None:
             chosen = max(attempts, key=lambda a: a["ceiling_eff"])
+        # the scaling ratio must be SELF-CONSISTENT within the chosen
+        # attempt's window: min()-ing t_high with the pre-gate run would
+        # mix measurement windows and could inflate raw above what any
+        # single window measured (r5 review).  The headline docs/s may
+        # still take the overall best t_high — a throughput best is a
+        # best — but every scaling number below comes from `chosen`.
         t_low = chosen["t_low"]
+        t_high_scaling = chosen["t_high"]
         t_high = min(t_high, chosen["t_high"])
         ex = chosen["ex"]
         hw_sec = chosen["hw_sec"]
@@ -584,7 +591,7 @@ def main() -> None:
 
     if do_scaling:
         ratio = cpus / low_cores
-        eff = (t_low / t_high) / ratio
+        eff = (t_low / t_high_scaling) / ratio
         hw = {
             "procs": [low_cores, cpus],
             "sec": [round(hw_sec[low_cores], 3), round(hw_sec[cpus], 3)],
@@ -612,8 +619,9 @@ def main() -> None:
             ),
             "cores_low": low_cores,
             "pipeline_sec_low": round(t_low, 3),
+            "pipeline_sec_high_scaling": round(t_high_scaling, 3),
             "docs_per_sec_low": round(docs / t_low, 2),
-            "docs_per_sec_high": round(docs / t_high, 2),
+            "docs_per_sec_high": round(docs / t_high_scaling, 2),
             "thread_efficiency_raw": round(eff, 3),
             "hw_ceiling": hw,
             "thread_efficiency_vs_hw": vs_hw,  # legacy key, = efficiency

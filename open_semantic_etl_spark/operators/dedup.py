@@ -987,6 +987,21 @@ def embedding_dup_pairs(
     )
 
 
+def _require_local(path: str) -> None:
+    """the index lifecycle (state checks, staged swaps, batch commits)
+    runs on driver-local filesystem primitives; a URI-schemed path
+    (hdfs://, s3a://) would make every os.path check read as 'absent'
+    and silently admit every duplicate (r5 review).  Raise loudly; on
+    a cluster these call sites swap os/shutil for the Hadoop
+    FileSystem API behind the same functions."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"LSH index paths must be driver-local filesystem paths in this "
+            f"build (got {path!r}); remote-FS support needs the Hadoop "
+            "FileSystem API behind _lsh_table_state/_recover_lsh_compaction"
+        )
+
+
 def _lsh_table_state(path: str) -> str:
     """physical layout of one index table dir: ``absent`` (no dir),
     ``empty`` (dir holds no parquet data files — e.g. an all-empty-epoch
@@ -997,6 +1012,7 @@ def _lsh_table_state(path: str) -> str:
     mixed layout is refused/raised instead of read as empty."""
     import os
 
+    _require_local(path)
     if not os.path.isdir(path):
         return "absent"
     has_data = any(
@@ -1079,6 +1095,7 @@ def _recover_lsh_compaction(index_path: str) -> None:
 
     from open_semantic_etl_spark.plans.checkpoint import recover_swaps
 
+    _require_local(index_path)
     for sub, part_col in (("bands", "_bb"), ("sigs", "_sb")):
         path = f"{index_path}/{sub}"
         olds = sorted(glob.glob(f"{path}__old_*"))
@@ -1186,16 +1203,21 @@ def dedup_ingest_batch(
     ``_fail_after_stage`` is the crash-simulation hook (the
     ``fail_before_checkpoint`` pattern, plans/checkpoint.py)."""
     import os
+    import re
     import shutil
 
+    if batch_id is not None and not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", batch_id):
+        # '/' or other path chars would nest the __batch_ staging dir,
+        # hiding its _STAGED file from recovery's one-level glob and
+        # breaking the roll-forward promise (r5 review)
+        raise ValueError(
+            f"batch_id {batch_id!r} must match [A-Za-z0-9._-]{{1,128}} "
+            "(it names filesystem directories)"
+        )
     _recover_lsh_compaction(index_path)
 
     def kept_rows(ids_path: str) -> DataFrame:
-        if not any(
-            f.endswith(".parquet")
-            for _d, _s, fs in os.walk(ids_path)
-            for f in fs
-        ):
+        if _lsh_table_state(ids_path) in ("absent", "empty"):
             # an all-duplicate batch records an EMPTY keep-set; some
             # writers emit no parquet footer for zero rows, which would
             # make the replay read fail schema inference
@@ -1282,41 +1304,62 @@ def dedup_ingest_batch(
     return kept
 
 
-def expire_lsh_batches(spark, index_path: str, batch_ids: list[str]) -> None:
+def list_lsh_batches(index_path: str) -> list[str]:
+    """committed batch ids recorded in the index (sorted) — the
+    manifest a retention sweep enumerates."""
+    import os
+
+    _require_local(index_path)
+    root = f"{index_path}/_batches"
+    return sorted(os.listdir(root)) if os.path.isdir(root) else []
+
+
+def expire_lsh_batches(
+    spark, index_path: str, batch_ids: list[str], strict: bool = True
+) -> None:
     """TTL / retention sweep: remove whole ingest batches from the
     index.  Each ``_batches/<id>`` marker (written by
     ``dedup_ingest_batch``) records exactly the doc ids that batch
-    contributed, so expiry is ``delete_from_lsh_index`` over the union
-    of the named batches' keep-sets, then the markers drop.  Marker
-    removal comes AFTER the delete: a crash in between re-runs the
-    (idempotent) delete on retry, whereas the opposite order would
-    leak the rows forever.  Unknown batch ids raise — silently
-    expiring nothing would defeat a retention requirement."""
+    contributed; expiry processes batches ONE AT A TIME —
+    ``delete_from_lsh_index`` over that batch's keep-set, then its
+    marker drops — so a crash leaves every earlier batch fully expired
+    and the current one retryable (delete is idempotent; marker
+    removal comes after it, else a crash would leak the rows forever).
+
+    ``strict=True`` (default) raises on a batch id with no marker —
+    silently expiring nothing would defeat a retention requirement.
+    After a crashed multi-batch sweep, retry with ``strict=False`` (or
+    re-enumerate via :func:`list_lsh_batches`): already-expired
+    batches' markers are gone and are skipped.
+
+    Attribution caveat (by design, document-level dedup): a doc is
+    recorded in the ONE batch that first kept it; later batches that
+    re-submit it drop it as a duplicate and do NOT refresh attribution.
+    Expiring an old batch therefore deletes docs that newer batches
+    re-submitted inside the retention window — the next arrival simply
+    re-ingests them as novel.  Retention policies that must never drop
+    recently-re-seen content should refresh attribution at probe time
+    (move matched index ids into the current batch's manifest) before
+    relying on batch expiry."""
     import os
     import shutil
 
-    markers = []
+    _require_local(index_path)
     for bid in batch_ids:
         marker = f"{index_path}/_batches/{bid}"
         if not os.path.isdir(marker):
-            raise FileNotFoundError(
-                f"no committed batch marker {marker} — nothing recorded "
-                "for this batch_id (wrong id, or the batch never committed)"
+            if strict:
+                raise FileNotFoundError(
+                    f"no committed batch marker {marker} — wrong id, the "
+                    "batch never committed, or it was already expired "
+                    "(retry a crashed sweep with strict=False)"
+                )
+            continue
+        if _lsh_table_state(marker) not in ("absent", "empty"):
+            # empty = all-duplicate batch: nothing indexed, marker only
+            delete_from_lsh_index(
+                spark, index_path, spark.read.parquet(marker).select("_id")
             )
-        markers.append(marker)
-    ids = None
-    for marker in markers:
-        if not any(
-            f.endswith(".parquet")
-            for _d, _s, fs in os.walk(marker)
-            for f in fs
-        ):
-            continue  # all-duplicate batch: empty keep-set, nothing indexed
-        part = spark.read.parquet(marker).select("_id")
-        ids = part if ids is None else ids.unionByName(part)
-    if ids is not None:
-        delete_from_lsh_index(spark, index_path, ids)
-    for marker in markers:
         shutil.rmtree(marker, ignore_errors=True)
 
 

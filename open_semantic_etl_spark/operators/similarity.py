@@ -510,6 +510,7 @@ def ivfpq_topk(
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     encoded: DataFrame | None = None,
+    qtabs: DataFrame | None = None,
 ) -> DataFrame:
     """IVF∘PQ — the composed 10^12-row production split the component
     docstrings describe: an IVF coarse quantizer routes each query to
@@ -551,7 +552,9 @@ def ivfpq_topk(
             F.explode(nearest_cells_expr(v, centroids, nprobe)).alias("cell"),
         )
     )
-    qdf = _adc_query_tables(df, query_ids, B, vec_col, id_col)
+    qdf = qtabs if qtabs is not None else _adc_query_tables(
+        df, query_ids, B, vec_col, id_col
+    )
     cands = (
         base.join(F.broadcast(qex), "cell")
         .join(F.broadcast(qdf), "query_id")
@@ -572,6 +575,7 @@ def pq_topk(
     sample: int = 4096,
     codebooks: np.ndarray | None = None,
     encoded: DataFrame | None = None,
+    qtabs: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k by cosine over the COMPRESSED corpus.
 
@@ -597,7 +601,9 @@ def pq_topk(
         base = df.select(
             F.col(id_col).alias("nbr_id"), pq_codes_expr(v, B).alias("codes")
         ).filter(F.col("codes").isNotNull())
-    qdf = _adc_query_tables(df, query_ids, B, vec_col, id_col)
+    qdf = qtabs if qtabs is not None else _adc_query_tables(
+        df, query_ids, B, vec_col, id_col
+    )
     cands = base.join(F.broadcast(qdf)).filter(
         F.col("nbr_id") != F.col("query_id")
     )

@@ -372,9 +372,41 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs).withColumnRenamed("id", "doc_id")
 
 
-#: /tmp LSH index dirs created by q_minhash_lsh this process, each with
-#: an atexit rmtree registered exactly once
+#: /tmp sidecar dirs created by the build-once queries this process,
+#: each with an atexit rmtree registered exactly once
 _TMP_INDEX_DIRS: set[str] = set()
+
+
+def _content_fp(sf_dir: str, prefix: str) -> str:
+    """fingerprint of one input table's files (sizes + mtimes): the
+    build-once memos key on CONTENT, not path, so regenerated fixture
+    data never hits a stale cache (r4 review; single-sourced here for
+    q_minhash_lsh / q_ann / q_text_stats — r5 review)."""
+    import os
+
+    return "|".join(
+        f"{n}:{st.st_size}:{st.st_mtime_ns}"
+        for n in sorted(os.listdir(sf_dir))
+        if n.startswith(prefix)
+        for st in [os.stat(os.path.join(sf_dir, n))]
+    )
+
+
+def _tmp_sidecar(sf_dir: str, fp: str, tag: str) -> str:
+    """per-(content, process) /tmp dir, atexit-reaped exactly once:
+    PID-scoping rules out cross-process overwrite races, the content
+    key rules out staleness, atexit rules out accumulation."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+
+    key = hashlib.sha1(f"{sf_dir}|{fp}".encode()).hexdigest()[:16]
+    path = f"/tmp/spark_graft_{tag}_{key}_{os.getpid()}"
+    if path not in _TMP_INDEX_DIRS:
+        _TMP_INDEX_DIRS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,8 +420,6 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel probe docs a null-id_a row.  The DuckDB twin derives both
     modes from the same numpy golden: band collision is a property of
     the PAIR, independent of which set each doc sits in."""
-    import hashlib
-
     from open_semantic_etl_spark.operators.dedup import (
         build_lsh_index,
         lsh_candidate_pairs,
@@ -407,31 +437,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = lsh_candidate_pairs(
         docs, text_col="text", id_col="doc_id", signatures=sigs
     ).withColumn("kind", F.lit("batch"))
-    # PID-scoped path: concurrent driver/bench/pytest processes never
-    # race each other's overwrite (r4 review), and repeated invocations
-    # within one process reuse the same dir instead of leaking per rep
     import os
 
-    # the key fingerprints the INPUT CONTENT (file sizes+mtimes), not
-    # just the path: regenerated fixture data must never hit a stale
-    # cached index (r4 review); pid-scoping still rules out races
-    fp = "|".join(
-        f"{n}:{st.st_size}:{st.st_mtime_ns}"
-        for n in sorted(os.listdir(f"{sf_dir}"))
-        if n.startswith("documents")
-        for st in [os.stat(os.path.join(sf_dir, n))]
+    index_path = _tmp_sidecar(
+        sf_dir, _content_fp(sf_dir, "documents"), "lsh_index"
     )
-    key = hashlib.sha1(f"{sf_dir}|{fp}".encode()).hexdigest()[:16]
-    index_path = f"/tmp/spark_graft_lsh_index_{key}_{os.getpid()}"
-    if index_path not in _TMP_INDEX_DIRS:
-        # reap the dir at interpreter exit: without this, repeated
-        # pytest/bench/driver processes accumulate full index copies in
-        # /tmp indefinitely (r5 review). Registered once per path.
-        import atexit
-        import shutil
-
-        _TMP_INDEX_DIRS.add(index_path)
-        atexit.register(shutil.rmtree, index_path, ignore_errors=True)
     even = F.col("doc_id") % 2 == 0
     # build once per (content, process): the production incremental
     # shape pays the index build once and probes per batch, so steady
@@ -501,7 +511,6 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    import hashlib
     import os
 
     from open_semantic_etl_spark.operators.similarity import encode_corpus
@@ -514,35 +523,29 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measure query cost only; the cold rep carries train+encode (the
     # q_minhash_lsh build-once idiom). Results are unchanged: same
     # trainers, same params, same codes.
-    fp = "|".join(
-        f"{n}:{st.st_size}:{st.st_mtime_ns}"
-        for n in sorted(os.listdir(sf_dir))
-        if n.startswith("embeddings")
-        for st in [os.stat(os.path.join(sf_dir, n))]
-    )
+    fp = _content_fp(sf_dir, "embeddings")
     if fp not in _ANN_MEMO:
         _ANN_MEMO[fp] = (train_centroids(emb), train_pq_codebooks(emb))
     cents, books = _ANN_MEMO[fp]
-    key = hashlib.sha1(f"{sf_dir}|{fp}".encode()).hexdigest()[:16]
-    enc_path = f"/tmp/spark_graft_ann_encoded_{key}_{os.getpid()}"
-    if enc_path not in _TMP_INDEX_DIRS:
-        import atexit
-        import shutil
-
-        _TMP_INDEX_DIRS.add(enc_path)
-        atexit.register(shutil.rmtree, enc_path, ignore_errors=True)
+    enc_path = _tmp_sidecar(sf_dir, fp, "ann_encoded")
     marker = os.path.join(enc_path, "_SUCCESS")
     if not os.path.exists(marker):
         encode_corpus(emb, cents, books).write.mode("overwrite").parquet(enc_path)
     enc = spark.read.parquet(enc_path)
+    # one ADC table build serves both PQ-family methods (same queries,
+    # same codebooks — the qtabs= reuse twin of encoded=)
+    from open_semantic_etl_spark.operators.similarity import _adc_query_tables
+
+    qtabs = _adc_query_tables(emb, qids, books, "embedding", "vec_id")
     b = brute_force_topk(emb, query_ids=qids, k=5).withColumn("method", F.lit("brute"))
     l = lsh_topk(emb, query_ids=qids, k=5, dim=64).withColumn("method", F.lit("lsh"))
     i = ivf_topk(emb, query_ids=qids, k=5, centroids=cents).withColumn("method", F.lit("ivf"))
     p = pq_topk(
-        emb, query_ids=qids, k=5, codebooks=books, encoded=enc
+        emb, query_ids=qids, k=5, codebooks=books, encoded=enc, qtabs=qtabs
     ).withColumn("method", F.lit("pq"))
     ip = ivfpq_topk(
-        emb, query_ids=qids, k=5, centroids=cents, codebooks=books, encoded=enc
+        emb, query_ids=qids, k=5, centroids=cents, codebooks=books,
+        encoded=enc, qtabs=qtabs,
     ).withColumn("method", F.lit("ivfpq"))
     return b.unionByName(l).unionByName(i).unionByName(p).unionByName(ip).select(
         "method", "query_id", "nbr_id", "cos", "rk"
@@ -732,14 +735,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trains one model and scores every batch with it — steady reps
     # measure scoring, the cold rep carries the one-pass training
     # (the q_minhash_lsh build-once idiom)
-    import os
-
-    fp = "|".join(
-        f"{n}:{st.st_size}:{st.st_mtime_ns}"
-        for n in sorted(os.listdir(sf_dir))
-        if n.startswith("documents")
-        for st in [os.stat(os.path.join(sf_dir, n))]
-    )
+    fp = _content_fp(sf_dir, "documents")
     if fp not in _CLF_TRAINED_MEMO:
         _CLF_TRAINED_MEMO[fp] = (
             train_quality_clf(docs, F.col("doc_id") % 10 == 0),

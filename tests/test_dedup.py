@@ -1202,6 +1202,25 @@ def test_expire_lsh_batches_ttl_sweep(spark, corpus, tmp_path):
     assert sig_ids == [4]  # the other batch survives
     with pytest.raises(FileNotFoundError, match="never committed"):
         D.expire_lsh_batches(spark, path, ["ghost"])
+    # crash-retry recipe: a sweep that already removed some markers
+    # re-runs with strict=False and skips them instead of wedging
+    D.expire_lsh_batches(spark, path, ["old", "new"], strict=False)
+    assert D.list_lsh_batches(path) == []
+
+
+def test_lsh_paths_and_batch_ids_validated(spark, corpus, tmp_path):
+    """URI-schemed index paths raise loudly (os-path presence checks
+    would read a remote index as absent and admit every duplicate);
+    path-breaking batch_ids are refused up front."""
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        D.probe_lsh_index(corpus, "s3a://bucket/lsh")
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        D.build_lsh_index(corpus, "hdfs://nn/lsh", epoch=0)
+    path = str(tmp_path / "ids")
+    with pytest.raises(ValueError, match="batch_id"):
+        D.dedup_ingest_batch(
+            spark, corpus.limit(1), path, batch_id="2026/08/21", id_col="doc_id"
+        )
 
 
 def test_dedup_ingest_batch_crash_resume(spark, corpus, tmp_path):

@@ -51,6 +51,22 @@ def spark_round(x: float, scale: int = 4) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
+def _lloyd(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """shared deterministic Lloyd's loop (init = first k rows, argmin
+    ties to lowest index, float64 mean update, empty cell keeps its
+    centroid, exactly iters rounds).  The independence requirement is
+    vs the Spark operators, not within this generator — one copy here
+    keeps the four quantizer goldens self-consistent (r5 review)."""
+    C = X[:k].copy()
+    for _ in range(iters):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
 def left_fold_dot(a, b) -> float:
     """sum_i a[i]*b[i] in Spark's aggregate(zip_with(...)) left-fold order."""
     acc = 0.0
@@ -201,13 +217,7 @@ def ann_ivf_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
     vecs = {i: [float(x) for x in v] for i, v in zip(ids, emb["embedding"])}
 
     X = np.array([vecs[i] for i in ids[:sample]], dtype=np.float64)
-    C = X[:k_cells].copy()
-    for _ in range(iters):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
-        for c in range(k_cells):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
+    C = _lloyd(X, k_cells, iters)
 
     allX = np.array([vecs[i] for i in ids], dtype=np.float64)
     dists = ((allX[:, None, :] - C[None, :, :]) ** 2).sum(-1)
@@ -260,15 +270,7 @@ def ann_pq_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
     Xn = X / norms[:, None]
     books = np.empty((m, ks, dsub), dtype=np.float64)
     for j in range(m):
-        S = Xn[:, j * dsub:(j + 1) * dsub]
-        C = S[:ks].copy()
-        for _ in range(iters):
-            assign = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
-            for c in range(ks):
-                members = S[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
-        books[j] = C
+        books[j] = _lloyd(Xn[:, j * dsub:(j + 1) * dsub], ks, iters)
 
     allX = np.array([v for _, v in rows], dtype=np.float64)
     n2 = np.sqrt((allX * allX).sum(axis=1))
@@ -320,13 +322,7 @@ def ann_ivfpq_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
 
     # IVF coarse quantizer: trained on RAW vectors (ann_ivf contract)
     X = np.array([vecs[i] for i in ids[:sample]], dtype=np.float64)
-    C = X[:k_cells].copy()
-    for _ in range(iters):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
-        for c in range(k_cells):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
+    C = _lloyd(X, k_cells, iters)
     allX = np.array([vecs[i] for i in ids], dtype=np.float64)
     dists = ((allX[:, None, :] - C[None, :, :]) ** 2).sum(-1)
     cell = dists.argmin(axis=1)
@@ -344,15 +340,7 @@ def ann_ivfpq_golden(emb: pd.DataFrame, query_ids=tuple(range(10)), k=5,
     Xn = X / norms[:, None]
     books = np.empty((m, ks, dsub), dtype=np.float64)
     for j in range(m):
-        S = Xn[:, j * dsub:(j + 1) * dsub]
-        Cb = S[:ks].copy()
-        for _ in range(iters):
-            assign = ((S[:, None, :] - Cb[None, :, :]) ** 2).sum(-1).argmin(axis=1)
-            for c in range(ks):
-                members = S[assign == c]
-                if len(members):
-                    Cb[c] = members.mean(axis=0)
-        books[j] = Cb
+        books[j] = _lloyd(Xn[:, j * dsub:(j + 1) * dsub], ks, iters)
     n2 = np.sqrt((allX * allX).sum(axis=1))
     n2[n2 == 0] = 1.0
     allXn = allX / n2[:, None]
@@ -399,13 +387,7 @@ def semdedup_golden(emb: pd.DataFrame, k_cells=16, threshold=0.3,
     ids = [int(v) for v in emb["vec_id"]]
     vecs = {i: [float(x) for x in v] for i, v in zip(ids, emb["embedding"])}
     X = np.array([vecs[i] for i in ids[:sample]], dtype=np.float64)
-    C = X[:k_cells].copy()
-    for _ in range(iters):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
-        for c in range(k_cells):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
+    C = _lloyd(X, k_cells, iters)
     allX = np.array([vecs[i] for i in ids], dtype=np.float64)
     cell = ((allX[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(axis=1)
     by_cell: dict[int, list[int]] = {}
